@@ -1,0 +1,185 @@
+"""Frame-level records: zlib keyframes and Bloom-coded inter-frames.
+
+Byte-format parity targets:
+
+* **Untyped keyframe record** — the reference's live .bfvc frame format
+  (fixed_video_compressor.py:27-74): ``<III`` (h, w, dtype itemsize) +
+  ``<I`` zlib length + payload + ``<B`` has_yuv flag + optional per-plane
+  zlib'd Y/U/V sections with ``<II`` shapes.  Decode infers dtype from
+  itemsize (1->uint8, 2->uint16, else float32, :91-96) and channel count
+  from size divisibility (:98-108).
+* **Typed keyframe record** — leading type byte 1 then the same body
+  (improved_video_compressor.py:1043-1100).
+* **Typed inter-frame record** — leading type byte 0 (a value the
+  reference reserves but never emits) then the diff payload of
+  improved_video_compressor.py:930-959: ``<f`` p, ``<I`` n, ``<f`` k,
+  ``<I`` bitmap bits, ``<I`` witness bits, ``<I``+packbits(bitmap),
+  ``<I``+packbits(witness), ``<I`` zlib length + ``<I`` value count +
+  zlib(changed values, level 9).
+
+The reference shipped the inter-frame path unwired (SURVEY.md §2
+dead-code notes); this module is the working wiring.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+
+import numpy as np
+
+from new_bloom_filter_repo_tpu.models.binary_codec import BloomFilterCompressor
+
+KEYFRAME = 1
+INTERFRAME = 0
+
+_HDR_III = struct.Struct("<III")
+_U32 = struct.Struct("<I")
+_U16 = struct.Struct("<H")
+_F32 = struct.Struct("<f")
+_U8 = struct.Struct("<B")
+
+
+def _dtype_from_itemsize(itemsize: int):
+    # Reference rule: fixed_video_compressor.py:91-96.
+    if itemsize == 1:
+        return np.uint8
+    if itemsize == 2:
+        return np.uint16
+    return np.float32
+
+
+# ---------------------------------------------------------------------------
+# Keyframe records
+# ---------------------------------------------------------------------------
+
+def encode_keyframe(frame: np.ndarray, yuv_info: dict | None = None,
+                    typed: bool = False, zlib_level: int = 9) -> bytes:
+    """Serialize a keyframe with bit-exact zlib coding."""
+    frame = np.asarray(frame)
+    buf = io.BytesIO()
+    if typed:
+        buf.write(_U8.pack(KEYFRAME))
+    z = zlib.compress(frame.tobytes(), level=zlib_level)
+    buf.write(_HDR_III.pack(frame.shape[0], frame.shape[1], frame.dtype.itemsize))
+    buf.write(_U32.pack(len(z)))
+    buf.write(z)
+    buf.write(_U8.pack(1 if yuv_info is not None else 0))
+    if yuv_info is not None:
+        fmt = yuv_info.get("format", "YUV444").encode("utf-8")
+        buf.write(_U16.pack(len(fmt)))
+        buf.write(fmt)
+        for plane in ("y_plane", "u_plane", "v_plane"):
+            arr = np.asarray(yuv_info[plane])
+            pz = zlib.compress(arr.tobytes(), level=zlib_level)
+            buf.write(_U32.pack(len(pz)))
+            buf.write(pz)
+            buf.write(struct.pack("<II", *arr.shape))
+    return buf.getvalue()
+
+
+def decode_keyframe(data: bytes, offset: int = 0):
+    """Parse a keyframe body (after any type byte).
+
+    Returns (frame ndarray, yuv_info dict or None).
+    """
+    buf = io.BytesIO(data)
+    buf.seek(offset)
+    h, w, itemsize = _HDR_III.unpack(buf.read(12))
+    zlen = _U32.unpack(buf.read(4))[0]
+    raw = zlib.decompress(buf.read(zlen))
+    dtype = _dtype_from_itemsize(itemsize)
+    expected_gray = h * w * itemsize
+    if len(raw) > expected_gray and len(raw) % expected_gray == 0:
+        channels = len(raw) // expected_gray
+        frame = np.frombuffer(raw, dtype=dtype).reshape((h, w, channels))
+    else:
+        frame = np.frombuffer(raw, dtype=dtype).reshape((h, w))
+    yuv_info = None
+    flag = buf.read(1)
+    if flag and flag[0] == 1:
+        fmt_len = _U16.unpack(buf.read(2))[0]
+        fmt = buf.read(fmt_len).decode("utf-8")
+        yuv_info = {"format": fmt}
+        for plane in ("y_plane", "u_plane", "v_plane"):
+            pz_len = _U32.unpack(buf.read(4))[0]
+            pz = buf.read(pz_len)
+            ph, pw = struct.unpack("<II", buf.read(8))
+            yuv_info[plane] = np.frombuffer(
+                zlib.decompress(pz), dtype=np.uint8).reshape((ph, pw)).copy()
+    return frame, yuv_info
+
+
+# ---------------------------------------------------------------------------
+# Inter-frame records (the working wiring of the reference's diff payload)
+# ---------------------------------------------------------------------------
+
+def encode_interframe(mask: np.ndarray, values: np.ndarray,
+                      codec: BloomFilterCompressor,
+                      typed: bool = True, zlib_level: int = 9) -> bytes:
+    """Bloom-code a binary change mask + exact changed values.
+
+    Payload format: improved_video_compressor.py:930-959, prefixed with
+    type byte 0 when ``typed``.
+    """
+    flat = np.asarray(mask, dtype=np.uint8).ravel()
+    bitmap, witness, p, n, _ = codec.compress(flat)
+    k, _l = codec._calculate_optimal_params(n, p)
+
+    buf = io.BytesIO()
+    if typed:
+        buf.write(_U8.pack(INTERFRAME))
+    buf.write(_F32.pack(p))
+    buf.write(_U32.pack(n))
+    buf.write(_F32.pack(k))
+    buf.write(_U32.pack(len(bitmap)))
+    buf.write(_U32.pack(len(witness)))
+    bitmap_bytes = np.packbits(np.asarray(bitmap, dtype=np.uint8)).tobytes()
+    buf.write(_U32.pack(len(bitmap_bytes)))
+    buf.write(bitmap_bytes)
+    witness_bytes = np.packbits(np.asarray(witness, dtype=np.uint8)).tobytes()
+    buf.write(_U32.pack(len(witness_bytes)))
+    buf.write(witness_bytes)
+    values = np.asarray(values, dtype=np.uint8).ravel()
+    vz = zlib.compress(values.tobytes(), level=zlib_level)
+    buf.write(_U32.pack(len(vz)))
+    buf.write(_U32.pack(len(values)))
+    buf.write(vz)
+    return buf.getvalue()
+
+
+def decode_interframe(data: bytes, codec: BloomFilterCompressor,
+                      offset: int = 0):
+    """Inverse of :func:`encode_interframe` (payload after any type byte).
+
+    Returns (flat mask uint8[n], values uint8[count]).
+    (reference: improved_video_compressor.py:969-1015)
+    """
+    buf = io.BytesIO(data)
+    buf.seek(offset)
+    _p = _F32.unpack(buf.read(4))[0]
+    n = _U32.unpack(buf.read(4))[0]
+    k = _F32.unpack(buf.read(4))[0]
+    bitmap_len = _U32.unpack(buf.read(4))[0]
+    witness_len = _U32.unpack(buf.read(4))[0]
+    bsize = _U32.unpack(buf.read(4))[0]
+    bitmap = np.unpackbits(
+        np.frombuffer(buf.read(bsize), dtype=np.uint8))[:bitmap_len]
+    wsize = _U32.unpack(buf.read(4))[0]
+    witness = np.unpackbits(
+        np.frombuffer(buf.read(wsize), dtype=np.uint8))[:witness_len]
+    vz_len = _U32.unpack(buf.read(4))[0]
+    v_count = _U32.unpack(buf.read(4))[0]
+    values = np.frombuffer(
+        zlib.decompress(buf.read(vz_len)), dtype=np.uint8)[:v_count]
+    if witness_len > 0:
+        flat = codec.decompress(bitmap, witness, n, k)
+    else:
+        flat = bitmap
+    return flat, values
+
+
+def record_type(data: bytes) -> int:
+    """Type byte of a typed record."""
+    return data[0]

@@ -1,0 +1,190 @@
+"""End-to-end tests for the public video API.
+
+Covers the reference's verification philosophy (SURVEY.md §4): exact
+array_equal round-trips at frame and video level in BGR/RGB/YUV/gray,
+keyframe scheduling, reference-container interop, and the stats surface.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from new_bloom_filter_repo_tpu.models.video import (
+    FixedVideoCompressor,
+    ImprovedVideoCompressor,
+    add_yuv_info_to_frame,
+    verify_lossless,
+)
+from new_bloom_filter_repo_tpu.utils import container
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def make_video(n=8, h=40, w=56, c=3, noise=4, seed=0, move=True):
+    """Synthetic clip: static noisy background + moving rectangle."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w, c) if c else (h, w)
+    base = rng.integers(0, 200, size=shape, dtype=np.uint8)
+    frames = []
+    for i in range(n):
+        f = base.copy()
+        if noise:
+            m = rng.random(shape[:2]) < 0.02  # sparse sensor noise
+            if c:
+                f[m] = rng.integers(0, 256, size=(int(m.sum()), c))
+            else:
+                f[m] = rng.integers(0, 256, size=int(m.sum()))
+        x = (3 + 4 * i) if move else 3
+        if c:
+            f[8:20, x:x + 10, :] = (255, 128, 0)
+        else:
+            f[8:20, x:x + 10] = 255
+        frames.append(f)
+    return frames
+
+
+class TestFixedCompressor:
+    def test_roundtrip_color(self):
+        comp = FixedVideoCompressor(verbose=False)
+        frames = make_video()
+        rec = comp.decompress_video(comp.compress_video(frames))
+        res = comp.verify_lossless(frames, rec)
+        assert res["lossless"] and res["exact_frame_matches"] == len(frames)
+
+    def test_roundtrip_yuv_wrapped(self):
+        comp = FixedVideoCompressor(verbose=False)
+        frames = [add_yuv_info_to_frame(f) for f in make_video(4)]
+        rec = comp.decompress_video(comp.compress_video(frames))
+        assert comp.verify_lossless(frames, rec)["lossless"]
+        assert hasattr(rec[0], "yuv_info")
+        np.testing.assert_array_equal(
+            rec[0].yuv_info["u_plane"], frames[0].yuv_info["u_plane"])
+
+
+class TestImprovedCompressor:
+    @pytest.mark.parametrize("cs", ["BGR", "RGB"])
+    def test_bloom_mode_roundtrip(self, tmp_path, cs):
+        comp = ImprovedVideoCompressor(verbose=False, keyframe_interval=5)
+        frames = make_video(12)
+        out = str(tmp_path / "clip.bfvc")
+        res = comp.compress_video(frames, out, input_color_space=cs)
+        assert res["keyframes"] == 3  # frames 0, 5, 10
+        rec = comp.decompress_video(out)
+        v = comp.verify_lossless(frames, rec)
+        assert v["lossless"], v
+        assert res["compression_ratio"] < 1.0
+
+    def test_bloom_beats_keyframe_only_on_static_content(self, tmp_path):
+        frames = make_video(16, noise=0)
+        bloom = ImprovedVideoCompressor(verbose=False, keyframe_interval=16)
+        key = ImprovedVideoCompressor(verbose=False, mode="keyframe")
+        rb = bloom.compress_video(frames, str(tmp_path / "b.bfvc"))
+        rk = key.compress_video(frames, str(tmp_path / "k.bfvc"))
+        assert rb["compression_ratio"] < rk["compression_ratio"]
+        rec = bloom.decompress_video(str(tmp_path / "b.bfvc"))
+        assert bloom.verify_lossless(frames, rec)["lossless"]
+
+    def test_yuv_direct_roundtrip(self, tmp_path):
+        comp = ImprovedVideoCompressor(verbose=False, keyframe_interval=4,
+                                       use_direct_yuv=True)
+        frames = [add_yuv_info_to_frame(f) for f in make_video(8, seed=5)]
+        out = str(tmp_path / "yuv.bfvc")
+        comp.compress_video(frames, out, input_color_space="YUV")
+        rec = comp.decompress_video(out)
+        v = comp.verify_lossless(frames, rec)
+        assert v["lossless"], v
+        assert hasattr(rec[3], "yuv_info")
+        np.testing.assert_array_equal(
+            rec[3].yuv_info["v_plane"], np.asarray(frames[3])[:, :, 2])
+
+    def test_grayscale_roundtrip(self, tmp_path):
+        comp = ImprovedVideoCompressor(verbose=False, keyframe_interval=6)
+        frames = make_video(9, c=0, seed=2)
+        out = str(tmp_path / "gray.bfvc")
+        comp.compress_video(frames, out)
+        rec = comp.decompress_video(out)
+        assert comp.verify_lossless(frames, rec)["lossless"]
+
+    def test_keyframe_mode_reference_compatible(self, tmp_path):
+        comp = ImprovedVideoCompressor(verbose=False, mode="keyframe")
+        frames = make_video(5, seed=3)
+        out = str(tmp_path / "ref.bfvc")
+        comp.compress_video(frames, out)
+        magic, _ = container.read_bfvc(out)
+        assert magic == container.MAGIC_FIXED
+        rec = comp.decompress_video(out)
+        assert comp.verify_lossless(frames, rec)["lossless"]
+
+    def test_decodes_reference_produced_bfvc(self):
+        """Files written by the actual reference implementation decode
+        bit-exactly (golden fixture)."""
+        comp = ImprovedVideoCompressor(verbose=False)
+        frames = np.load(os.path.join(FIXTURES, "golden_frames.npz"))["bgr"]
+        rec = comp.decompress_video(os.path.join(FIXTURES, "golden_ref.bfvc"))
+        assert len(rec) == len(frames)
+        for i in range(len(frames)):
+            np.testing.assert_array_equal(np.asarray(rec[i]), frames[i])
+
+    def test_keyframe_mode_writes_reference_identical_bytes(self, tmp_path):
+        """mode='keyframe' output is byte-identical to the reference's
+        .bfvc for the same frames."""
+        frames = np.load(os.path.join(FIXTURES, "golden_frames.npz"))["bgr"]
+        comp = ImprovedVideoCompressor(verbose=False, mode="keyframe")
+        out = str(tmp_path / "ours.bfvc")
+        comp.compress_video(list(frames), out)
+        with open(out, "rb") as f:
+            ours = f.read()
+        with open(os.path.join(FIXTURES, "golden_ref.bfvc"), "rb") as f:
+            ref = f.read()
+        assert ours == ref
+
+    def test_near_lossless_mode_is_deterministic_not_drifting(self, tmp_path):
+        """exact=False reproduces the reference's noise-tolerant semantics;
+        decode must exactly equal the encoder's own reconstruction."""
+        comp = ImprovedVideoCompressor(verbose=False, exact=False,
+                                       noise_tolerance=10.0,
+                                       keyframe_interval=8)
+        # High-contrast moving object so its gray delta clears the
+        # adaptive threshold everywhere.
+        frames = make_video(8, noise=4, seed=7)
+        for i, f in enumerate(frames):
+            f[8:20, 3 + 4 * i:13 + 4 * i, :] = 255
+        out = str(tmp_path / "nl.bfvc")
+        comp.compress_video(frames, out)
+        rec1 = comp.decompress_video(out)
+        rec2 = comp.decompress_video(out)
+        for a, b in zip(rec1, rec2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # moving object is substantially preserved even in near-lossless
+        # mode (sub-threshold pixels may legitimately keep old values)
+        patch = np.asarray(rec1[-1])[8:20, 31:41]
+        frac = (patch == 255).all(axis=-1).mean()
+        assert frac > 0.9, frac
+
+    def test_stats_dict_surface(self, tmp_path):
+        comp = ImprovedVideoCompressor(verbose=False)
+        res = comp.compress_video(make_video(4), str(tmp_path / "s.bfvc"))
+        for key in ("frame_count", "original_size", "compressed_size",
+                    "compression_ratio", "space_savings", "compression_time",
+                    "frames_per_second", "keyframes", "keyframe_ratio",
+                    "output_path", "color_space", "overall_ratio"):
+            assert key in res
+
+    def test_empty_frames_raises(self):
+        with pytest.raises(ValueError, match="No frames"):
+            ImprovedVideoCompressor(verbose=False).compress_video([])
+
+    def test_verify_lossless_detects_difference(self):
+        frames = make_video(3)
+        bad = [f.copy() for f in frames]
+        bad[1][0, 0, 0] ^= 1
+        res = verify_lossless(frames, bad)
+        assert not res["lossless"]
+        assert res["diff_frames"] == [1]
+        assert res["exact_frame_matches"] == 2
+
+    def test_verify_frame_count_mismatch(self):
+        frames = make_video(3)
+        res = verify_lossless(frames, frames[:2])
+        assert not res["lossless"] and "mismatch" in res["reason"]
