@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Headline benchmark: 1080p frames/sec through encode+decode per chip.
+
+Measures the full public pipeline — ImprovedVideoCompressor.compress_video
+(diff masks, rational-Bloom device encode, witness packing, zlib stage,
+.bfvc container) followed by decompress_video and bit-exact verification —
+on a synthetic 1080p BGR clip with realistic inter-frame change density.
+
+Baseline derivation: the reference reports 12.45 s average to compress the
+Y4M suite (results.md:139-141) — ~300 CIF frames => 24.1 fps at 352x288,
+i.e. ~1.18 fps at 1920x1080 pixel rate, and its shipped path is
+encode-only zlib keyframes.  vs_baseline is measured fps (through BOTH
+encode and decode, bit-exact verified) against that 1.18 fps equivalent.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+REF_EQUIV_1080P_FPS = 1.18
+FRAMES = 16
+H, W = 1080, 1920
+
+
+def make_clip(n_frames=FRAMES, h=H, w=W, seed=0):
+    """Static camera scene: textured background, moving object, sparse
+    sensor noise (~1.5% of pixels/frame)."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 220, size=(h, w, 3), dtype=np.uint8)
+    frames = []
+    for i in range(n_frames):
+        f = base.copy()
+        noise_mask = rng.random((h, w)) < 0.015
+        f[noise_mask] = rng.integers(0, 256, size=(int(noise_mask.sum()), 3))
+        x = (40 + 23 * i) % (w - 260)
+        y = (60 + 11 * i) % (h - 260)
+        f[y:y + 240, x:x + 240] = (30, 200, 240)
+        frames.append(f)
+    return frames
+
+
+def main():
+    import jax
+    from new_bloom_filter_repo_tpu.models.video import ImprovedVideoCompressor
+
+    platform = jax.default_backend()
+    frames = make_clip()
+    comp = ImprovedVideoCompressor(verbose=False, keyframe_interval=30)
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "bench.bfvc")
+        # Warm-up pass compiles every (geometry, floor_k) program.
+        comp.compress_video(frames[:4], path)
+        comp.decompress_video(path)
+
+        t0 = time.time()
+        res = comp.compress_video(frames, path)
+        t_enc = time.time() - t0
+        t0 = time.time()
+        rec = comp.decompress_video(path)
+        t_dec = time.time() - t0
+        v = comp.verify_lossless(frames, rec)
+
+    fps = len(frames) / (t_enc + t_dec)
+    out = {
+        "metric": "1080p_frames_per_sec_encode_plus_decode_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / REF_EQUIV_1080P_FPS, 3),
+        "platform": platform,
+        "frames": len(frames),
+        "encode_s": round(t_enc, 3),
+        "decode_s": round(t_dec, 3),
+        "compression_ratio": round(res["compression_ratio"], 4),
+        "space_savings_pct": round(res["space_savings"] * 100, 2),
+        "lossless": bool(v["lossless"]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

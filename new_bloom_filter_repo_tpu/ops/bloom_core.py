@@ -118,6 +118,80 @@ def encode_core(bits, h1, h2, act, l, t_hi, t_lo, *, floor_k: int, l_pad: int):
     return bit_array, pass_mask, witness, witness_len
 
 
+# ---------------------------------------------------------------------------
+# Lane-masked variants: floor_k is a runtime value, lanes padded to a static
+# k_max.  These power batched and sharded execution, where per-frame density
+# (hence k) varies inside one compiled program.
+# ---------------------------------------------------------------------------
+
+MAX_LANES = 13  # k = log2(q*ln^2(2)/p) < 12.3 for p > 1e-4 -> floor_k <= 12
+
+
+def lane_positions_masked(a, b, l, k_max: int):
+    """k_max+1 double-hash lane positions (list of uint32[n])."""
+    positions = [a]
+    cur = a
+    for _ in range(k_max):
+        cur = u.u64_add_small_mod(cur, b, l)
+        positions.append(cur)
+    return positions
+
+
+def insert_partial_lanes(bits, h1, h2, act, l, t_hi, t_lo, floor_k,
+                         k_max: int, l_pad: int):
+    """Scatter-OR partial bit array with runtime floor_k (single frame).
+
+    Usable inside vmap/shard_map; returns uint8[l_pad].
+    """
+    bits = bits.astype(jnp.uint8)
+    a = u.u64_mod_u32(h1, l)
+    b = u.u64_mod_u32(h2, l)
+    activated = u.u64_lt(act, (t_hi, t_lo))
+    positions = lane_positions_masked(a, b, l, k_max)
+    bit_array = jnp.zeros((l_pad,), dtype=jnp.uint8)
+    for j, pos in enumerate(positions):
+        active = jnp.where(jnp.int32(j) < floor_k, True,
+                           (jnp.int32(j) == floor_k) & activated)
+        bit_array = bit_array.at[pos].max(bits * active.astype(jnp.uint8))
+    return bit_array
+
+
+def membership_lanes(bit_array, h1, h2, act, l, t_hi, t_lo, floor_k,
+                     k_max: int):
+    """Pass mask with runtime floor_k (single frame): bool[n]."""
+    n = h1[0].shape[0]
+    a = u.u64_mod_u32(h1, l)
+    b = u.u64_mod_u32(h2, l)
+    activated = u.u64_lt(act, (t_hi, t_lo))
+    positions = lane_positions_masked(a, b, l, k_max)
+    pass_mask = jnp.ones((n,), dtype=jnp.bool_)
+    for j, pos in enumerate(positions):
+        hit = bit_array[pos].astype(jnp.bool_)
+        active = jnp.where(jnp.int32(j) < floor_k, True,
+                           (jnp.int32(j) == floor_k) & activated)
+        pass_mask &= hit | ~active
+    return pass_mask
+
+
+def witness_compact(bits, pass_mask):
+    """(witness uint8[n] padded, count int32) in ascending index order."""
+    n = bits.shape[0]
+    pass_u32 = pass_mask.astype(jnp.uint32)
+    wpos = jnp.cumsum(pass_u32) - pass_u32
+    count = jnp.sum(pass_u32).astype(jnp.int32)
+    scatter_to = jnp.where(pass_mask, wpos, jnp.uint32(n))
+    witness = jnp.zeros((n + 1,), dtype=jnp.uint8).at[scatter_to].set(
+        bits.astype(jnp.uint8))[:n]
+    return witness, count
+
+
+def witness_expand(witness, pass_mask):
+    """Reconstructed bits uint8[n] from witness + pass mask."""
+    pass_u32 = pass_mask.astype(jnp.uint32)
+    widx = jnp.cumsum(pass_u32) - pass_u32
+    return jnp.where(pass_mask, witness[widx], jnp.uint8(0)).astype(jnp.uint8)
+
+
 @partial(jax.jit, static_argnames=("floor_k",))
 def decode_core(bit_array, witness, h1, h2, act, l, t_hi, t_lo, *, floor_k: int):
     """Inverse of :func:`encode_core`.

@@ -1,0 +1,114 @@
+"""Sharded-execution tests on a virtual 8-device CPU mesh.
+
+Determinism contract (SURVEY.md §5): the same input must produce an
+identical bitstream across shardings — the sharded batch encode must match
+the single-device core bit for bit, including witness order.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from new_bloom_filter_repo_tpu.models.binary_codec import (
+    BloomFilterCompressor,
+    _filter_scalars,
+)
+from new_bloom_filter_repo_tpu.models.bloom import optimal_compression_params
+from new_bloom_filter_repo_tpu.ops import bloom_core
+from new_bloom_filter_repo_tpu.ops.hashtables import get_hash_tables
+from new_bloom_filter_repo_tpu.parallel import batch as pbatch
+from new_bloom_filter_repo_tpu.parallel.mesh import make_mesh
+
+
+def cpu_mesh(dp, sp):
+    return make_mesh(dp, sp, devices=jax.devices("cpu"))
+
+
+def _make_batch(n=2048, densities=(0.05, 0.12, 0.2, 0.29,
+                                   0.01, 0.08, 0.16, 0.31)):
+    rng = np.random.default_rng(0)
+    bits = np.stack([(rng.random(n) < d).astype(np.uint8) for d in densities])
+    ls, this, tlos, fks = [], [], [], []
+    for row in bits:
+        p = row.sum() / n
+        k, l = optimal_compression_params(n, p)
+        k32, floor_k, (t_hi, t_lo) = _filter_scalars(k)
+        ls.append(l)
+        this.append(t_hi)
+        tlos.append(t_lo)
+        fks.append(floor_k)
+    return (bits,
+            np.asarray(ls, np.uint32), np.asarray(this, np.uint32),
+            np.asarray(tlos, np.uint32), np.asarray(fks, np.int32))
+
+
+def _tables_tuple(n):
+    t = get_hash_tables(n, "video")
+    return (t.h1[0], t.h1[1], t.h2[0], t.h2[1], t.act[0], t.act[1])
+
+
+@pytest.mark.parametrize("dp,sp", [(1, 8), (2, 4), (4, 2), (8, 1)])
+def test_sharded_encode_matches_single_device(dp, sp):
+    if len(jax.devices("cpu")) < dp * sp:
+        pytest.skip("not enough devices")
+    n = 2048
+    bits, l, t_hi, t_lo, fk = _make_batch(n)
+    l_pad = bloom_core.bitmap_pad(n)
+    mesh = cpu_mesh(dp, sp)
+    enc = pbatch.make_sharded_encode(mesh, n, l_pad)
+    tables = _tables_tuple(n)
+    bit_arrays, witness, counts = jax.block_until_ready(
+        enc(jnp.asarray(bits), tables, jnp.asarray(l),
+            jnp.asarray(t_hi), jnp.asarray(t_lo), jnp.asarray(fk)))
+
+    t = get_hash_tables(n, "video")
+    for i in range(bits.shape[0]):
+        ref_bits, ref_pass, ref_wit, ref_len = bloom_core.encode_core(
+            jnp.asarray(bits[i]), t.h1, t.h2, t.act,
+            jnp.uint32(l[i]), jnp.uint32(t_hi[i]), jnp.uint32(t_lo[i]),
+            floor_k=int(fk[i]), l_pad=l_pad)
+        np.testing.assert_array_equal(np.asarray(bit_arrays[i]),
+                                      np.asarray(ref_bits))
+        assert int(counts[i]) == int(ref_len)
+        np.testing.assert_array_equal(
+            np.asarray(witness[i])[: int(ref_len)],
+            np.asarray(ref_wit)[: int(ref_len)])
+
+
+def test_sharded_roundtrip():
+    n = 2048
+    bits, l, t_hi, t_lo, fk = _make_batch(n)
+    l_pad = bloom_core.bitmap_pad(n)
+    mesh = cpu_mesh(2, 4)
+    enc = pbatch.make_sharded_encode(mesh, n, l_pad)
+    dec = pbatch.make_sharded_decode(mesh, n, l_pad)
+    tables = _tables_tuple(n)
+    args = (jnp.asarray(l), jnp.asarray(t_hi), jnp.asarray(t_lo),
+            jnp.asarray(fk))
+    bit_arrays, witness, counts = enc(jnp.asarray(bits), tables, *args)
+    out = dec(bit_arrays, witness, tables, *args)
+    np.testing.assert_array_equal(np.asarray(out), bits)
+
+
+def test_sharded_matches_host_codec_bitstream():
+    """Sharded output equals the host BloomFilterCompressor's bitstream."""
+    n = 2048
+    bits, l, t_hi, t_lo, fk = _make_batch(n)
+    mesh = cpu_mesh(1, 8)
+    l_pad = bloom_core.bitmap_pad(n)
+    enc = pbatch.make_sharded_encode(mesh, n, l_pad)
+    tables = _tables_tuple(n)
+    bit_arrays, witness, counts = enc(
+        jnp.asarray(bits), tables, jnp.asarray(l),
+        jnp.asarray(t_hi), jnp.asarray(t_lo), jnp.asarray(fk))
+    c = BloomFilterCompressor()
+    for i in range(bits.shape[0]):
+        bitmap, wit, p, _, _ = c.compress(bits[i])
+        np.testing.assert_array_equal(
+            np.asarray(bit_arrays[i])[: int(l[i])], bitmap)
+        np.testing.assert_array_equal(
+            np.asarray(witness[i])[: int(counts[i])], wit)
