@@ -33,6 +33,10 @@ from new_bloom_filter_repo_tpu.models.binary_codec import BloomFilterCompressor
 
 KEYFRAME = 1
 INTERFRAME = 0
+# BFV2 extension: a frame identical to its predecessor costs 1 byte
+# instead of a packbits(zeros(n)) pass-through record.  (The reference
+# format has no such record; type byte 2 is unused there.)
+EMPTY = 2
 
 _HDR_III = struct.Struct("<III")
 _U32 = struct.Struct("<I")
@@ -115,6 +119,38 @@ def decode_keyframe(data: bytes, offset: int = 0):
 # Inter-frame records (the working wiring of the reference's diff payload)
 # ---------------------------------------------------------------------------
 
+def build_interframe_record(p: float, n: int, k: float,
+                            bitmap_bytes: bytes, bitmap_bits: int,
+                            witness_bytes: bytes, witness_bits: int,
+                            values: np.ndarray, typed: bool = True,
+                            zlib_level: int = 9) -> bytes:
+    """Assemble the inter-frame diff payload from already-computed parts
+    (byte layout: improved_video_compressor.py:930-959)."""
+    buf = io.BytesIO()
+    if typed:
+        buf.write(_U8.pack(INTERFRAME))
+    buf.write(_F32.pack(p))
+    buf.write(_U32.pack(n))
+    buf.write(_F32.pack(k))
+    buf.write(_U32.pack(bitmap_bits))
+    buf.write(_U32.pack(witness_bits))
+    buf.write(_U32.pack(len(bitmap_bytes)))
+    buf.write(bitmap_bytes)
+    buf.write(_U32.pack(len(witness_bytes)))
+    buf.write(witness_bytes)
+    values = np.asarray(values, dtype=np.uint8).ravel()
+    vz = zlib.compress(values.tobytes(), level=zlib_level)
+    buf.write(_U32.pack(len(vz)))
+    buf.write(_U32.pack(len(values)))
+    buf.write(vz)
+    return buf.getvalue()
+
+
+def encode_empty_frame() -> bytes:
+    """BFV2 extension: no-change frame record (1 byte)."""
+    return _U8.pack(EMPTY)
+
+
 def encode_interframe(mask: np.ndarray, values: np.ndarray,
                       codec: BloomFilterCompressor,
                       typed: bool = True, zlib_level: int = 9) -> bytes:
@@ -126,27 +162,33 @@ def encode_interframe(mask: np.ndarray, values: np.ndarray,
     flat = np.asarray(mask, dtype=np.uint8).ravel()
     bitmap, witness, p, n, _ = codec.compress(flat)
     k, _l = codec._calculate_optimal_params(n, p)
-
-    buf = io.BytesIO()
-    if typed:
-        buf.write(_U8.pack(INTERFRAME))
-    buf.write(_F32.pack(p))
-    buf.write(_U32.pack(n))
-    buf.write(_F32.pack(k))
-    buf.write(_U32.pack(len(bitmap)))
-    buf.write(_U32.pack(len(witness)))
     bitmap_bytes = np.packbits(np.asarray(bitmap, dtype=np.uint8)).tobytes()
-    buf.write(_U32.pack(len(bitmap_bytes)))
-    buf.write(bitmap_bytes)
     witness_bytes = np.packbits(np.asarray(witness, dtype=np.uint8)).tobytes()
-    buf.write(_U32.pack(len(witness_bytes)))
-    buf.write(witness_bytes)
-    values = np.asarray(values, dtype=np.uint8).ravel()
-    vz = zlib.compress(values.tobytes(), level=zlib_level)
-    buf.write(_U32.pack(len(vz)))
-    buf.write(_U32.pack(len(values)))
-    buf.write(vz)
-    return buf.getvalue()
+    return build_interframe_record(
+        p, n, k, bitmap_bytes, len(bitmap), witness_bytes, len(witness),
+        values, typed=typed, zlib_level=zlib_level)
+
+
+def parse_interframe(data: bytes, offset: int = 0) -> dict:
+    """Parse an inter-frame payload into its raw parts without running the
+    Bloom decode (for batched device decoding)."""
+    buf = io.BytesIO(data)
+    buf.seek(offset)
+    out = {}
+    out["p"] = _F32.unpack(buf.read(4))[0]
+    out["n"] = _U32.unpack(buf.read(4))[0]
+    out["k"] = _F32.unpack(buf.read(4))[0]
+    out["bitmap_bits"] = _U32.unpack(buf.read(4))[0]
+    out["witness_bits"] = _U32.unpack(buf.read(4))[0]
+    bsize = _U32.unpack(buf.read(4))[0]
+    out["bitmap_bytes"] = np.frombuffer(buf.read(bsize), dtype=np.uint8)
+    wsize = _U32.unpack(buf.read(4))[0]
+    out["witness_bytes"] = np.frombuffer(buf.read(wsize), dtype=np.uint8)
+    vz_len = _U32.unpack(buf.read(4))[0]
+    out["values_count"] = _U32.unpack(buf.read(4))[0]
+    out["values"] = np.frombuffer(
+        zlib.decompress(buf.read(vz_len)), dtype=np.uint8)[: out["values_count"]]
+    return out
 
 
 def decode_interframe(data: bytes, codec: BloomFilterCompressor,
@@ -156,28 +198,14 @@ def decode_interframe(data: bytes, codec: BloomFilterCompressor,
     Returns (flat mask uint8[n], values uint8[count]).
     (reference: improved_video_compressor.py:969-1015)
     """
-    buf = io.BytesIO(data)
-    buf.seek(offset)
-    _p = _F32.unpack(buf.read(4))[0]
-    n = _U32.unpack(buf.read(4))[0]
-    k = _F32.unpack(buf.read(4))[0]
-    bitmap_len = _U32.unpack(buf.read(4))[0]
-    witness_len = _U32.unpack(buf.read(4))[0]
-    bsize = _U32.unpack(buf.read(4))[0]
-    bitmap = np.unpackbits(
-        np.frombuffer(buf.read(bsize), dtype=np.uint8))[:bitmap_len]
-    wsize = _U32.unpack(buf.read(4))[0]
-    witness = np.unpackbits(
-        np.frombuffer(buf.read(wsize), dtype=np.uint8))[:witness_len]
-    vz_len = _U32.unpack(buf.read(4))[0]
-    v_count = _U32.unpack(buf.read(4))[0]
-    values = np.frombuffer(
-        zlib.decompress(buf.read(vz_len)), dtype=np.uint8)[:v_count]
-    if witness_len > 0:
-        flat = codec.decompress(bitmap, witness, n, k)
+    rec = parse_interframe(data, offset)
+    bitmap = np.unpackbits(rec["bitmap_bytes"])[: rec["bitmap_bits"]]
+    witness = np.unpackbits(rec["witness_bytes"])[: rec["witness_bits"]]
+    if rec["witness_bits"] > 0:
+        flat = codec.decompress(bitmap, witness, rec["n"], rec["k"])
     else:
         flat = bitmap
-    return flat, values
+    return flat, rec["values"]
 
 
 def record_type(data: bytes) -> int:

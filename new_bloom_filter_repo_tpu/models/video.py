@@ -29,20 +29,42 @@ Fixes over the reference (documented deviations):
 
 from __future__ import annotations
 
+import math
 import os
 import time
 from typing import Dict, List, Optional
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from new_bloom_filter_repo_tpu.models import frame_codec as fc
-from new_bloom_filter_repo_tpu.models.binary_codec import BloomFilterCompressor
+from new_bloom_filter_repo_tpu.models import gop as gop_mod
+from new_bloom_filter_repo_tpu.models.binary_codec import (
+    BloomFilterCompressor,
+    _filter_scalars,
+)
+from new_bloom_filter_repo_tpu.models.bloom import (
+    P_STAR,
+    optimal_compression_params,
+)
+from new_bloom_filter_repo_tpu.ops import bitpack
 from new_bloom_filter_repo_tpu.ops import diff as diff_ops
 from new_bloom_filter_repo_tpu.ops import median as median_ops
+from new_bloom_filter_repo_tpu.ops.bloom_core import bitmap_pad
+from new_bloom_filter_repo_tpu.ops.hashtables import get_hash_tables
 from new_bloom_filter_repo_tpu.utils import container, videoio
 from new_bloom_filter_repo_tpu.utils.yuvframe import YUVFrame, unwrap, yuv_info_of
+
+# Scene-cut heuristic: above this change density a keyframe record is
+# cheaper and more robust than a diff record.
+_KEYFRAME_DENSITY = 0.45
+
+# Fixed device batch: inter frames are processed in padded chunks of this
+# many so every GOP reuses one compiled program per geometry (variable
+# batch shapes would trigger a fresh XLA compile per GOP length).
+_CHUNK = 15
 
 
 def add_yuv_info_to_frame(frame) -> YUVFrame:
@@ -188,7 +210,120 @@ class ImprovedVideoCompressor:
         return thr * self.bloom_threshold_modifier
 
     def _encode_frames(self, frames) -> tuple[List[bytes], int]:
-        """Encode frames into typed records; returns (payloads, keyframes)."""
+        """Encode frames into typed records; returns (payloads, keyframes).
+
+        Uniform uint8 clips in exact mode go through the batched GOP
+        device pipeline (two device calls per GOP); everything else
+        (mixed dtypes/shapes, near-lossless mode) uses the per-frame
+        loop."""
+        arrs = [np.asarray(unwrap(f)) for f in frames]
+        uniform = all(
+            a.dtype == np.uint8 and a.shape == arrs[0].shape for a in arrs)
+        if self.exact and uniform and len(frames) > 1:
+            infos = [yuv_info_of(f) for f in frames]
+            return self._encode_frames_batched(arrs, infos)
+        return self._encode_frames_loop(frames)
+
+    def _encode_frames_batched(self, arrs, infos) -> tuple[List[bytes], int]:
+        """Two device calls per chunk: masks+counts, then Bloom encode with
+        packed outputs and value compaction (models/gop.py).  Chunks are
+        padded to a fixed batch of _CHUNK inter frames so a single
+        compiled program per geometry serves the whole video."""
+        shape = arrs[0].shape
+        n = shape[0] * shape[1]
+        n8 = bitpack.padded_length(n)
+        tables = get_hash_tables(n, "video")
+        l_pad = bitmap_pad(n)
+        payloads: List[bytes] = []
+        keyframes = 0
+        total = len(arrs)
+        pos = 0
+        while pos < total:
+            if pos % self.keyframe_interval == 0:
+                payloads.append(fc.encode_keyframe(arrs[pos], infos[pos],
+                                                   typed=True))
+                keyframes += 1
+                pos += 1
+                continue
+            # Inter run: frames [pos, run_end), base = arrs[pos-1].
+            next_key = ((pos // self.keyframe_interval) + 1
+                        ) * self.keyframe_interval
+            run_end = min(total, next_key, pos + _CHUNK)
+            b = run_end - pos
+            chunk = [arrs[pos - 1]] + arrs[pos:run_end]
+            # Pad to the fixed batch (repeat last frame -> zero masks).
+            stacked = np.stack(chunk + [chunk[-1]] * (_CHUNK + 1 - len(chunk)))
+            masks_d, packed_d, counts_d = gop_mod.gop_masks(
+                jnp.asarray(stacked))
+            packed, counts = jax.device_get((packed_d, counts_d))
+
+            kinds = ["empty"] * _CHUNK
+            ks = np.zeros(_CHUNK, np.float64)
+            l_arr = np.ones(_CHUNK, np.uint32)
+            thi = np.zeros(_CHUNK, np.uint32)
+            tlo = np.zeros(_CHUNK, np.uint32)
+            fk = np.zeros(_CHUNK, np.int32)
+            vneed = 1
+            for j in range(b):
+                cnt = int(counts[j])
+                p = cnt / n
+                if cnt == 0:
+                    continue
+                if p > _KEYFRAME_DENSITY:
+                    kinds[j] = "key"
+                    continue
+                vneed = max(vneed, cnt)
+                k, l = optimal_compression_params(n, p)
+                ks[j] = k
+                if p >= P_STAR or l == 0 or l >= n:
+                    kinds[j] = "pass"
+                    continue
+                kinds[j] = "bloom"
+                _, floor_k, (t_hi, t_lo) = _filter_scalars(k)
+                l_arr[j] = l
+                thi[j] = t_hi
+                tlo[j] = t_lo
+                fk[j] = floor_k
+
+            vmax = min(gop_mod.next_bucket(vneed), n8)
+            pbm, pwit, wcnt, vals = jax.device_get(gop_mod.gop_encode(
+                masks_d, jnp.asarray(stacked[1:]),
+                tables.h1, tables.h2, tables.act,
+                jnp.asarray(l_arr), jnp.asarray(thi), jnp.asarray(tlo),
+                jnp.asarray(fk), l_pad=l_pad, vmax=vmax))
+
+            for j in range(b):
+                kind = kinds[j]
+                idx = pos + j
+                if kind == "empty":
+                    payloads.append(fc.encode_empty_frame())
+                    continue
+                if kind == "key":
+                    payloads.append(fc.encode_keyframe(
+                        arrs[idx], infos[idx], typed=True))
+                    keyframes += 1
+                    continue
+                cnt = int(counts[j])
+                p = cnt / n
+                values = vals[j, :cnt].reshape(-1)
+                if kind == "pass":
+                    rec = fc.build_interframe_record(
+                        p, n, ks[j],
+                        packed[j][: (n + 7) // 8].tobytes(), n,
+                        b"", 0, values)
+                else:
+                    l = int(l_arr[j])
+                    wbits = int(wcnt[j])
+                    rec = fc.build_interframe_record(
+                        p, n, ks[j],
+                        pbm[j][: (l + 7) // 8].tobytes(), l,
+                        pwit[j][: (wbits + 7) // 8].tobytes(), wbits,
+                        values)
+                payloads.append(rec)
+            pos = run_end
+        return payloads, keyframes
+
+    def _encode_frames_loop(self, frames) -> tuple[List[bytes], int]:
         payloads: List[bytes] = []
         keyframes = 0
         recon_prev = None  # encoder-side reconstruction state
@@ -308,32 +443,115 @@ class ImprovedVideoCompressor:
     # -- decoding ----------------------------------------------------------
 
     def _decode_payloads(self, payloads: List[bytes], typed: bool):
+        if not typed:
+            out = []
+            for payload in payloads:
+                frame, info = fc.decode_keyframe(payload)
+                out.append(YUVFrame(frame, info) if info is not None
+                           else frame)
+            return out
+
         frames = []
         prev: Optional[np.ndarray] = None
         prev_info: Optional[dict] = None
-        for payload in payloads:
-            if not typed:
-                frame, info = fc.decode_keyframe(payload)
-                frames.append(YUVFrame(frame, info) if info is not None
-                              else frame)
-                continue
-            rtype = fc.record_type(payload)
+        i = 0
+        while i < len(payloads):
+            rtype = fc.record_type(payloads[i])
             if rtype == fc.KEYFRAME:
-                frame, info = fc.decode_keyframe(payload, offset=1)
-                prev, prev_info = frame, _copy_info(info)
-            elif rtype == fc.INTERFRAME:
-                if prev is None:
-                    raise ValueError("inter-frame record before any keyframe")
-                flat, values = fc.decode_interframe(
-                    payload, self.bloom_compressor, offset=1)
-                mask = flat.reshape(prev.shape[:2])
-                prev_info = _copy_info(prev_info)
-                prev = diff_ops.apply_diff(prev, mask, values, prev_info)
-            else:
+                frame, info = fc.decode_keyframe(payloads[i], offset=1)
+                prev, prev_info = np.asarray(frame), _copy_info(info)
+                frames.append(YUVFrame(prev, _copy_info(prev_info))
+                              if prev_info is not None else prev)
+                i += 1
+                continue
+            if rtype not in (fc.INTERFRAME, fc.EMPTY):
                 raise ValueError(f"Unknown frame type: {rtype}")
-            frames.append(YUVFrame(prev, _copy_info(prev_info))
-                          if prev_info is not None else prev)
+            if prev is None:
+                raise ValueError("inter-frame record before any keyframe")
+            j = i
+            while (j < len(payloads)
+                   and j - i < _CHUNK
+                   and fc.record_type(payloads[j]) in (fc.INTERFRAME,
+                                                       fc.EMPTY)):
+                j += 1
+            decoded = self._decode_inter_run(prev, payloads[i:j])
+            for frame in decoded:
+                prev = frame
+                if prev_info is not None:
+                    # YUV444 planes mirror the channels exactly
+                    prev_info = {
+                        "format": prev_info.get("format", "YUV444"),
+                        "y_plane": frame[:, :, 0].copy(),
+                        "u_plane": frame[:, :, 1].copy(),
+                        "v_plane": frame[:, :, 2].copy(),
+                    }
+                    frames.append(YUVFrame(prev, _copy_info(prev_info)))
+                else:
+                    frames.append(prev)
+            i = j
         return frames
+
+    def _decode_inter_run(self, base: np.ndarray, run: List[bytes]):
+        """Batched device decode of a run of inter/empty records
+        following ``base`` (one lax.scan call, one pull).  The run is
+        padded to the fixed _CHUNK batch so one compiled program per
+        geometry serves every run."""
+        b = len(run)
+        bp = _CHUNK  # padded batch; extra rows are no-op empty frames
+        h, w = base.shape[:2]
+        n = h * w
+        n8 = bitpack.padded_length(n)
+        nbytes = n8 // 8
+        c = 1 if base.ndim == 2 else base.shape[2]
+        tables = get_hash_tables(n, "video")
+
+        pbm = np.zeros((bp, nbytes), np.uint8)
+        pwit = np.zeros((bp, nbytes), np.uint8)
+        flags = np.zeros(bp, np.int32)
+        flags[b:] = 1
+        l_arr = np.ones(bp, np.uint32)
+        thi = np.zeros(bp, np.uint32)
+        tlo = np.zeros(bp, np.uint32)
+        fk = np.zeros(bp, np.int32)
+        values_list = [None] * b
+        vneed = 1
+        for j, payload in enumerate(run):
+            if fc.record_type(payload) == fc.EMPTY:
+                flags[j] = 1
+                continue
+            rec = fc.parse_interframe(payload, offset=1)
+            if rec["n"] != n:
+                raise ValueError("inter-frame length mismatch with geometry")
+            values_list[j] = rec["values"]
+            vneed = max(vneed, rec["values_count"] // max(1, c))
+            bb = rec["bitmap_bytes"]
+            pbm[j, : bb.shape[0]] = bb
+            if rec["witness_bits"] == 0:
+                flags[j] = 1
+                l_arr[j] = max(1, rec["bitmap_bits"])
+            else:
+                wb = rec["witness_bytes"]
+                pwit[j, : wb.shape[0]] = wb
+                l_arr[j] = rec["bitmap_bits"]
+                _, floor_k, (t_hi, t_lo) = _filter_scalars(float(rec["k"]))
+                fk[j] = floor_k
+                thi[j] = t_hi
+                tlo[j] = t_lo
+
+        vmax = min(gop_mod.next_bucket(vneed), n8)
+        vals = np.zeros((bp, vmax, c), np.uint8)
+        for j, v in enumerate(values_list):
+            if v is not None and v.size:
+                vals[j, : v.size // c] = v.reshape(-1, c)
+
+        frames_d = gop_mod.gop_decode(
+            jnp.asarray(base), jnp.asarray(pbm), jnp.asarray(pwit),
+            jnp.asarray(vals), jnp.asarray(flags),
+            tables.h1, tables.h2, tables.act,
+            jnp.asarray(l_arr), jnp.asarray(thi), jnp.asarray(tlo),
+            jnp.asarray(fk), n=n, vmax=vmax)
+        out = np.asarray(jax.device_get(frames_d))
+        return [out[j] for j in range(b)]
 
     def decompress_video(self, input_path: str = None,
                          output_path: Optional[str] = None,
