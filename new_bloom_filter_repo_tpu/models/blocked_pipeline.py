@@ -1,0 +1,407 @@
+"""BFV3 host orchestration: chunked video encode/decode over the blocked
+rational-Bloom Pallas kernels.
+
+Per chunk of up to _CHUNK inter frames: one XLA phase computes exact diff
+masks, per-block change counts and 24-bit packed pixels; the host runs
+the reference float64 parameter math (p, k, l —
+improved_video_compressor.py:161-196 — then m = round(l / num_blocks));
+one Pallas call Bloom-encodes everything (ops/pallas/blocked.py); the
+host assembles records.  Decode mirrors it: parse, membership kernel,
+host witness/value slicing (per-block byte-aligned segments), expansion
+kernel, one elementwise chain scan, single pull of the frames.
+
+Record selection per frame:
+  count == 0                  -> EMPTY (type 2)
+  density > 0.45              -> keyframe fallback (scene cut)
+  m would be < MIN_M          -> SPARSE (type 4: indices + values)
+  p >= P* or l degenerate     -> pass-through (type 0, witness empty)
+  otherwise                   -> BLOCKED (type 3)
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache, partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from new_bloom_filter_repo_tpu.models import frame_codec as fc
+from new_bloom_filter_repo_tpu.models.binary_codec import _filter_scalars
+from new_bloom_filter_repo_tpu.models.bloom import (
+    P_STAR,
+    optimal_compression_params,
+)
+from new_bloom_filter_repo_tpu.ops.hashtables import get_hash_tables
+from new_bloom_filter_repo_tpu.ops.pallas import blocked as bk
+
+MIN_M = 16            # below this sub-filter width a sparse record wins
+KEY_DENSITY = 0.45    # scene-cut fallback
+SUPER = bk.IPB * bk.BG  # geometry padding granularity
+
+
+def npad_of(n: int) -> int:
+    return ((n + SUPER - 1) // SUPER) * SUPER
+
+
+@lru_cache(maxsize=8)
+def blocked_tables(n: int):
+    """Per-geometry device tables for the blocked codec: low-24-bit h1/h2
+    slices reshaped (NB, IPB) plus the u64 activation hashes."""
+    npad = npad_of(n)
+    nb = npad // bk.IPB
+    t = get_hash_tables(npad, "video")
+    mask24 = jnp.uint32(0xFFFFFF)
+
+    @jax.jit
+    def prep(h1lo, h2lo, acthi, actlo):
+        h1 = (h1lo & mask24).astype(jnp.int32).reshape(nb, bk.IPB)
+        h2 = (h2lo & mask24).astype(jnp.int32).reshape(nb, bk.IPB)
+        return h1, h2, acthi.reshape(nb, bk.IPB), actlo.reshape(nb, bk.IPB)
+
+    h1, h2, ahi, alo = jax.block_until_ready(
+        prep(t.h1[1], t.h2[1], t.act[0], t.act[1]))
+    return {"nb": nb, "npad": npad, "h1": h1, "h2": h2,
+            "act_hi": ahi, "act_lo": alo}
+
+
+def _pack_pixels(frames_flat):
+    """(F, n, C) uint8 -> (F, n) int32 24-bit packed (C <= 3)."""
+    c = frames_flat.shape[-1]
+    v = frames_flat[..., 0].astype(jnp.int32)
+    if c > 1:
+        v = v | (frames_flat[..., 1].astype(jnp.int32) << 8)
+    if c > 2:
+        v = v | (frames_flat[..., 2].astype(jnp.int32) << 16)
+    return v
+
+
+@partial(jax.jit, static_argnames=("npad", "nb"))
+def _phase_a(stacked, *, npad: int, nb: int):
+    """Masks + per-block counts + packed pixels for a chunk.
+
+    stacked: (F+1, h, w[, c]) uint8.  Returns (masks (F,NB,IPB) u8,
+    packed_mask (F, npad//8) u8, counts (F, NB) i32, vals (F,NB,IPB) i32).
+    """
+    neq = stacked[1:] != stacked[:-1]
+    if neq.ndim == 4:
+        neq = jnp.any(neq, axis=-1)
+    f = neq.shape[0]
+    n = neq.shape[1] * neq.shape[2]
+    flat = neq.reshape(f, n)
+    pad = npad - n
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, pad)))
+    masks = flat.astype(jnp.uint8).reshape(f, nb, bk.IPB)
+    counts = jnp.sum(masks.astype(jnp.int32), axis=2)
+    byts = flat.reshape(f, npad // 8, 8).astype(jnp.uint8)
+    packed = ((byts[..., 0] << 7) | (byts[..., 1] << 6) | (byts[..., 2] << 5)
+              | (byts[..., 3] << 4) | (byts[..., 4] << 3) | (byts[..., 5] << 2)
+              | (byts[..., 6] << 1) | byts[..., 7])
+    curr = stacked[1:]
+    if curr.ndim == 3:
+        curr = curr[..., None]
+    vals = _pack_pixels(curr.reshape(f, n, curr.shape[-1]))
+    if pad:
+        vals = jnp.pad(vals, ((0, 0), (0, pad)))
+    return masks, packed, counts, vals.reshape(f, nb, bk.IPB)
+
+
+@partial(jax.jit, static_argnames=())
+def _frame_mod_tables(h1, h2, act_hi, act_lo, m_arr, t_hi, t_lo):
+    """Per-frame position tables and activation bits.
+
+    h1/h2: (NB, IPB) i32 24-bit hashes; m_arr/t_hi/t_lo: (F,).
+    Returns a, b (F,NB,IPB) i32 and act (F,NB,IPB) u8."""
+    m = m_arr[:, None, None]
+    a = h1[None, :, :] % m
+    b = h2[None, :, :] % m
+    hi = act_hi[None, :, :]
+    lo = act_lo[None, :, :]
+    thi = t_hi[:, None, None]
+    tlo = t_lo[:, None, None]
+    act = (hi < thi) | ((hi == thi) & (lo < tlo))
+    return a, b, act.astype(jnp.uint8)
+
+
+def _vh_bucket(max_count: int) -> int:
+    """Value rows (vh*32 slots) covering max per-block change count."""
+    need = max(1, (max_count + 31) // 32)
+    vh = 1
+    while vh < need:
+        vh *= 2
+    return min(vh, 32)
+
+
+def _strip_rows(arr2d: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Concatenate arr2d[i, :lengths[i]] without a Python loop."""
+    cols = np.arange(arr2d.shape[1])
+    return arr2d[cols[None, :] < lengths[:, None]]
+
+
+def _values_to_bytes(vseg_row: np.ndarray, vcnt_row: np.ndarray,
+                     channels: int) -> np.ndarray:
+    """Per-block packed-24-bit value slots -> pixel-major byte stream."""
+    flat = _strip_rows(vseg_row, vcnt_row)  # (total,) i32 packed
+    out = np.empty((flat.size, channels), np.uint8)
+    out[:, 0] = flat & 0xFF
+    if channels > 1:
+        out[:, 1] = (flat >> 8) & 0xFF
+    if channels > 2:
+        out[:, 2] = (flat >> 16) & 0xFF
+    return out.reshape(-1)
+
+
+def _bytes_to_packed(values: np.ndarray, channels: int) -> np.ndarray:
+    """Pixel-major byte stream -> packed 24-bit ints."""
+    v = values.reshape(-1, channels).astype(np.int32)
+    out = v[:, 0]
+    if channels > 1:
+        out = out | (v[:, 1] << 8)
+    if channels > 2:
+        out = out | (v[:, 2] << 16)
+    return out
+
+
+class BlockedEncoder:
+    """Encodes chunks of frames into typed records via the Pallas path."""
+
+    def __init__(self, zlib_level: int = 6):
+        self.zlib_level = zlib_level
+
+    def encode_chunk(self, base: np.ndarray, frames: List[np.ndarray],
+                     payload_sink: List[bytes], keyframe_fn=None) -> int:
+        """Encode ``frames`` (diffed against base, then chained); append
+        one record per frame to payload_sink.  ``keyframe_fn(j) -> bytes``
+        supplies a keyframe record for scene-cut fallbacks.  Returns the
+        number of keyframes emitted."""
+        f = len(frames)
+        shape = base.shape
+        h, w = shape[:2]
+        channels = 1 if base.ndim == 2 else shape[2]
+        n = h * w
+        tab = blocked_tables(n)
+        nb, npad = tab["nb"], tab["npad"]
+
+        stacked = jnp.asarray(np.stack([base] + frames))
+        masks, packed_d, counts_d, vals = _phase_a(stacked, npad=npad, nb=nb)
+        packed, counts = jax.device_get((packed_d, counts_d))
+
+        frame_counts = counts.sum(axis=1)
+        kinds: List[str] = []
+        ks = np.zeros(f, np.float64)
+        m_arr = np.ones(f, np.int32)
+        fk_arr = np.zeros(f, np.int32)
+        thi = np.zeros(f, np.uint32)
+        tlo = np.zeros(f, np.uint32)
+        max_block = 1
+        for j in range(f):
+            cnt = int(frame_counts[j])
+            p = cnt / n
+            if cnt == 0:
+                kinds.append("empty")
+                continue
+            if p > KEY_DENSITY:
+                kinds.append("key")
+                continue
+            max_block = max(max_block, int(counts[j].max()))
+            k, l = optimal_compression_params(n, p)
+            ks[j] = k
+            m = int(round(l / nb)) if l else 0
+            if p >= P_STAR or l == 0 or l >= n:
+                kinds.append("pass")
+                continue
+            if m < MIN_M:
+                kinds.append("sparse")
+                continue
+            kinds.append("blocked")
+            m_arr[j] = min(m, bk.MMAX)
+            _, floor_k, (a_hi, a_lo) = _filter_scalars(k)
+            fk_arr[j] = floor_k
+            thi[j] = a_hi
+            tlo[j] = a_lo
+
+        vh = _vh_bucket(max_block)
+        k_lanes = int(fk_arr.max())
+        a, b, act = _frame_mod_tables(
+            tab["h1"], tab["h2"], tab["act_hi"], tab["act_lo"],
+            jnp.asarray(m_arr), jnp.asarray(thi), jnp.asarray(tlo))
+        words_d, wit_d, wcnt_d, vseg_d, vcnt_d = bk.blocked_encode(
+            masks, a, b, act, vals, jnp.asarray(m_arr),
+            jnp.asarray(fk_arr), k_lanes=k_lanes, vh=vh)
+        words, wit, wcnt, vseg, vcnt = jax.device_get(
+            (words_d, wit_d, wcnt_d, vseg_d, vcnt_d))
+
+        keyframes = 0
+        zl = self.zlib_level
+        for j in range(f):
+            kind = kinds[j]
+            if kind == "empty":
+                payload_sink.append(fc.encode_empty_frame())
+                continue
+            if kind == "key":
+                payload_sink.append(keyframe_fn(j))
+                keyframes += 1
+                continue
+            cnt = int(frame_counts[j])
+            p = cnt / n
+            values = _values_to_bytes(vseg[j], vcnt[j], channels)
+            if kind == "sparse":
+                mask_bits = np.unpackbits(packed[j])[:n]
+                indices = np.flatnonzero(mask_bits)
+                payload_sink.append(fc.encode_sparse_frame(
+                    n, indices, values, zlib_level=zl))
+                continue
+            if kind == "pass":
+                payload_sink.append(fc.build_interframe_record(
+                    p, n, ks[j], packed[j][: (n + 7) // 8].tobytes(), n,
+                    b"", 0, values, zlib_level=zl))
+                continue
+            # blocked record
+            m = int(m_arr[j])
+            sub = words[j][:, :m]                       # (NB, m) bits
+            bitmap_bytes = np.packbits(sub.reshape(-1)).tobytes()
+            seg_lens = (wcnt[j] + 7) // 8
+            wit_stream = _strip_rows(wit[j], seg_lens).tobytes()
+            payload_sink.append(fc.build_interframe_record(
+                p, n, ks[j], bitmap_bytes, m * nb,
+                wit_stream, int(wcnt[j].sum()), values,
+                zlib_level=zl, rtype=fc.BLOCKED))
+        return keyframes
+
+
+@partial(jax.jit, static_argnames=("shape",))
+def _chain_apply(base, masks, vals, *, shape):
+    """Apply decoded per-frame (mask, packed-value) deltas as a chain."""
+    h, w = shape[:2]
+    c = 1 if len(shape) == 2 else shape[2]
+    n = h * w
+    f = masks.shape[0]
+    m2 = masks.reshape(f, -1)[:, :n]
+    v2 = vals.reshape(f, -1)[:, :n]
+    base_flat = base.reshape(-1, c) if len(shape) == 3 else base.reshape(-1, 1)
+
+    def unpack(v):
+        outs = [v & 0xFF]
+        if c > 1:
+            outs.append((v >> 8) & 0xFF)
+        if c > 2:
+            outs.append((v >> 16) & 0xFF)
+        return jnp.stack(outs, axis=-1).astype(jnp.uint8)
+
+    def step(prev, x):
+        mask, val = x
+        pix = unpack(val)
+        frame = jnp.where(mask[:, None] > 0, pix, prev)
+        return frame, frame
+
+    _, frames = jax.lax.scan(step, base_flat, (m2, v2))
+    return frames.reshape((f,) + shape)
+
+
+class BlockedDecoder:
+    """Decodes runs of typed records (types 0-pass/2/3/4) via the Pallas
+    path; returns reconstructed frames."""
+
+    def decode_run(self, base: np.ndarray, payloads: List[bytes]
+                   ) -> List[np.ndarray]:
+        f = len(payloads)
+        shape = base.shape
+        h, w = shape[:2]
+        channels = 1 if base.ndim == 2 else shape[2]
+        n = h * w
+        tab = blocked_tables(n)
+        nb, npad = tab["nb"], tab["npad"]
+
+        words = np.zeros((f, nb, bk.MMAX), np.uint8)
+        flags = np.zeros(f, np.int32)
+        m_arr = np.ones(f, np.int32)
+        fk_arr = np.zeros(f, np.int32)
+        thi = np.zeros(f, np.uint32)
+        tlo = np.zeros(f, np.uint32)
+        raw_mask = np.zeros((f, nb, bk.IPB), np.uint8)
+        wit_streams: List[Optional[bytes]] = [None] * f
+        value_streams: List[Optional[np.ndarray]] = [None] * f
+
+        for j, payload in enumerate(payloads):
+            rtype = fc.record_type(payload)
+            if rtype == fc.EMPTY:
+                flags[j] = 1
+                continue
+            if rtype == fc.SPARSE:
+                rec_n, indices, values = fc.parse_sparse_frame(payload, 1)
+                flags[j] = 1
+                mb = np.zeros(npad, np.uint8)
+                mb[indices] = 1
+                raw_mask[j] = mb.reshape(nb, bk.IPB)
+                value_streams[j] = values
+                continue
+            rec = fc.parse_interframe(payload, 1)
+            if rec["n"] != n:
+                raise ValueError("record length mismatch with geometry")
+            value_streams[j] = rec["values"]
+            if rec["witness_bits"] == 0:          # pass-through
+                flags[j] = 1
+                bits = np.unpackbits(rec["bitmap_bytes"])[:n]
+                mb = np.zeros(npad, np.uint8)
+                mb[:n] = bits
+                raw_mask[j] = mb.reshape(nb, bk.IPB)
+                continue
+            if rtype != fc.BLOCKED:
+                raise ValueError("BFV2 bloom record routed to blocked decoder")
+            m = rec["bitmap_bits"] // nb
+            m_arr[j] = m
+            bits = np.unpackbits(rec["bitmap_bytes"])[: rec["bitmap_bits"]]
+            words[j, :, :m] = bits.reshape(nb, m)
+            _, floor_k, (a_hi, a_lo) = _filter_scalars(float(rec["k"]))
+            fk_arr[j] = floor_k
+            thi[j] = a_hi
+            tlo[j] = a_lo
+            wit_streams[j] = rec["witness_bytes"].tobytes()
+
+        k_lanes = int(fk_arr.max())
+        a, b, act = _frame_mod_tables(
+            tab["h1"], tab["h2"], tab["act_hi"], tab["act_lo"],
+            jnp.asarray(m_arr), jnp.asarray(thi), jnp.asarray(tlo))
+        passes_d, wcnt_d = bk.blocked_membership(
+            jnp.asarray(words), a, b, act, jnp.asarray(m_arr),
+            jnp.asarray(fk_arr), jnp.asarray(flags), k_lanes=k_lanes)
+        wcnt = jax.device_get(wcnt_d)
+
+        # Host: slice witness streams into per-block padded segments and
+        # derive per-block change counts (popcount of witness bits).
+        wit = np.zeros((f, nb, bk.WIT_BYTES), np.uint8)
+        block_counts = np.zeros((f, nb), np.int32)
+        cols = np.arange(bk.WIT_BYTES)
+        for j in range(f):
+            if wit_streams[j] is None:
+                if flags[j]:
+                    block_counts[j] = raw_mask[j].sum(axis=1)
+                continue
+            seg_lens = (wcnt[j] + 7) // 8
+            sel = cols[None, :] < seg_lens[:, None]
+            buf = np.frombuffer(wit_streams[j], dtype=np.uint8)
+            wit[j][sel] = buf[: int(seg_lens.sum())]
+            bits = np.unpackbits(wit[j], axis=1)
+            valid = np.arange(bk.IPB)[None, :] < wcnt[j][:, None]
+            block_counts[j] = (bits[:, :bk.IPB] * valid).sum(axis=1)
+
+        vh = _vh_bucket(int(block_counts.max()) if block_counts.size else 1)
+        vseg = np.zeros((f, nb, vh * 32), np.int32)
+        vcols = np.arange(vh * 32)
+        for j in range(f):
+            vs = value_streams[j]
+            if vs is None or vs.size == 0:
+                continue
+            packed_vals = _bytes_to_packed(vs, channels)
+            sel = vcols[None, :] < block_counts[j][:, None]
+            vseg[j][sel] = packed_vals
+
+        mask_d, vals_d = bk.blocked_expand(
+            passes_d, jnp.asarray(wit), jnp.asarray(raw_mask),
+            jnp.asarray(flags), jnp.asarray(vseg), vh=vh)
+        frames = jax.device_get(_chain_apply(
+            jnp.asarray(base), mask_d, vals_d, shape=tuple(shape)))
+        return [np.asarray(frames[j]) for j in range(f)]

@@ -33,10 +33,19 @@ from new_bloom_filter_repo_tpu.models.binary_codec import BloomFilterCompressor
 
 KEYFRAME = 1
 INTERFRAME = 0
-# BFV2 extension: a frame identical to its predecessor costs 1 byte
-# instead of a packbits(zeros(n)) pass-through record.  (The reference
-# format has no such record; type byte 2 is unused there.)
+# BFV2 extensions (type bytes the reference format leaves unused):
+# 2 — a frame identical to its predecessor costs 1 byte instead of a
+#     packbits(zeros(n)) pass-through record.
+# 3 — blocked rational-Bloom record (the TPU-native BFV3 profile,
+#     ops/pallas/blocked.py): same field layout as type 0 but the bitmap
+#     is the concatenation of per-1024-index-block sub-filters
+#     (m = bitmap_bits / num_blocks bits each) and the witness stream is
+#     the concatenation of per-block byte-aligned segments.
+# 4 — sparse record: explicit changed-pixel indices + values, used when
+#     the change count is so small that any bitmap would dominate.
 EMPTY = 2
+BLOCKED = 3
+SPARSE = 4
 
 _HDR_III = struct.Struct("<III")
 _U32 = struct.Struct("<I")
@@ -119,16 +128,57 @@ def decode_keyframe(data: bytes, offset: int = 0):
 # Inter-frame records (the working wiring of the reference's diff payload)
 # ---------------------------------------------------------------------------
 
+def encode_sparse_frame(n: int, indices: np.ndarray, values: np.ndarray,
+                        zlib_level: int = 9) -> bytes:
+    """BFV2 extension: sparse change record (type 4).
+
+    Layout: <B 4, <I n, <I count, zlib(<u32 indices>), zlib(values)."""
+    buf = io.BytesIO()
+    buf.write(_U8.pack(SPARSE))
+    buf.write(_U32.pack(n))
+    idx = np.asarray(indices, dtype=np.uint32)
+    buf.write(_U32.pack(idx.size))
+    iz = zlib.compress(idx.tobytes(), level=zlib_level)
+    buf.write(_U32.pack(len(iz)))
+    buf.write(iz)
+    values = np.asarray(values, dtype=np.uint8).ravel()
+    vz = zlib.compress(values.tobytes(), level=zlib_level)
+    buf.write(_U32.pack(len(vz)))
+    buf.write(_U32.pack(values.size))
+    buf.write(vz)
+    return buf.getvalue()
+
+
+def parse_sparse_frame(data: bytes, offset: int = 0):
+    """Inverse of :func:`encode_sparse_frame` (after the type byte).
+
+    Returns (n, indices uint32[count], values uint8[...])."""
+    buf = io.BytesIO(data)
+    buf.seek(offset)
+    n = _U32.unpack(buf.read(4))[0]
+    count = _U32.unpack(buf.read(4))[0]
+    iz_len = _U32.unpack(buf.read(4))[0]
+    indices = np.frombuffer(zlib.decompress(buf.read(iz_len)),
+                            dtype=np.uint32)[:count]
+    vz_len = _U32.unpack(buf.read(4))[0]
+    v_count = _U32.unpack(buf.read(4))[0]
+    values = np.frombuffer(zlib.decompress(buf.read(vz_len)),
+                           dtype=np.uint8)[:v_count]
+    return n, indices, values
+
+
 def build_interframe_record(p: float, n: int, k: float,
                             bitmap_bytes: bytes, bitmap_bits: int,
                             witness_bytes: bytes, witness_bits: int,
                             values: np.ndarray, typed: bool = True,
-                            zlib_level: int = 9) -> bytes:
+                            zlib_level: int = 9,
+                            rtype: int = INTERFRAME) -> bytes:
     """Assemble the inter-frame diff payload from already-computed parts
-    (byte layout: improved_video_compressor.py:930-959)."""
+    (byte layout: improved_video_compressor.py:930-959; ``rtype``
+    selects the type byte: INTERFRAME or BLOCKED)."""
     buf = io.BytesIO()
     if typed:
-        buf.write(_U8.pack(INTERFRAME))
+        buf.write(_U8.pack(rtype))
     buf.write(_F32.pack(p))
     buf.write(_U32.pack(n))
     buf.write(_F32.pack(k))

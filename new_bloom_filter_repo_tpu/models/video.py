@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import math
 import os
+import struct
 import time
 from typing import Dict, List, Optional
 
@@ -39,6 +40,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from new_bloom_filter_repo_tpu.models import blocked_pipeline
 from new_bloom_filter_repo_tpu.models import frame_codec as fc
 from new_bloom_filter_repo_tpu.models import gop as gop_mod
 from new_bloom_filter_repo_tpu.models.binary_codec import (
@@ -197,6 +199,8 @@ class ImprovedVideoCompressor:
         self.compressor = FixedVideoCompressor(verbose=verbose)
         self.bloom_compressor = BloomFilterCompressor(verbose=False,
                                                       seed_set="video")
+        self._blocked_enc = blocked_pipeline.BlockedEncoder()
+        self._blocked_dec = blocked_pipeline.BlockedDecoder()
 
     # -- encoding ----------------------------------------------------------
 
@@ -225,15 +229,10 @@ class ImprovedVideoCompressor:
         return self._encode_frames_loop(frames)
 
     def _encode_frames_batched(self, arrs, infos) -> tuple[List[bytes], int]:
-        """Two device calls per chunk: masks+counts, then Bloom encode with
-        packed outputs and value compaction (models/gop.py).  Chunks are
-        padded to a fixed batch of _CHUNK inter frames so a single
-        compiled program per geometry serves the whole video."""
-        shape = arrs[0].shape
-        n = shape[0] * shape[1]
-        n8 = bitpack.padded_length(n)
-        tables = get_hash_tables(n, "video")
-        l_pad = bitmap_pad(n)
+        """Bloom-mode batched encode through the blocked Pallas pipeline
+        (models/blocked_pipeline.py): two device calls per chunk, chunks
+        padded to _CHUNK frames so a single compiled program per geometry
+        serves the whole video."""
         payloads: List[bytes] = []
         keyframes = 0
         total = len(arrs)
@@ -245,81 +244,21 @@ class ImprovedVideoCompressor:
                 keyframes += 1
                 pos += 1
                 continue
-            # Inter run: frames [pos, run_end), base = arrs[pos-1].
             next_key = ((pos // self.keyframe_interval) + 1
                         ) * self.keyframe_interval
             run_end = min(total, next_key, pos + _CHUNK)
-            b = run_end - pos
-            chunk = [arrs[pos - 1]] + arrs[pos:run_end]
-            # Pad to the fixed batch (repeat last frame -> zero masks).
-            stacked = np.stack(chunk + [chunk[-1]] * (_CHUNK + 1 - len(chunk)))
-            masks_d, packed_d, counts_d = gop_mod.gop_masks(
-                jnp.asarray(stacked))
-            packed, counts = jax.device_get((packed_d, counts_d))
+            frames = arrs[pos:run_end]
+            real = len(frames)
+            frames = frames + [frames[-1]] * (_CHUNK - real)  # pad -> EMPTY
 
-            kinds = ["empty"] * _CHUNK
-            ks = np.zeros(_CHUNK, np.float64)
-            l_arr = np.ones(_CHUNK, np.uint32)
-            thi = np.zeros(_CHUNK, np.uint32)
-            tlo = np.zeros(_CHUNK, np.uint32)
-            fk = np.zeros(_CHUNK, np.int32)
-            vneed = 1
-            for j in range(b):
-                cnt = int(counts[j])
-                p = cnt / n
-                if cnt == 0:
-                    continue
-                if p > _KEYFRAME_DENSITY:
-                    kinds[j] = "key"
-                    continue
-                vneed = max(vneed, cnt)
-                k, l = optimal_compression_params(n, p)
-                ks[j] = k
-                if p >= P_STAR or l == 0 or l >= n:
-                    kinds[j] = "pass"
-                    continue
-                kinds[j] = "bloom"
-                _, floor_k, (t_hi, t_lo) = _filter_scalars(k)
-                l_arr[j] = l
-                thi[j] = t_hi
-                tlo[j] = t_lo
-                fk[j] = floor_k
+            def keyframe_fn(j, _pos=pos):
+                idx = _pos + j
+                return fc.encode_keyframe(arrs[idx], infos[idx], typed=True)
 
-            vmax = min(gop_mod.next_bucket(vneed), n8)
-            pbm, pwit, wcnt, vals = jax.device_get(gop_mod.gop_encode(
-                masks_d, jnp.asarray(stacked[1:]),
-                tables.h1, tables.h2, tables.act,
-                jnp.asarray(l_arr), jnp.asarray(thi), jnp.asarray(tlo),
-                jnp.asarray(fk), l_pad=l_pad, vmax=vmax))
-
-            for j in range(b):
-                kind = kinds[j]
-                idx = pos + j
-                if kind == "empty":
-                    payloads.append(fc.encode_empty_frame())
-                    continue
-                if kind == "key":
-                    payloads.append(fc.encode_keyframe(
-                        arrs[idx], infos[idx], typed=True))
-                    keyframes += 1
-                    continue
-                cnt = int(counts[j])
-                p = cnt / n
-                values = vals[j, :cnt].reshape(-1)
-                if kind == "pass":
-                    rec = fc.build_interframe_record(
-                        p, n, ks[j],
-                        packed[j][: (n + 7) // 8].tobytes(), n,
-                        b"", 0, values)
-                else:
-                    l = int(l_arr[j])
-                    wbits = int(wcnt[j])
-                    rec = fc.build_interframe_record(
-                        p, n, ks[j],
-                        pbm[j][: (l + 7) // 8].tobytes(), l,
-                        pwit[j][: (wbits + 7) // 8].tobytes(), wbits,
-                        values)
-                payloads.append(rec)
+            before = len(payloads)
+            keyframes += self._blocked_enc.encode_chunk(
+                arrs[pos - 1], frames, payloads, keyframe_fn)
+            del payloads[before + real:]  # drop padded-frame records
             pos = run_end
         return payloads, keyframes
 
@@ -464,7 +403,8 @@ class ImprovedVideoCompressor:
                               if prev_info is not None else prev)
                 i += 1
                 continue
-            if rtype not in (fc.INTERFRAME, fc.EMPTY):
+            if rtype not in (fc.INTERFRAME, fc.EMPTY, fc.BLOCKED,
+                             fc.SPARSE):
                 raise ValueError(f"Unknown frame type: {rtype}")
             if prev is None:
                 raise ValueError("inter-frame record before any keyframe")
@@ -472,7 +412,8 @@ class ImprovedVideoCompressor:
             while (j < len(payloads)
                    and j - i < _CHUNK
                    and fc.record_type(payloads[j]) in (fc.INTERFRAME,
-                                                       fc.EMPTY)):
+                                                       fc.EMPTY, fc.BLOCKED,
+                                                       fc.SPARSE)):
                 j += 1
             decoded = self._decode_inter_run(prev, payloads[i:j])
             for frame in decoded:
@@ -491,7 +432,39 @@ class ImprovedVideoCompressor:
             i = j
         return frames
 
+    @staticmethod
+    def _is_legacy_bloom(payload: bytes) -> bool:
+        """Type-0 record with a non-empty witness: the BFV2 (non-blocked)
+        rational-Bloom layout, decoded via the XLA gop path."""
+        if fc.record_type(payload) != fc.INTERFRAME:
+            return False
+        witness_bits = struct.unpack_from("<I", payload, 17)[0]
+        return witness_bits > 0
+
     def _decode_inter_run(self, base: np.ndarray, run: List[bytes]):
+        """Dispatch a run of inter-style records: blocked/sparse/empty/
+        pass-through records go to the Pallas blocked decoder; legacy BFV2
+        bloom records to the XLA gop path.  Mixed runs are segmented."""
+        out: List[np.ndarray] = []
+        i = 0
+        while i < len(run):
+            legacy = self._is_legacy_bloom(run[i])
+            j = i
+            while j < len(run) and self._is_legacy_bloom(run[j]) == legacy:
+                j += 1
+            seg = run[i:j]
+            if legacy:
+                frames = self._decode_seg_legacy(base, seg)
+            else:
+                real = len(seg)
+                seg = seg + [fc.encode_empty_frame()] * (_CHUNK - real)
+                frames = self._blocked_dec.decode_run(base, seg)[:real]
+            out.extend(frames)
+            base = frames[-1]
+            i = j
+        return out
+
+    def _decode_seg_legacy(self, base: np.ndarray, run: List[bytes]):
         """Batched device decode of a run of inter/empty records
         following ``base`` (one lax.scan call, one pull).  The run is
         padded to the fixed _CHUNK batch so one compiled program per

@@ -183,16 +183,21 @@ def _encode_kernel(m_ref, fk_ref, lt_ref, bits_ref, a_ref, b_ref, act_ref,
         y8 = _onehot(byte_idx & 7, 8)
         wit_ref[0, g, :, :] = _to_u8(_dotT(x16, y8))         # (16, 8)
 
-        # --- changed-value compaction (24-bit packed pixels, f32-exact)
-        v = vals_ref[0, g:g + 1, :].astype(_F32)             # (1, IPB)
+        # --- changed-value compaction.  24-bit pixels are routed as three
+        # byte planes: the compile environment allows excess precision, so
+        # a "f32" MXU matmul actually runs in bf16 and corrupts ints over
+        # 2^8; bytes (<= 255) are bf16-exact with f32 accumulation.
+        v = vals_ref[0, g:g + 1, :]                          # (1, IPB) i32
         slot = _excl_prefix(bits, lt_ref)
         sel = bits > 0
-        xv = (_onehot(jnp.where(sel, slot >> 5, vh + 1), vh).astype(_F32)
-              * v)
-        yv = _onehot(slot & 31, 32).astype(_F32)
-        vseg_ref[0, g, :, :] = jax.lax.dot_general(
-            xv, yv, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=_F32).astype(jnp.int32)   # (vh, 32)
+        xv = _onehot(jnp.where(sel, slot >> 5, vh + 1), vh)
+        yv = _onehot(slot & 31, 32)
+        vseg = jnp.zeros((vh, 32), jnp.int32)
+        for plane in range(3):
+            byte = ((v >> (8 * plane)) & 0xFF).astype(_BF)
+            part = _dotT(xv * byte, yv).astype(jnp.int32)
+            vseg = vseg | (part << (8 * plane))
+        vseg_ref[0, g, :, :] = vseg                          # (vh, 32)
 
 
 def blocked_encode(bits, a, b, act, vals, m, floor_k, *, k_lanes: int,
@@ -316,15 +321,19 @@ def _expand_kernel(flag_ref, lt_ref, pass_ref, wit_ref, raw_ref, vseg_ref,
         mask = jnp.where(flag_ref[f] > 0,
                          raw_ref[0, g:g + 1, :].astype(jnp.int32), decoded)
         mask_ref[0, g:g + 1, :] = _to_u8(mask)
-        # value expansion
+        # value expansion — byte planes for bf16-exactness (see encode)
         slot = _excl_prefix(mask, lt_ref)
-        xv = _onehot(slot >> 5, vh).astype(_F32)
+        xv = _onehot(slot >> 5, vh)
         yv = _onehot(slot & 31, 32).astype(_F32)
-        vseg = vseg_ref[0, g, :, :].astype(_F32)             # (vh, 32)
-        per_v = _dot0(vseg, xv)                              # (32, IPB)
-        val_t = jnp.sum(per_v * yv, axis=0, keepdims=True)
-        vals_ref[0, g:g + 1, :] = jnp.where(
-            mask > 0, val_t, 0.0).astype(jnp.int32)
+        vseg = vseg_ref[0, g, :, :]                          # (vh, 32) i32
+        val_t = jnp.zeros((1, slot.shape[1]), jnp.int32)
+        for plane in range(3):
+            pbyte = ((vseg >> (8 * plane)) & 0xFF).astype(_BF)
+            per_v = _dot0(pbyte, xv)                         # (32, IPB)
+            b_t = jnp.sum(per_v * yv, axis=0,
+                          keepdims=True).astype(jnp.int32)
+            val_t = val_t | (b_t << (8 * plane))
+        vals_ref[0, g:g + 1, :] = jnp.where(mask > 0, val_t, 0)
 
 
 def blocked_expand(passes, wit, raw_mask, flags, vseg, *, vh: int):
