@@ -70,6 +70,7 @@ def main():
         v = comp.verify_lossless(frames, rec)
 
     fps = len(frames) / (t_enc + t_dec)
+    core_fps = _device_core_fps()
     out = {
         "metric": "1080p_frames_per_sec_encode_plus_decode_per_chip",
         "value": round(fps, 3),
@@ -82,8 +83,66 @@ def main():
         "compression_ratio": round(res["compression_ratio"], 4),
         "space_savings_pct": round(res["space_savings"] * 100, 2),
         "lossless": bool(v["lossless"]),
+        # Device-resident codec throughput (diff + Bloom encode +
+        # membership + expand, checksum-only pull).  The end-to-end
+        # number above is bounded by this rig's ~34 MB/s host<->device
+        # tunnel; this is the per-chip codec capability.
+        "device_core_fps": core_fps,
     }
     print(json.dumps(out))
+
+
+def _device_core_fps():
+    """Time the full device codec (encode + membership + expand) on
+    resident 15x1080p data, pulling only a checksum."""
+    import jax
+    import jax.numpy as jnp
+    from new_bloom_filter_repo_tpu.models import blocked_pipeline as bp
+    from new_bloom_filter_repo_tpu.models.binary_codec import _filter_scalars
+    from new_bloom_filter_repo_tpu.models.bloom import (
+        optimal_compression_params)
+    from new_bloom_filter_repo_tpu.ops.pallas import blocked as bk
+
+    f, n = 15, H * W
+    tab = bp.blocked_tables(n)
+    nb, npad = tab["nb"], tab["npad"]
+    rng = np.random.default_rng(0)
+    bits = (rng.random((f, nb, bk.IPB)) < 0.04).astype(np.uint8)
+    vals = rng.integers(0, 1 << 24, (f, nb, bk.IPB)).astype(np.int32)
+    p = 0.04
+    k, l = optimal_compression_params(n, p)
+    _, fk, (a_hi, a_lo) = _filter_scalars(k)
+    m = max(bp.MIN_M, min(int(round(l / nb)), bk.MMAX))
+    m_arr = jnp.full((f,), m, jnp.int32)
+    fk_arr = jnp.full((f,), fk, jnp.int32)
+    thi = jnp.full((f,), a_hi, jnp.uint32)
+    tlo = jnp.full((f,), a_lo, jnp.uint32)
+    flags = jnp.zeros((f,), jnp.int32)
+
+    @jax.jit
+    def step(bits_d, vals_d):
+        a, b, act = bp._frame_mod_tables(
+            tab["h1"], tab["h2"], tab["act_hi"], tab["act_lo"],
+            m_arr, thi, tlo)
+        words, wit, wcnt, vseg, vcnt = bk.blocked_encode(
+            bits_d, a, b, act, vals_d, m_arr, fk_arr,
+            k_lanes=int(fk), vh=4)
+        passes, wcnt2 = bk.blocked_membership(
+            words, a, b, act, m_arr, fk_arr, flags, k_lanes=int(fk))
+        mask, out_vals = bk.blocked_expand(
+            passes, wit, bits_d * 0, flags, vseg, vh=4)
+        return (jnp.sum(wcnt) + jnp.sum(mask.astype(jnp.int32))
+                + jnp.sum(out_vals))
+
+    bits_d = jax.device_put(bits)
+    vals_d = jax.device_put(vals)
+    jax.device_get(step(bits_d, vals_d))  # compile
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        jax.device_get(step(bits_d, vals_d))
+    dt = (time.time() - t0) / reps
+    return round(f / dt, 2)
 
 
 if __name__ == "__main__":

@@ -187,7 +187,16 @@ class BlockedEncoder:
 
         stacked = jnp.asarray(np.stack([base] + frames))
         masks, packed_d, counts_d, vals = _phase_a(stacked, npad=npad, nb=nb)
-        packed, counts = jax.device_get((packed_d, counts_d))
+        # Pull only the tiny counts; packed masks are fetched lazily per
+        # frame (pass-through/sparse records only) — the device->host
+        # link, not compute, bounds this pipeline.
+        counts = jax.device_get(counts_d)
+        packed_cache: dict = {}
+
+        def packed_row(j):
+            if j not in packed_cache:
+                packed_cache[j] = np.asarray(packed_d[j])
+            return packed_cache[j]
 
         frame_counts = counts.sum(axis=1)
         kinds: List[str] = []
@@ -249,15 +258,15 @@ class BlockedEncoder:
             p = cnt / n
             values = _values_to_bytes(vseg[j], vcnt[j], channels)
             if kind == "sparse":
-                mask_bits = np.unpackbits(packed[j])[:n]
+                mask_bits = np.unpackbits(packed_row(j))[:n]
                 indices = np.flatnonzero(mask_bits)
                 payload_sink.append(fc.encode_sparse_frame(
                     n, indices, values, zlib_level=zl))
                 continue
             if kind == "pass":
                 payload_sink.append(fc.build_interframe_record(
-                    p, n, ks[j], packed[j][: (n + 7) // 8].tobytes(), n,
-                    b"", 0, values, zlib_level=zl))
+                    p, n, ks[j], packed_row(j)[: (n + 7) // 8].tobytes(),
+                    n, b"", 0, values, zlib_level=zl))
                 continue
             # blocked record
             m = int(m_arr[j])

@@ -7,25 +7,25 @@ vector scatter/gather either.  The TPU-native answer is to *remove the
 random access*: a **blocked** rational Bloom filter where the items of
 each 1024-index block probe only that block's private m-bit sub-filter
 (m = round(l / num_blocks), m <= 384).  Then every pass is dense
-per-block work:
+whole-register work on (8, 1024) tiles:
 
 * lane positions: (h1 + j*h2) mod m on 24-bit table slices (VPU),
-* insert: per-block position histogram via factored one-hot matmuls
-  (12 x 32 = 384) on the MXU; ``count > 0`` gives the sub-filter bits,
-* membership: the same factored one-hots contracted against the
-  sub-filter,
-* witness compaction: in-block exclusive prefix sums (a strictly-lower-
-  triangular matmul on the MXU) and a byte-granular one-hot matmul that
-  emits np.packbits-compatible bytes, each block's segment padded to its
-  own byte boundary,
-* changed-value compaction/expansion: same machinery on 24-bit-packed
-  pixels (exact in f32).
+* insert: the sub-filter lives as 12 u32 words per block; each word is a
+  masked select + lane-halving OR-reduce — no matmuls, no scatter,
+* membership: per-item word select (12-way compare chain) + bit test,
+* witness/value compaction: in-block exclusive prefix (roll/add ladder)
+  followed by a **monotone butterfly routing network** (10 log-shift
+  stages, LSB->MSB) that packs kept elements to the lane front —
+  conflict-free for monotone shifts (property-tested),
+* witness packing: per-32-lane-group weighted prefix emitting
+  np.packbits-compatible u32 words (byteswapped to bytes in XLA),
+* expansion (decode): the same network replayed in reverse from
+  take-masks recomputed forward from the pass mask.
 
-Everything stays in VMEM per grid step; no HBM intermediates, no
-scatter, no gather.  Mosaic constraints honored throughout: all values
-are rank-2 (items live as (1, 1024) rows — 1D vectors and cross-lane
-reshapes crash layout inference), casts route through int32, and small
-matrices are carried as trailing block dims.
+Everything stays in registers/VMEM per grid step; zero HBM
+intermediates, zero scatter/gather, zero K-bound matmuls.  Mosaic
+constraints honored: all values rank-2, no cross-lane reshapes, casts
+via int32, static-shift rolls only.
 
 The rational-Bloom semantics (floor(k*) lanes + the fractional
 activation lane, P*, the k/l formulas, global ascending witness order)
@@ -43,18 +43,18 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 IPB = 1024              # items (pixel indices) per block
-MH, ML = 12, 32         # factored one-hot radices; m <= MH*ML = 384
-MMAX = MH * ML
+NW = 12                 # u32 sub-filter words per block
+MMAX = NW * 32          # = 384: max per-block filter bits
 WIT_BYTES = IPB // 8    # per-block witness segment (128 B, byte-aligned)
+WW = IPB // 32          # witness u32 words per block (32)
 BG = 8                  # blocks per grid step
 
-_BF = jnp.bfloat16
-_F32 = jnp.float32
+_I32 = jnp.int32
+_STAGES = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
 
 
 def _interpret() -> bool:
@@ -66,58 +66,23 @@ def _interpret() -> bool:
 
 def _to_u8(x):
     """Cast to uint8 via int32 (Mosaic lacks f32->u8 / bool->u8)."""
-    return x.astype(jnp.int32).astype(jnp.uint8)
+    return x.astype(_I32).astype(jnp.uint8)
 
 
-def _u8_to_bf(x):
-    """Load-cast u8 -> bf16 via int32 (Mosaic lacks u8->bf16)."""
-    return x.astype(jnp.int32).astype(_BF)
-
-
-def _dotT(x, y):
-    """(A, T) x (B, T) -> (A, B), contracting the trailing item axis."""
-    return jax.lax.dot_general(
-        x, y, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=_F32)
-
-
-def _dot0(x, y):
-    """(A, B) x (A, T) -> (B, T), contracting the leading axis."""
-    return jax.lax.dot_general(
-        x, y, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=_F32)
-
-
-def _onehot(v, rows: int):
-    """(1, T) int32 -> (rows, T) bf16 one-hot."""
-    iota = jax.lax.broadcasted_iota(jnp.int32, (rows, v.shape[1]), 0)
-    return (iota == v).astype(_BF)
-
-
-def _excl_prefix(x_row, lt_ref):
-    """Exclusive prefix sum of a (1, IPB) int32 row via the strictly-
-    lower-triangular (IPB, IPB) bf16 constant: out[j] = sum_{i<j} x[i].
-    Exact: 0/1 entries, f32 accumulation, sums <= IPB."""
-    xf = x_row.astype(_BF)
-    return _dotT(xf, lt_ref[...]).astype(jnp.int32)  # (1, IPB)
-
-
-def strict_lower_triangle():
-    """Host-side constant for the prefix-sum matmuls: LT[j, i] = i < j."""
-    i = np.arange(IPB)
-    return (i[None, :] < i[:, None]).astype(np.float32)
+def _lane_iota(shape):
+    return jax.lax.broadcasted_iota(_I32, shape, 1)
 
 
 def _lane_active(j, floor_k, act):
     """Lane-j applicability: j < floor_k, or the activation lane
-    j == floor_k where the fractional test fired.  act: (1, IPB) bool."""
-    always = jnp.int32(j) < floor_k
-    extra = (jnp.int32(j) == floor_k) & act
+    j == floor_k where the fractional test fired."""
+    always = _I32(j) < floor_k
+    extra = (_I32(j) == floor_k) & act
     return always | extra
 
 
 def _positions(a, b, m, k_lanes):
-    """[(a + j*b) mod m for j in 0..k_lanes]; a, b: (1, IPB) < m."""
+    """[(a + j*b) mod m for j in 0..k_lanes]; a, b: (BG, IPB) < m."""
     out = [a]
     cur = a
     for _ in range(k_lanes):
@@ -127,77 +92,229 @@ def _positions(a, b, m, k_lanes):
     return out
 
 
-def _membership(words_bf, pos, floor_k, act, k_lanes):
-    """Pass mask (1, IPB) bool given sub-filter words (MH, ML) bf16."""
+def excl_prefix(x):
+    """Row-wise exclusive prefix sum of (BG, IPB) int32 via a roll/add
+    ladder along lanes (rows are independent blocks)."""
+    lane = _lane_iota(x.shape)
+    acc = x
+    for s in _STAGES:
+        acc = acc + jnp.where(lane >= s, jnp.roll(acc, s, axis=1), 0)
+    return acc - x
+
+
+def _or_reduce_lanes(x):
+    """(BG, IPB) int32 -> (BG, 1): bitwise OR of every lane (halving)."""
+    for s in _STAGES[::-1]:
+        x = x | jnp.roll(x, -s, axis=1)
+    return x[:, 0:1]
+
+
+def compact_butterfly(payloads, kept, shifts):
+    """Monotone compaction: move kept elements to the lane front in order.
+
+    payloads: list of (BG, IPB) int32 arrays routed identically.
+    kept: (BG, IPB) bool; shifts: (BG, IPB) int32 = lane - dest.
+    LSB->MSB log-shift stages; conflict-free for monotone shifts.
+    Masks travel as int32 0/1 (Mosaic cannot roll i1 vregs).
+    """
+    lane = _lane_iota(kept.shape)
+    v = list(payloads)
+    k = kept.astype(_I32)
+    r = shifts
+    for s in _STAGES:
+        move = k * ((r & s) != 0).astype(_I32)
+        arrive = (jnp.roll(move, -s, axis=1)
+                  * (lane < IPB - s).astype(_I32)) > 0
+        v = [jnp.where(arrive, jnp.roll(x, -s, axis=1), x) for x in v]
+        r = jnp.where(arrive, jnp.roll(r, -s, axis=1) - s, r)
+        k = jnp.where(arrive, 1, k * (1 - move))
+    return v, k > 0
+
+
+def _take_masks(kept, shifts):
+    """Forward pass recording per-stage arrival masks (for expansion)."""
+    lane = _lane_iota(kept.shape)
+    k = kept.astype(_I32)
+    r = shifts
+    takes = []
+    for s in _STAGES:
+        move = k * ((r & s) != 0).astype(_I32)
+        arrive_i = jnp.roll(move, -s, axis=1) * (lane < IPB - s).astype(_I32)
+        takes.append(arrive_i)
+        arrive = arrive_i > 0
+        r = jnp.where(arrive, jnp.roll(r, -s, axis=1) - s, r)
+        k = jnp.where(arrive, 1, k * (1 - move))
+    return takes
+
+
+def expand_butterfly(payloads, kept):
+    """Inverse of :func:`compact_butterfly`: distribute the lane-front
+    segment back to the kept positions (replay take-masks in reverse)."""
+    lane = _lane_iota(kept.shape)
+    cpos = excl_prefix(kept.astype(_I32))
+    takes = _take_masks(kept, lane - cpos)
+    v = list(payloads)
+    for s, take in zip(_STAGES[::-1], takes[::-1]):
+        t_shift = (jnp.roll(take, s, axis=1)
+                   * (lane >= s).astype(_I32)) > 0
+        v = [jnp.where(t_shift, jnp.roll(x, s, axis=1), x) for x in v]
+    return v
+
+
+def _insert_words(pos_list, lane_act, bits, floor_k, act):
+    """Sub-filter u32 words (BG, NW) via masked OR-reduces."""
+    bitsb = bits.astype(jnp.bool_)
+    weights = []
+    his = []
+    for pos in pos_list:
+        weights.append(jax.lax.shift_left(_I32(1), 31 - (pos & 31)))
+        his.append(pos >> 5)
+    cols = []
+    for w in range(NW):
+        m_w = jnp.zeros_like(bits)
+        for j, pos in enumerate(pos_list):
+            active = _lane_active(j, floor_k, act) & bitsb
+            m_w = m_w | jnp.where(active & (his[j] == w), weights[j], 0)
+        cols.append(_or_reduce_lanes(m_w))
+    return jnp.concatenate(cols, axis=1), his, weights   # (BG, NW)
+
+
+def _membership_words(words, his, weights, floor_k, act, k_lanes):
+    """Pass mask (BG, IPB) given sub-filter words (BG, NW) i32."""
     passes = None
     for j in range(k_lanes + 1):
+        wsel = jnp.zeros_like(his[j])
+        for w in range(NW):
+            wsel = wsel | jnp.where(his[j] == w, words[:, w:w + 1], 0)
+        hit = (wsel & weights[j]) != 0
         active = _lane_active(j, floor_k, act)
-        xh = _onehot(pos[j] >> 5, MH)
-        yl = _onehot(pos[j] & 31, ML)
-        per_l = _dot0(words_bf, xh)                  # (ML, IPB)
-        hit = jnp.sum(per_l * yl.astype(_F32), axis=0, keepdims=True) > 0
         term = hit | ~active
         passes = term if passes is None else passes & term
     return passes
 
 
+def _pack_group32(bits_at_lanes, valid):
+    """Pack lane bits into u32 words at lanes 31 mod 32 (packbits order):
+    weight 1 << (31 - lane%32), 5-stage in-group prefix."""
+    lane = _lane_iota(bits_at_lanes.shape)
+    w = jnp.where(valid, jax.lax.shift_left(
+        bits_at_lanes.astype(_I32), 31 - (lane & 31)), 0)
+    acc = w
+    for s in (1, 2, 4, 8, 16):
+        acc = acc | jnp.where((lane & 31) >= s, jnp.roll(acc, s, axis=1), 0)
+    return acc  # valid at lanes where lane % 32 == 31
+
+
 # ---------------------------------------------------------------------------
-# Encode kernel
+# Kernels
 # ---------------------------------------------------------------------------
 
-def _encode_kernel(m_ref, fk_ref, lt_ref, bits_ref, a_ref, b_ref, act_ref,
-                   vals_ref, words_ref, wit_ref, pass_ref, vseg_ref,
-                   *, k_lanes, vh):
+def _encode_kernel(m_ref, fk_ref, bits_ref, a_ref, b_ref, act_ref,
+                   vals_ref, words_ref, witw_ref, pass_ref, valc_ref,
+                   *, k_lanes):
     f = pl.program_id(0)
     m = m_ref[f]
     floor_k = fk_ref[f]
-    for g in range(BG):
-        bits = bits_ref[0, g:g + 1, :].astype(jnp.int32)     # (1, IPB)
-        a = a_ref[0, g:g + 1, :]
-        b = b_ref[0, g:g + 1, :]
-        act = act_ref[0, g:g + 1, :].astype(jnp.bool_)
-        pos = _positions(a, b, m, k_lanes)
+    bits = bits_ref[0].astype(_I32)                   # (BG, IPB)
+    a = a_ref[0]
+    b = b_ref[0]
+    act = act_ref[0].astype(jnp.bool_)
+    vals = vals_ref[0]
+    lane = _lane_iota(bits.shape)
 
-        # --- insert: factored one-hot histogram on the MXU
-        counts = jnp.zeros((MH, ML), _F32)
-        for j in range(k_lanes + 1):
-            active = _lane_active(j, floor_k, act)
-            w = (bits * active.astype(jnp.int32)).astype(_BF)
-            xh = _onehot(pos[j] >> 5, MH) * w                # (MH, IPB)
-            yl = _onehot(pos[j] & 31, ML)                    # (ML, IPB)
-            counts = counts + _dotT(xh, yl)
-        words_ref[0, g, :, :] = _to_u8(counts > 0)
+    pos = _positions(a, b, m, k_lanes)
+    words, his, weights = _insert_words(pos, None, bits, floor_k, act)
+    words_ref[0] = words
 
-        # --- membership
-        passes = _membership((counts > 0).astype(_BF), pos, floor_k, act,
-                             k_lanes)
-        pass_ref[0, g:g + 1, :] = _to_u8(passes)
+    passes = _membership_words(words, his, weights, floor_k, act, k_lanes)
+    pass_ref[0] = _to_u8(passes)
 
-        # --- witness bytes (np.packbits bit order, per-block aligned)
-        p32 = passes.astype(jnp.int32)
-        cpos = _excl_prefix(p32, lt_ref)                     # (1, IPB)
-        byte_idx = jnp.where(passes, cpos >> 3, WIT_BYTES)
-        weight = jnp.int32(128) >> (cpos & 7)
-        contrib = jnp.where(passes & (bits > 0), weight, 0)
-        x16 = _onehot(byte_idx >> 3, 16) * contrib.astype(_BF)
-        y8 = _onehot(byte_idx & 7, 8)
-        wit_ref[0, g, :, :] = _to_u8(_dotT(x16, y8))         # (16, 8)
+    # witness: compact the original bits of passing items, pack to words
+    cpos = excl_prefix(passes.astype(_I32))
+    (wbits,), wk = compact_butterfly([bits], passes, lane - cpos)
+    wcnt_lanes = jnp.roll(cpos, -1, axis=1)  # unused; counts via XLA
+    witw_ref[0] = _pack_group32(wbits, wk)
 
-        # --- changed-value compaction.  24-bit pixels are routed as three
-        # byte planes: the compile environment allows excess precision, so
-        # a "f32" MXU matmul actually runs in bf16 and corrupts ints over
-        # 2^8; bytes (<= 255) are bf16-exact with f32 accumulation.
-        v = vals_ref[0, g:g + 1, :]                          # (1, IPB) i32
-        slot = _excl_prefix(bits, lt_ref)
-        sel = bits > 0
-        xv = _onehot(jnp.where(sel, slot >> 5, vh + 1), vh)
-        yv = _onehot(slot & 31, 32)
-        vseg = jnp.zeros((vh, 32), jnp.int32)
-        for plane in range(3):
-            byte = ((v >> (8 * plane)) & 0xFF).astype(_BF)
-            part = _dotT(xv * byte, yv).astype(jnp.int32)
-            vseg = vseg | (part << (8 * plane))
-        vseg_ref[0, g, :, :] = vseg                          # (vh, 32)
+    # values: compact packed pixels of changed items
+    slot = excl_prefix(bits)
+    (vc,), _ = compact_butterfly([vals], bits.astype(jnp.bool_),
+                                 lane - slot)
+    valc_ref[0] = vc
+
+
+def _member_kernel(m_ref, fk_ref, flag_ref, words_ref, a_ref, b_ref,
+                   act_ref, pass_ref, *, k_lanes):
+    f = pl.program_id(0)
+    m = m_ref[f]
+    floor_k = fk_ref[f]
+    passthrough = flag_ref[f]
+    words = words_ref[0]                              # (BG, NW) i32
+    a = a_ref[0]
+    b = b_ref[0]
+    act = act_ref[0].astype(jnp.bool_)
+    pos = _positions(a, b, m, k_lanes)
+    his = [p >> 5 for p in pos]
+    weights = [jax.lax.shift_left(_I32(1), 31 - (p & 31)) for p in pos]
+    passes = _membership_words(words, his, weights, floor_k, act, k_lanes)
+    passes = passes & (passthrough == 0)
+    pass_ref[0] = _to_u8(passes)
+
+
+def _expand_kernel(flag_ref, pass_ref, witw_ref, raw_ref, vseg_ref,
+                   mask_ref, vals_ref):
+    f = pl.program_id(0)
+    passes = pass_ref[0].astype(jnp.bool_)            # (BG, IPB)
+    witw = witw_ref[0]                                # (BG, WW) i32
+    lane = _lane_iota(passes.shape)
+
+    # unpack witness words to bits at compact lanes
+    wsel = jnp.zeros_like(lane)
+    grp = lane >> 5
+    for w in range(WW):
+        wsel = wsel | jnp.where(grp == w, witw[:, w:w + 1], 0)
+    seg_bits = (jax.lax.shift_right_logical(
+        wsel, 31 - (lane & 31)) & 1)
+
+    (at_pass,) = expand_butterfly([seg_bits], passes)
+    decoded = jnp.where(passes, at_pass, 0)
+    mask = jnp.where(flag_ref[f] > 0, raw_ref[0].astype(_I32), decoded)
+    mask_ref[0] = _to_u8(mask)
+
+    # value expansion: vseg already padded to (BG, IPB)
+    (at_mask,) = expand_butterfly([vseg_ref[0]], mask.astype(jnp.bool_))
+    vals_ref[0] = jnp.where(mask > 0, at_mask, 0)
+
+
+# ---------------------------------------------------------------------------
+# Wrappers (public API identical to v1: bit-level words, byte witnesses)
+# ---------------------------------------------------------------------------
+
+def _words32_to_bits(words32):
+    """(F, NB, NW) i32 -> (F, NB, MMAX) u8 (packbits bit order per word)."""
+    shifts = 31 - jnp.arange(32, dtype=_I32)
+    bits = (words32[..., None] >> shifts) & 1
+    return bits.reshape(words32.shape[:-1] + (MMAX,)).astype(jnp.uint8)
+
+
+def _bits_to_words32(bits):
+    """(F, NB, MMAX) u8 -> (F, NB, NW) i32."""
+    b = bits.reshape(bits.shape[:-1] + (NW, 32)).astype(_I32)
+    weights = jax.lax.shift_left(_I32(1), 31 - jnp.arange(32, dtype=_I32))
+    return jnp.sum(b * weights, axis=-1).astype(_I32)
+
+
+def _witwords_to_bytes(witw):
+    """(F, NB, WW) i32 -> (F, NB, WIT_BYTES) u8 big-endian per word."""
+    shifts = jnp.asarray([24, 16, 8, 0], _I32)
+    by = (witw[..., None] >> shifts) & 0xFF
+    return by.reshape(witw.shape[:-1] + (WIT_BYTES,)).astype(jnp.uint8)
+
+
+def _bytes_to_witwords(by):
+    """(F, NB, WIT_BYTES) u8 -> (F, NB, WW) i32 big-endian per word."""
+    b = by.reshape(by.shape[:-1] + (WW, 4)).astype(_I32)
+    return ((b[..., 0] << 24) | (b[..., 1] << 16)
+            | (b[..., 2] << 8) | b[..., 3]).astype(_I32)
 
 
 def blocked_encode(bits, a, b, act, vals, m, floor_k, *, k_lanes: int,
@@ -219,15 +336,13 @@ def blocked_encode(bits, a, b, act, vals, m, floor_k, *, k_lanes: int,
              vseg (F,NB,vh*32) i32, vcnt (F,NB) i32).
     """
     f_, nb, _ = bits.shape
-    lt = jnp.asarray(strict_lower_triangle(), dtype=_BF)
-    kern = functools.partial(_encode_kernel, k_lanes=k_lanes, vh=vh)
-    words, wit, passes, vseg = pl.pallas_call(
+    kern = functools.partial(_encode_kernel, k_lanes=k_lanes)
+    words32, witw, passes, valc = pl.pallas_call(
         kern,
         grid=(f_, nb // BG),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # m (F,)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # floor_k (F,)
-            pl.BlockSpec((IPB, IPB), lambda f, g: (0, 0)),   # LT constant
             pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
             pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
             pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
@@ -235,44 +350,25 @@ def blocked_encode(bits, a, b, act, vals, m, floor_k, *, k_lanes: int,
             pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, BG, MH, ML), lambda f, g: (f, g, 0, 0)),
-            pl.BlockSpec((1, BG, 16, 8), lambda f, g: (f, g, 0, 0)),
+            pl.BlockSpec((1, BG, NW), lambda f, g: (f, g, 0)),
             pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
-            pl.BlockSpec((1, BG, vh, 32), lambda f, g: (f, g, 0, 0)),
+            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((f_, nb, MH, ML), jnp.uint8),
-            jax.ShapeDtypeStruct((f_, nb, 16, 8), jnp.uint8),
+            jax.ShapeDtypeStruct((f_, nb, NW), _I32),
+            jax.ShapeDtypeStruct((f_, nb, IPB), _I32),
             jax.ShapeDtypeStruct((f_, nb, IPB), jnp.uint8),
-            jax.ShapeDtypeStruct((f_, nb, vh, 32), jnp.int32),
+            jax.ShapeDtypeStruct((f_, nb, IPB), _I32),
         ],
         interpret=_interpret(),
-    )(m, floor_k, lt, bits, a, b, act, vals.astype(jnp.int32))
-    wcnt = jnp.sum(passes.astype(jnp.int32), axis=2)
-    vcnt = jnp.sum(bits.astype(jnp.int32), axis=2)
-    return (words.reshape(f_, nb, MMAX), wit.reshape(f_, nb, WIT_BYTES),
-            wcnt, vseg.reshape(f_, nb, vh * 32), vcnt)
-
-
-# ---------------------------------------------------------------------------
-# Decode kernels
-# ---------------------------------------------------------------------------
-
-def _member_kernel(m_ref, fk_ref, flag_ref, words_ref, a_ref, b_ref,
-                   act_ref, pass_ref, *, k_lanes):
-    f = pl.program_id(0)
-    m = m_ref[f]
-    floor_k = fk_ref[f]
-    passthrough = flag_ref[f]
-    for g in range(BG):
-        words = _u8_to_bf(words_ref[0, g, :, :])             # (MH, ML)
-        a = a_ref[0, g:g + 1, :]
-        b = b_ref[0, g:g + 1, :]
-        act = act_ref[0, g:g + 1, :].astype(jnp.bool_)
-        pos = _positions(a, b, m, k_lanes)
-        passes = _membership(words, pos, floor_k, act, k_lanes)
-        passes = passes & (passthrough == 0)
-        pass_ref[0, g:g + 1, :] = _to_u8(passes)
+    )(m, floor_k, bits, a, b, act, vals.astype(_I32))
+    words = _words32_to_bits(words32)
+    wit = _witwords_to_bytes(witw[:, :, 31::32])
+    wcnt = jnp.sum(passes.astype(_I32), axis=2)
+    vcnt = jnp.sum(bits.astype(_I32), axis=2)
+    vseg = valc[:, :, : vh * 32]
+    return words, wit, wcnt, vseg, vcnt
 
 
 def blocked_membership(words, a, b, act, m, floor_k, flags, *, k_lanes: int):
@@ -290,7 +386,7 @@ def blocked_membership(words, a, b, act, m, floor_k, flags, *, k_lanes: int):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, BG, MH, ML), lambda f, g: (f, g, 0, 0)),
+            pl.BlockSpec((1, BG, NW), lambda f, g: (f, g, 0)),
             pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
             pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
             pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
@@ -298,42 +394,9 @@ def blocked_membership(words, a, b, act, m, floor_k, flags, *, k_lanes: int):
         out_specs=pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
         out_shape=jax.ShapeDtypeStruct((f_, nb, IPB), jnp.uint8),
         interpret=_interpret(),
-    )(m, floor_k, flags, words.reshape(f_, nb, MH, ML), a, b, act)
-    wcnt = jnp.sum(passes.astype(jnp.int32), axis=2)
+    )(m, floor_k, flags, _bits_to_words32(words), a, b, act)
+    wcnt = jnp.sum(passes.astype(_I32), axis=2)
     return passes, wcnt
-
-
-def _expand_kernel(flag_ref, lt_ref, pass_ref, wit_ref, raw_ref, vseg_ref,
-                   mask_ref, vals_ref, *, vh):
-    f = pl.program_id(0)
-    for g in range(BG):
-        passes = pass_ref[0, g:g + 1, :].astype(jnp.bool_)   # (1, IPB)
-        seg2d = _u8_to_bf(wit_ref[0, g, :, :])               # (16, 8)
-        p32 = passes.astype(jnp.int32)
-        widx = _excl_prefix(p32, lt_ref)                     # (1, IPB)
-        x16 = _onehot(widx >> 6, 16)
-        y8 = _onehot((widx >> 3) & 7, 8)
-        per_l = _dot0(seg2d, x16)                            # (8, IPB)
-        byte_t = jnp.sum(per_l * y8.astype(_F32), axis=0,
-                         keepdims=True).astype(jnp.int32)
-        bit_t = (byte_t >> (7 - (widx & 7))) & 1
-        decoded = jnp.where(passes, bit_t, 0)
-        mask = jnp.where(flag_ref[f] > 0,
-                         raw_ref[0, g:g + 1, :].astype(jnp.int32), decoded)
-        mask_ref[0, g:g + 1, :] = _to_u8(mask)
-        # value expansion — byte planes for bf16-exactness (see encode)
-        slot = _excl_prefix(mask, lt_ref)
-        xv = _onehot(slot >> 5, vh)
-        yv = _onehot(slot & 31, 32).astype(_F32)
-        vseg = vseg_ref[0, g, :, :]                          # (vh, 32) i32
-        val_t = jnp.zeros((1, slot.shape[1]), jnp.int32)
-        for plane in range(3):
-            pbyte = ((vseg >> (8 * plane)) & 0xFF).astype(_BF)
-            per_v = _dot0(pbyte, xv)                         # (32, IPB)
-            b_t = jnp.sum(per_v * yv, axis=0,
-                          keepdims=True).astype(jnp.int32)
-            val_t = val_t | (b_t << (8 * plane))
-        vals_ref[0, g:g + 1, :] = jnp.where(mask > 0, val_t, 0)
 
 
 def blocked_expand(passes, wit, raw_mask, flags, vseg, *, vh: int):
@@ -345,18 +408,17 @@ def blocked_expand(passes, wit, raw_mask, flags, vseg, *, vh: int):
     vseg: (F,NB,vh*32) i32 value segments.
     Returns (mask (F,NB,IPB) u8, vals (F,NB,IPB) i32)."""
     f_, nb, _ = passes.shape
-    lt = jnp.asarray(strict_lower_triangle(), dtype=_BF)
-    kern = functools.partial(_expand_kernel, vh=vh)
+    vpad = jnp.zeros((f_, nb, IPB), _I32)
+    vpad = vpad.at[:, :, : vh * 32].set(vseg.astype(_I32))
     return pl.pallas_call(
-        kern,
+        _expand_kernel,
         grid=(f_, nb // BG),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((IPB, IPB), lambda f, g: (0, 0)),
             pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
-            pl.BlockSpec((1, BG, 16, 8), lambda f, g: (f, g, 0, 0)),
+            pl.BlockSpec((1, BG, WW), lambda f, g: (f, g, 0)),
             pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
-            pl.BlockSpec((1, BG, vh, 32), lambda f, g: (f, g, 0, 0)),
+            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
@@ -364,8 +426,7 @@ def blocked_expand(passes, wit, raw_mask, flags, vseg, *, vh: int):
         ],
         out_shape=[
             jax.ShapeDtypeStruct((f_, nb, IPB), jnp.uint8),
-            jax.ShapeDtypeStruct((f_, nb, IPB), jnp.int32),
+            jax.ShapeDtypeStruct((f_, nb, IPB), _I32),
         ],
         interpret=_interpret(),
-    )(flags, lt, passes, wit.reshape(f_, nb, 16, 8), raw_mask,
-      vseg.astype(jnp.int32).reshape(f_, nb, vh, 32))
+    )(flags, passes, _bytes_to_witwords(wit), raw_mask, vpad)

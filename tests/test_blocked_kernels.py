@@ -133,11 +133,44 @@ class TestDecodeKernels:
             np.asarray(out_vals), np.where(bits.astype(bool), vals, 0))
 
 
-def test_excl_prefix_matmul():
+def test_excl_prefix_ladder():
+    import jax
     rng = np.random.default_rng(0)
-    x = rng.integers(0, 2, (1, bk.IPB)).astype(np.int32)
-    lt = jnp.asarray(bk.strict_lower_triangle(), dtype=jnp.bfloat16)
-    got = np.asarray(bk._dotT(jnp.asarray(x).astype(jnp.bfloat16), lt)
-                     .astype(jnp.int32))[0]
-    want = np.cumsum(x[0]) - x[0]
+    x = rng.integers(0, 3, (bk.BG, bk.IPB)).astype(np.int32)
+    got = np.asarray(jax.jit(bk.excl_prefix)(jnp.asarray(x)))
+    want = np.cumsum(x, axis=1) - x
     np.testing.assert_array_equal(got, want)
+
+
+def test_butterfly_roundtrip_properties():
+    """Compaction then expansion is identity on kept lanes, across many
+    random densities (the conflict-freeness property)."""
+    import jax
+
+    @jax.jit
+    def compact(vals, kept):
+        lane = np.arange(bk.IPB, dtype=np.int32)[None, :]
+        cpos = bk.excl_prefix(kept.astype(jnp.int32))
+        (out,), outk = bk.compact_butterfly(
+            [vals], kept.astype(jnp.bool_), jnp.asarray(lane) - cpos)
+        return out, outk
+
+    @jax.jit
+    def expand(seg, kept):
+        (out,) = bk.expand_butterfly([seg], kept.astype(jnp.bool_))
+        return out
+
+    rng = np.random.default_rng(7)
+    for density in (0.003, 0.05, 0.3, 0.7, 0.97):
+        kept = (rng.random((bk.BG, bk.IPB)) < density).astype(np.int32)
+        vals = rng.integers(0, 1 << 24, (bk.BG, bk.IPB)).astype(np.int32)
+        out, outk = [np.asarray(x) for x in compact(
+            jnp.asarray(vals), jnp.asarray(kept))]
+        for r in range(bk.BG):
+            want = vals[r][kept[r].astype(bool)]
+            np.testing.assert_array_equal(out[r][: len(want)], want)
+        # expansion inverts
+        back = np.asarray(expand(jnp.asarray(out), jnp.asarray(kept)))
+        for r in range(bk.BG):
+            want = vals[r][kept[r].astype(bool)]
+            np.testing.assert_array_equal(back[r][kept[r].astype(bool)], want)
