@@ -1,0 +1,269 @@
+// nbf — native host runtime for the TPU Bloom codec.
+//
+// The reference's native surface is three C/C++ libraries: xxhash,
+// zlib, and OpenCV (SURVEY.md §2 native components).  This library is
+// the framework-owned equivalent of the first two plus the host-side
+// stream plumbing around the TPU compute path:
+//
+//   * xxh64            — spec-faithful xxHash64 (reference probe hash,
+//                        improved_video_compressor.py:77-78)
+//   * xxh64_index_table— batch h1/h2/activation tables for an index
+//                        range (the per-geometry precompute)
+//   * deflate_frames / inflate_frames — multi-threaded zlib over
+//                        independent frame buffers (the keyframe
+//                        entropy stage, fixed_video_compressor.py:31)
+//   * strip_rows       — padded-segment concatenation (witness/value
+//                        streams of the BFV3 profile)
+//   * y4m_probe        — header parse of Y4M files
+//
+// Pure C ABI for ctypes; no Python headers needed.
+//
+// Build: make -C native   (produces libnbf.so)
+
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+#include <thread>
+#include <vector>
+#include <zlib.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// xxHash64 (from the public spec)
+// ---------------------------------------------------------------------------
+
+static const uint64_t P1 = 0x9E3779B185EBCA87ULL;
+static const uint64_t P2 = 0xC2B2AE3D27D4EB4FULL;
+static const uint64_t P3 = 0x165667B19E3779F9ULL;
+static const uint64_t P4 = 0x85EBCA77C2B2AE63ULL;
+static const uint64_t P5 = 0x27D4EB2F165667C5ULL;
+
+static inline uint64_t rotl(uint64_t x, int r) {
+  return (x << r) | (x >> (64 - r));
+}
+static inline uint64_t rd64(const uint8_t* p) {
+  uint64_t v; memcpy(&v, p, 8); return v;  // little-endian hosts
+}
+static inline uint32_t rd32(const uint8_t* p) {
+  uint32_t v; memcpy(&v, p, 4); return v;
+}
+static inline uint64_t round1(uint64_t acc, uint64_t lane) {
+  acc += lane * P2; acc = rotl(acc, 31); return acc * P1;
+}
+static inline uint64_t merge_round(uint64_t acc, uint64_t val) {
+  val = round1(0, val); acc ^= val; return acc * P1 + P4;
+}
+
+uint64_t nbf_xxh64(const uint8_t* data, uint64_t len, uint64_t seed) {
+  const uint8_t* p = data;
+  const uint8_t* end = data + len;
+  uint64_t h;
+  if (len >= 32) {
+    uint64_t v1 = seed + P1 + P2, v2 = seed + P2, v3 = seed, v4 = seed - P1;
+    const uint8_t* limit = end - 32;
+    do {
+      v1 = round1(v1, rd64(p)); p += 8;
+      v2 = round1(v2, rd64(p)); p += 8;
+      v3 = round1(v3, rd64(p)); p += 8;
+      v4 = round1(v4, rd64(p)); p += 8;
+    } while (p <= limit);
+    h = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18);
+    h = merge_round(h, v1); h = merge_round(h, v2);
+    h = merge_round(h, v3); h = merge_round(h, v4);
+  } else {
+    h = seed + P5;
+  }
+  h += len;
+  while (p + 8 <= end) {
+    h ^= round1(0, rd64(p));
+    h = rotl(h, 27) * P1 + P4;
+    p += 8;
+  }
+  if (p + 4 <= end) {
+    h ^= (uint64_t)rd32(p) * P1;
+    h = rotl(h, 23) * P2 + P3;
+    p += 4;
+  }
+  while (p < end) {
+    h ^= (*p) * P5;
+    h = rotl(h, 11) * P1;
+    ++p;
+  }
+  h ^= h >> 33; h *= P2; h ^= h >> 29; h *= P3; h ^= h >> 32;
+  return h;
+}
+
+// h1/h2/activation tables for indices [0, n): hashes of the ASCII
+// decimal rendering of each index with the given seeds (the reference's
+// probe semantics).  Multi-threaded.
+void nbf_xxh64_index_table(uint64_t n, uint64_t h1_seed, uint64_t h2_seed,
+                           uint64_t act_seed, uint64_t* h1, uint64_t* h2,
+                           uint64_t* act, int threads) {
+  if (threads < 1) threads = 1;
+  auto work = [&](uint64_t lo, uint64_t hi) {
+    char buf[24];
+    for (uint64_t i = lo; i < hi; ++i) {
+      int len = snprintf(buf, sizeof buf, "%llu", (unsigned long long)i);
+      const uint8_t* b = (const uint8_t*)buf;
+      h1[i] = nbf_xxh64(b, len, h1_seed);
+      h2[i] = nbf_xxh64(b, len, h2_seed);
+      act[i] = nbf_xxh64(b, len, act_seed);
+    }
+  };
+  if (threads == 1) { work(0, n); return; }
+  std::vector<std::thread> ts;
+  uint64_t chunk = (n + threads - 1) / threads;
+  for (int t = 0; t < threads; ++t) {
+    uint64_t lo = t * chunk, hi = lo + chunk < n ? lo + chunk : n;
+    if (lo >= hi) break;
+    ts.emplace_back(work, lo, hi);
+  }
+  for (auto& t : ts) t.join();
+}
+
+// ---------------------------------------------------------------------------
+// Threaded zlib over independent frame buffers
+// ---------------------------------------------------------------------------
+
+// Compress `count` buffers (in[i], in_len[i]) with the given level into
+// out[i] (caller-allocated, cap out_cap[i]); writes out_len[i].
+// Returns 0 on success, index+1 of first failing buffer otherwise.
+int nbf_deflate_frames(int count, const uint8_t** in, const uint64_t* in_len,
+                       uint8_t** out, const uint64_t* out_cap,
+                       uint64_t* out_len, int level, int threads) {
+  std::vector<int> status(count, 0);
+  auto work = [&](int i) {
+    uLongf dest = (uLongf)out_cap[i];
+    int rc = compress2(out[i], &dest, in[i], (uLong)in_len[i], level);
+    if (rc != Z_OK) { status[i] = 1; return; }
+    out_len[i] = dest;
+  };
+  if (threads <= 1 || count == 1) {
+    for (int i = 0; i < count; ++i) work(i);
+  } else {
+    std::vector<std::thread> ts;
+    std::vector<int> next(1, 0);
+    for (int t = 0; t < threads && t < count; ++t) {
+      ts.emplace_back([&, t]() {
+        for (int i = t; i < count; i += threads) work(i);
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+  for (int i = 0; i < count; ++i) if (status[i]) return i + 1;
+  return 0;
+}
+
+int nbf_inflate_frames(int count, const uint8_t** in, const uint64_t* in_len,
+                       uint8_t** out, const uint64_t* out_cap,
+                       uint64_t* out_len, int threads) {
+  std::vector<int> status(count, 0);
+  auto work = [&](int i) {
+    uLongf dest = (uLongf)out_cap[i];
+    int rc = uncompress(out[i], &dest, in[i], (uLong)in_len[i]);
+    if (rc != Z_OK) { status[i] = 1; return; }
+    out_len[i] = dest;
+  };
+  if (threads <= 1 || count == 1) {
+    for (int i = 0; i < count; ++i) work(i);
+  } else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < threads && t < count; ++t) {
+      ts.emplace_back([&, t]() {
+        for (int i = t; i < count; i += threads) work(i);
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+  for (int i = 0; i < count; ++i) if (status[i]) return i + 1;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Padded-row stream compaction (witness / value segment stripping)
+// ---------------------------------------------------------------------------
+
+// rows x stride bytes in `data`; copy lengths[r] bytes of each row
+// contiguously into out.  Returns total bytes written.
+uint64_t nbf_strip_rows(const uint8_t* data, uint64_t rows, uint64_t stride,
+                        const uint32_t* lengths, uint8_t* out) {
+  uint64_t off = 0;
+  for (uint64_t r = 0; r < rows; ++r) {
+    memcpy(out + off, data + r * stride, lengths[r]);
+    off += lengths[r];
+  }
+  return off;
+}
+
+// Inverse: split a contiguous stream back into padded rows.
+void nbf_pad_rows(const uint8_t* stream, uint64_t rows, uint64_t stride,
+                  const uint32_t* lengths, uint8_t* out) {
+  uint64_t off = 0;
+  memset(out, 0, rows * stride);
+  for (uint64_t r = 0; r < rows; ++r) {
+    memcpy(out + r * stride, stream + off, lengths[r]);
+    off += lengths[r];
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Y4M header probe
+// ---------------------------------------------------------------------------
+
+// Parses "YUV4MPEG2 ... \n"; returns 0 ok / -1 bad. Writes width,
+// height, fps_num, fps_den, header_len, and a colorspace code
+// (420 / 422 / 444 / 400).
+int nbf_y4m_probe(const uint8_t* data, uint64_t len, uint32_t* width,
+                  uint32_t* height, uint32_t* fps_num, uint32_t* fps_den,
+                  uint32_t* header_len, uint32_t* colorspace) {
+  const char magic[] = "YUV4MPEG2";
+  if (len < 10 || memcmp(data, magic, 9) != 0) return -1;
+  uint64_t i = 9;
+  *width = *height = 0; *fps_num = 25; *fps_den = 1; *colorspace = 420;
+  while (i < len && data[i] != '\n') {
+    if (data[i] == ' ') {
+      ++i;
+      if (i >= len) break;
+      char tag = data[i];
+      uint64_t j = i + 1;
+      uint64_t v = 0, v2 = 0;
+      switch (tag) {
+        case 'W': case 'H':
+          while (j < len && data[j] >= '0' && data[j] <= '9')
+            v = v * 10 + (data[j++] - '0');
+          if (tag == 'W') *width = (uint32_t)v; else *height = (uint32_t)v;
+          break;
+        case 'F':
+          while (j < len && data[j] >= '0' && data[j] <= '9')
+            v = v * 10 + (data[j++] - '0');
+          if (j < len && data[j] == ':') {
+            ++j;
+            while (j < len && data[j] >= '0' && data[j] <= '9')
+              v2 = v2 * 10 + (data[j++] - '0');
+          }
+          *fps_num = (uint32_t)v; *fps_den = v2 ? (uint32_t)v2 : 1;
+          break;
+        case 'C':
+          if (j + 2 < len) {
+            if (!memcmp(data + j, "444", 3)) *colorspace = 444;
+            else if (!memcmp(data + j, "422", 3)) *colorspace = 422;
+            else if (!memcmp(data + j, "420", 3)) *colorspace = 420;
+            else if (!memcmp(data + j, "mon", 3)) *colorspace = 400;
+          }
+          while (j < len && data[j] != ' ' && data[j] != '\n') ++j;
+          break;
+        default:
+          while (j < len && data[j] != ' ' && data[j] != '\n') ++j;
+      }
+      i = j;
+    } else {
+      ++i;
+    }
+  }
+  if (i >= len || *width == 0 || *height == 0) return -1;
+  *header_len = (uint32_t)(i + 1);
+  return 0;
+}
+
+}  // extern "C"

@@ -36,6 +36,7 @@ from new_bloom_filter_repo_tpu.models.bloom import (
 )
 from new_bloom_filter_repo_tpu.ops.hashtables import get_hash_tables
 from new_bloom_filter_repo_tpu.ops.pallas import blocked as bk
+from new_bloom_filter_repo_tpu.utils import native
 
 MIN_M = 16            # below this sub-filter width a sparse record wins
 KEY_DENSITY = 0.45    # scene-cut fallback
@@ -136,9 +137,18 @@ def _vh_bucket(max_count: int) -> int:
 
 
 def _strip_rows(arr2d: np.ndarray, lengths: np.ndarray) -> np.ndarray:
-    """Concatenate arr2d[i, :lengths[i]] without a Python loop."""
-    cols = np.arange(arr2d.shape[1])
-    return arr2d[cols[None, :] < lengths[:, None]]
+    """Concatenate arr2d[i, :lengths[i]] without a Python loop.
+
+    u8 rows go through the native memcpy walk (utils/native.py) when the
+    library is built; wider dtypes are viewed as bytes first."""
+    if arr2d.dtype == np.uint8:
+        return native.strip_rows(arr2d, lengths.astype(np.uint32))
+    itemsize = arr2d.dtype.itemsize
+    flat = native.strip_rows(
+        np.ascontiguousarray(arr2d).view(np.uint8).reshape(
+            arr2d.shape[0], arr2d.shape[1] * itemsize),
+        (lengths * itemsize).astype(np.uint32))
+    return flat.view(arr2d.dtype)
 
 
 def _values_to_bytes(vseg_row: np.ndarray, vcnt_row: np.ndarray,

@@ -581,6 +581,62 @@ class ImprovedVideoCompressor:
         return videoio.write_video_frames(out, output_path, fps=fps,
                                           is_color=True)
 
+    def analyze_noise_vs_compression(self, width: int = 640,
+                                     height: int = 480,
+                                     frame_count: int = 90,
+                                     noise_levels=None,
+                                     output_dir: Optional[str] = None,
+                                     color_space: str = "BGR") -> Dict:
+        """Sweep synthetic noise levels and measure compression ratio and
+        losslessness at each.
+
+        The reference CLI calls this method but no class defines it
+        (improved_video_compressor.py:1822 — SURVEY.md §2 broken
+        subcommands); this is the working implementation.  Writes a
+        matplotlib plot when output_dir is given and the lib is present.
+        """
+        from new_bloom_filter_repo_tpu.utils.synthetic import generate_frames
+        if noise_levels is None:
+            noise_levels = [0.0, 0.5, 1.0, 2.0, 4.0, 8.0, 16.0]
+        ratios, lossless_flags = [], []
+        import tempfile
+        for noise in noise_levels:
+            frames = generate_frames(frame_count, width, height,
+                                     noise=noise, color_space=color_space)
+            with tempfile.TemporaryDirectory() as td:
+                path = os.path.join(td, "clip.bfvc")
+                res = self.compress_video(frames, path,
+                                          input_color_space=color_space)
+                rec = self.decompress_video(path)
+            v = verify_lossless(frames, rec)
+            ratios.append(res["compression_ratio"])
+            lossless_flags.append(bool(v["lossless"]))
+            if self.verbose:
+                print(f"noise={noise}: ratio={res['compression_ratio']:.4f} "
+                      f"lossless={v['lossless']}")
+        result = {"noise_levels": list(noise_levels), "ratios": ratios,
+                  "lossless": lossless_flags, "color_space": color_space}
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+            try:
+                import matplotlib
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
+                fig, ax = plt.subplots(figsize=(7, 4.5))
+                ax.plot(noise_levels, ratios, marker="o")
+                ax.set_xlabel("noise level (sigma)")
+                ax.set_ylabel("compression ratio")
+                ax.set_title(f"Noise vs compression ({color_space})")
+                ax.grid(True, alpha=0.3)
+                path = os.path.join(
+                    output_dir, f"noise_comparison_{color_space}.png")
+                fig.savefig(path, dpi=110)
+                plt.close(fig)
+                result["plot"] = path
+            except ImportError:
+                pass
+        return result
+
     def extract_frames_from_video(self, video_path: str, max_frames: int = 0,
                                   target_fps: Optional[float] = None,
                                   scale_factor: float = 1.0,

@@ -1,0 +1,205 @@
+"""Bit-exact end-to-end verification harness.
+
+Re-design of the reference's strictest acceptance gate
+(verify_true_lossless.py:1-526): per-color-space compress/decompress
+round trips with zero-tolerance settings, a single-frame smoke test
+first, the standard verify_lossless *plus* an independent byte-level
+comparator with per-pixel diff forensics, diagnostic image dumps on
+failure, and FPS reporting in both directions.
+
+    python -m new_bloom_filter_repo_tpu.verify_harness video.y4m \
+        --color-spaces BGR RGB YUV --output-dir /tmp/verify
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import Dict, List
+
+import numpy as np
+
+from new_bloom_filter_repo_tpu.models.video import (
+    ImprovedVideoCompressor,
+    add_yuv_info_to_frame,
+)
+from new_bloom_filter_repo_tpu.utils.yuvframe import unwrap
+
+
+def verify_bit_exact(original_frames, decompressed_frames,
+                     max_examples: int = 5) -> Dict:
+    """Independent byte-level comparator with per-pixel forensics
+    (reference: verify_true_lossless.py:338-492)."""
+    result = {
+        "bit_exact": True,
+        "frames_compared": 0,
+        "mismatched_frames": [],
+        "examples": [],
+    }
+    if len(original_frames) != len(decompressed_frames):
+        result["bit_exact"] = False
+        result["reason"] = (f"frame count {len(original_frames)} vs "
+                            f"{len(decompressed_frames)}")
+        return result
+    for i, (o, d) in enumerate(zip(original_frames, decompressed_frames)):
+        od, dd = unwrap(o), unwrap(d)
+        result["frames_compared"] += 1
+        if od.shape != dd.shape or od.dtype != dd.dtype:
+            result["bit_exact"] = False
+            result["mismatched_frames"].append(i)
+            result["examples"].append(
+                {"frame": i, "kind": "shape/dtype",
+                 "orig": (od.shape, str(od.dtype)),
+                 "decomp": (dd.shape, str(dd.dtype))})
+            continue
+        if od.tobytes() == dd.tobytes():
+            continue
+        result["bit_exact"] = False
+        result["mismatched_frames"].append(i)
+        diff = od.astype(np.int32) - dd.astype(np.int32)
+        bad = np.argwhere(diff != 0)
+        for pix in bad[:max_examples]:
+            idx = tuple(int(x) for x in pix)
+            result["examples"].append(
+                {"frame": i, "pixel": idx,
+                 "orig": int(od[idx]), "decomp": int(dd[idx])})
+        result.setdefault("diff_stats", {})[i] = {
+            "pixels_different": int((diff != 0).any(axis=-1).sum()
+                                    if diff.ndim == 3 else
+                                    (diff != 0).sum()),
+            "max_abs_diff": int(np.abs(diff).max()),
+        }
+    return result
+
+
+def _dump_diagnostics(original, decompressed, frame_idx: int,
+                      output_dir: str) -> List[str]:
+    """Write diagnostic PNGs for the worst frame (reference:
+    verify_true_lossless.py:426-452)."""
+    paths = []
+    try:
+        from PIL import Image
+    except ImportError:  # pragma: no cover
+        return paths
+    os.makedirs(output_dir, exist_ok=True)
+    od = unwrap(original)
+    dd = unwrap(decompressed)
+    diff = (np.abs(od.astype(np.int32) - dd.astype(np.int32))
+            .clip(0, 255).astype(np.uint8))
+    for name, arr in (("orig", od), ("decomp", dd), ("diff", diff)):
+        p = os.path.join(output_dir, f"frame{frame_idx}_{name}.png")
+        img = arr if arr.ndim == 2 else arr[..., ::-1]  # BGR -> RGB
+        Image.fromarray(img).save(p)
+        paths.append(p)
+    return paths
+
+
+def test_color_space(frames, color_space: str, output_dir: str = None,
+                     mode: str = "bloom", verbose: bool = True) -> Dict:
+    """Strict round trip in one color space: zero noise tolerance, exact
+    masks (reference: verify_true_lossless.py:241-336)."""
+    import tempfile
+
+    comp = ImprovedVideoCompressor(
+        noise_tolerance=0.0, min_diff_threshold=0.0,
+        use_direct_yuv=(color_space.upper() == "YUV"),
+        verbose=False, mode=mode, exact=True)
+
+    if color_space.upper() == "YUV":
+        frames = [add_yuv_info_to_frame(np.asarray(unwrap(f)))
+                  for f in frames]
+
+    # single-frame smoke test first
+    with tempfile.TemporaryDirectory() as td:
+        smoke = os.path.join(td, "smoke.bfvc")
+        comp.compress_video(frames[:1], smoke, input_color_space=color_space)
+        rec1 = comp.decompress_video(smoke)
+        if not np.array_equal(unwrap(frames[0]), unwrap(rec1[0])):
+            return {"color_space": color_space, "passed": False,
+                    "reason": "single-frame smoke test failed"}
+
+        path = os.path.join(td, "clip.bfvc")
+        t0 = time.time()
+        res = comp.compress_video(frames, path,
+                                  input_color_space=color_space)
+        t_enc = time.time() - t0
+        t0 = time.time()
+        rec = comp.decompress_video(path)
+        t_dec = time.time() - t0
+
+    v = comp.verify_lossless(frames, rec)
+    b = verify_bit_exact(frames, rec)
+    passed = v["lossless"] and b["bit_exact"]
+    out = {
+        "color_space": color_space,
+        "passed": passed,
+        "verify_lossless": v,
+        "bit_exact": b,
+        "compression_ratio": res["compression_ratio"],
+        "compress_fps": len(frames) / t_enc if t_enc > 0 else 0.0,
+        "decompress_fps": len(frames) / t_dec if t_dec > 0 else 0.0,
+    }
+    if not passed and output_dir and v.get("max_diff_frame", -1) >= 0:
+        i = v["max_diff_frame"]
+        out["diagnostics"] = _dump_diagnostics(frames[i], rec[i], i,
+                                               output_dir)
+    if verbose:
+        status = "PASS" if passed else "FAIL"
+        print(f"[{color_space}] {status}  ratio={res['compression_ratio']:.4f}"
+              f"  enc={out['compress_fps']:.2f} fps"
+              f"  dec={out['decompress_fps']:.2f} fps")
+        if not passed:
+            print(f"  mismatched frames: {b['mismatched_frames'][:10]}")
+            for ex in b["examples"][:5]:
+                print(f"  example: {ex}")
+    return out
+
+
+def test_true_lossless(video_path: str, color_spaces=("BGR", "RGB", "YUV"),
+                       max_frames: int = 30, output_dir: str = None,
+                       mode: str = "bloom", verbose: bool = True) -> Dict:
+    """Full harness over a real video file."""
+    comp = ImprovedVideoCompressor(verbose=False)
+    results = {}
+    ok = True
+    for cs in color_spaces:
+        try:
+            frames = comp.extract_frames_from_video(
+                video_path, max_frames=max_frames, output_color_space=cs)
+            results[cs] = test_color_space(frames, cs, output_dir,
+                                           mode=mode, verbose=verbose)
+        except Exception as exc:  # report, don't abort other spaces
+            results[cs] = {"color_space": cs, "passed": False,
+                           "reason": f"{type(exc).__name__}: {exc}"}
+            if verbose:
+                print(f"[{cs}] ERROR {exc}")
+        ok = ok and results[cs].get("passed", False)
+    results["all_passed"] = ok
+    if verbose:
+        print(f"\nOverall: {'TRUE LOSSLESS VERIFIED' if ok else 'FAILED'}")
+    return results
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="Bit-exact lossless verification harness")
+    ap.add_argument("video", help="Input video path (.y4m/.yuv/anything "
+                                  "cv2 reads)")
+    ap.add_argument("--color-spaces", nargs="+",
+                    default=["BGR", "RGB", "YUV"])
+    ap.add_argument("--max-frames", type=int, default=30)
+    ap.add_argument("--output-dir", default=None,
+                    help="Directory for failure diagnostics")
+    ap.add_argument("--mode", choices=["bloom", "keyframe"],
+                    default="bloom")
+    args = ap.parse_args(argv)
+    results = test_true_lossless(
+        args.video, args.color_spaces, args.max_frames, args.output_dir,
+        mode=args.mode)
+    return 0 if results["all_passed"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,150 @@
+"""CLI, verification harness, and image/text codec tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from new_bloom_filter_repo_tpu import cli
+from new_bloom_filter_repo_tpu.models.image_text import BloomCompressor
+from new_bloom_filter_repo_tpu.utils import videoio
+from new_bloom_filter_repo_tpu.utils.synthetic import generate_frames
+from new_bloom_filter_repo_tpu import verify_harness as vh
+
+
+def make_y4m(path, n=6, w=64, h=48):
+    """Static textured scene + moving block (temporally correlated)."""
+    rng = np.random.default_rng(0)
+    y0 = rng.integers(16, 235, (h, w), dtype=np.uint8)
+    u0 = rng.integers(16, 240, (h // 2, w // 2), dtype=np.uint8)
+    v0 = rng.integers(16, 240, (h // 2, w // 2), dtype=np.uint8)
+    planes = []
+    for i in range(n):
+        y = y0.copy()
+        y[10:20, 4 + 4 * i:14 + 4 * i] = 200
+        planes.append((y, u0.copy(), v0.copy()))
+    videoio.write_y4m(path, planes, w, h, "420jpeg")
+    return planes
+
+
+class TestCLI:
+    def test_synthetic_subcommand(self, tmp_path, capsys):
+        rc = cli.main(["synthetic", str(tmp_path), "--frames", "6",
+                       "--width", "64", "--height", "48",
+                       "--keyframe-interval", "4"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "Lossless: True" in out
+        assert os.path.exists(str(tmp_path / "synthetic_compressed.bfvc"))
+
+    def test_compress_decompress_y4m(self, tmp_path, capsys):
+        y4m = str(tmp_path / "in.y4m")
+        make_y4m(y4m)
+        bfvc = str(tmp_path / "out.bfvc")
+        rc = cli.main(["compress", y4m, bfvc, "--color-space", "YUV",
+                       "--keyframe-interval", "4"])
+        assert rc == 0 and os.path.exists(bfvc)
+        assert "Compression Summary" in capsys.readouterr().out
+        # decompress to mp4 requires cv2; verify via library instead
+        from new_bloom_filter_repo_tpu.models.video import (
+            ImprovedVideoCompressor)
+        comp = ImprovedVideoCompressor(use_direct_yuv=True, verbose=False)
+        frames = comp.extract_frames_from_video(y4m, output_color_space="YUV")
+        rec = comp.decompress_video(bfvc)
+        assert comp.verify_lossless(frames, rec)["lossless"]
+
+    def test_process_yuv_subcommand(self, tmp_path, capsys):
+        raw = str(tmp_path / "in.yuv")
+        rng = np.random.default_rng(1)
+        w, h, n = 64, 48, 4
+        with open(raw, "wb") as f:
+            for _ in range(n):
+                f.write(rng.integers(0, 256, h * w, dtype=np.uint8).tobytes())
+                f.write(rng.integers(0, 256, (h // 2) * (w // 2) * 2,
+                                     dtype=np.uint8).tobytes())
+        bfvc = str(tmp_path / "out.bfvc")
+        rc = cli.main(["process-yuv", raw, bfvc, "--width", "64",
+                       "--height", "48", "--format", "I420",
+                       "--keyframe-interval", "2"])
+        assert rc == 0 and os.path.exists(bfvc)
+        assert "Processed 4 frames" in capsys.readouterr().out
+
+    def test_analyze_subcommand(self, tmp_path, capsys):
+        rc = cli.main(["analyze", str(tmp_path), "--frames", "4",
+                       "--width", "64", "--height", "48",
+                       "--noise-levels", "0.0", "2.0"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "Noise Analysis Summary" in out
+        assert "Tested 2 noise levels" in out
+
+    def test_no_action_prints_help(self, capsys):
+        assert cli.main([]) == 0
+        assert "compress" in capsys.readouterr().out
+
+
+class TestVerifyHarness:
+    def test_true_lossless_on_y4m(self, tmp_path):
+        y4m = str(tmp_path / "v.y4m")
+        make_y4m(y4m)
+        res = vh.test_true_lossless(y4m, color_spaces=("YUV",),
+                                    max_frames=4, verbose=False)
+        assert res["all_passed"], res
+        assert res["YUV"]["compression_ratio"] < 1.0
+
+    def test_bit_exact_comparator_finds_diffs(self):
+        frames = generate_frames(3, 32, 24, noise=0)
+        bad = [f.copy() for f in frames]
+        bad[1][3, 4, 0] ^= 5
+        r = vh.verify_bit_exact(frames, bad)
+        assert not r["bit_exact"]
+        assert r["mismatched_frames"] == [1]
+        ex = r["examples"][0]
+        assert ex["frame"] == 1 and tuple(ex["pixel"])[:2] == (3, 4)
+
+    def test_bit_exact_passes_on_identical(self):
+        frames = generate_frames(2, 32, 24)
+        r = vh.verify_bit_exact(frames, [f.copy() for f in frames])
+        assert r["bit_exact"] and r["frames_compared"] == 2
+
+
+class TestImageTextCodec:
+    def test_text_roundtrip(self):
+        c = BloomCompressor()
+        text = ("the quick brown fox jumps over the lazy dog " * 20).strip()
+        data, ratio = c.compress_text(text)
+        assert c.decompress_text(data) == text
+
+    def test_image_roundtrip(self, tmp_path):
+        PIL = pytest.importorskip("PIL.Image")
+        rng = np.random.default_rng(3)
+        img = np.zeros((60, 80), np.uint8)
+        img[10:30, 20:60] = 255
+        img[rng.random((60, 80)) < 0.03] = 255  # sparse bright noise
+        path = str(tmp_path / "img.png")
+        PIL.fromarray(img).save(path)
+        c = BloomCompressor()
+        data, ratio = c.compress_image(path, threshold=127)
+        out = c.decompress_image(data)
+        np.testing.assert_array_equal(out, (img > 127).astype(np.uint8) * 255)
+
+    def test_binary_roundtrip_densities(self):
+        # reference self-test coverage: densities .1-.4 incl pass-through
+        # (bloom_compress.py:621-658)
+        c = BloomCompressor()
+        rng = np.random.default_rng(4)
+        for density in (0.1, 0.2, 0.3, 0.4):
+            bits = (rng.random(4000) < density).astype(np.uint8)
+            bitmap, witness, p, n, ratio = c.compress(bits)
+            k, _ = c._calculate_optimal_params(n, p)
+            out = c.decompress(bitmap, witness, n,
+                               float(np.float32(k)))
+            np.testing.assert_array_equal(out, bits)
+
+    def test_network_byte_order_packing(self):
+        c = BloomCompressor()
+        data, _ = c.compress_text("hello world, format check")
+        import struct
+        # '!I' n field at offset 4 must be big-endian
+        n = struct.unpack_from("!I", data, 4)[0]
+        assert n == len("hello world, format check") * 8
