@@ -97,7 +97,10 @@ def verify_lossless(original_frames, decompressed_frames,
     max_diff, max_diff_frame = 0.0, -1
     for i, (o, d) in enumerate(zip(original_frames, decompressed_frames)):
         od, dd = unwrap(o), unwrap(d)
-        if np.array_equal(od, dd):
+        # Bit-pattern equality (stricter than array_equal, and correct
+        # for float frames containing NaN — HDR content can carry them).
+        if (od.shape == dd.shape and od.dtype == dd.dtype
+                and od.tobytes() == dd.tobytes()):
             exact += 1
             frame_diffs.append(0.0)
         else:
@@ -651,6 +654,23 @@ class ImprovedVideoCompressor:
         the signature the reference CLI passes but its implementation never
         accepted (broken process-yuv subcommand; SURVEY.md §2)."""
         from new_bloom_filter_repo_tpu.ops import color as color_ops
+        if video_path.lower().endswith(".exr") or (
+                os.path.isdir(video_path) and any(
+                    f.lower().endswith(".exr")
+                    for f in os.listdir(video_path))):
+            # HDR ingest: a single EXR or a directory of EXR frames
+            # (first-party reader, utils/exr.py — the reference declares
+            # pyexr but never wires HDR; SURVEY.md §2).
+            from new_bloom_filter_repo_tpu.utils import exr
+            if os.path.isdir(video_path):
+                paths = sorted(
+                    os.path.join(video_path, f)
+                    for f in os.listdir(video_path)
+                    if f.lower().endswith(".exr"))
+                if max_frames:
+                    paths = paths[:max_frames]
+                return [exr.read_exr(p) for p in paths]
+            return [exr.read_exr(video_path)]
         if video_path.lower().endswith(".yuv") or (width and height):
             if not (width and height):
                 raise ValueError("raw YUV input requires width and height")

@@ -1,0 +1,122 @@
+"""HDR/EXR pipeline and determinism-contract tests.
+
+HDR (BASELINE config 4): EXR ingest via the first-party reader, float
+frames through the codec, bit-pattern-exact verification (including NaN
+and infinities — "lossless" for floats means bit equality, not numeric
+closeness; SURVEY.md §7 hard parts).
+
+Determinism (SURVEY.md §5): same input => byte-identical bitstream
+across runs and across fresh compressor instances — the codec's
+replacement for race detectors.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from new_bloom_filter_repo_tpu.models.video import (
+    ImprovedVideoCompressor,
+    verify_lossless,
+)
+from new_bloom_filter_repo_tpu.utils import exr
+from new_bloom_filter_repo_tpu.utils.synthetic import generate_frames
+
+
+def hdr_frames(n=4, h=24, w=32, seed=0):
+    rng = np.random.default_rng(seed)
+    base = (rng.random((h, w, 3)) * 10.0).astype(np.float32)
+    frames = []
+    for i in range(n):
+        f = base.copy()
+        f[5:12, 4 + 3 * i:10 + 3 * i] = 123.456
+        frames.append(f)
+    # poison one frame with the awkward bit patterns
+    if n > 1:
+        frames[1][0, 0, 0] = np.nan
+        frames[1][0, 1, 1] = np.inf
+        frames[1][0, 2, 2] = -0.0
+    return frames
+
+
+class TestEXR:
+    def test_float32_roundtrip_bit_exact(self, tmp_path):
+        img = hdr_frames(1)[0]
+        img[3, 3, 0] = np.nan
+        p = str(tmp_path / "x.exr")
+        exr.write_exr(p, img)
+        back = exr.read_exr(p)
+        assert back.dtype == np.float32
+        assert back.tobytes() == img.tobytes()  # NaN-safe bit equality
+
+    def test_half_roundtrip(self, tmp_path):
+        img = (np.random.default_rng(1).random((10, 12)) * 4).astype(
+            np.float16)
+        p = str(tmp_path / "h.exr")
+        exr.write_exr(p, img)
+        back = exr.read_exr(p)
+        assert back.dtype == np.float16
+        assert back.tobytes() == img.tobytes()
+
+    def test_rejects_non_exr(self, tmp_path):
+        p = str(tmp_path / "bad.exr")
+        with open(p, "wb") as f:
+            f.write(b"garbage file")
+        with pytest.raises(ValueError, match="not an EXR"):
+            exr.read_exr(p)
+
+
+class TestHDRPipeline:
+    def test_hdr_clip_lossless(self, tmp_path):
+        frames = hdr_frames(4)
+        # write an EXR sequence and ingest through the public API
+        d = tmp_path / "seq"
+        d.mkdir()
+        for i, f in enumerate(frames):
+            exr.write_exr(str(d / f"frame{i:03d}.exr"), f)
+        comp = ImprovedVideoCompressor(verbose=False, keyframe_interval=2)
+        loaded = comp.extract_frames_from_video(str(d))
+        assert len(loaded) == 4
+        for a, b in zip(loaded, frames):
+            assert a.tobytes() == b.tobytes()
+        out = str(tmp_path / "hdr.bfvc")
+        res = comp.compress_video(loaded, out)
+        rec = comp.decompress_video(out)
+        v = comp.verify_lossless(loaded, rec)
+        assert v["lossless"], v
+        assert np.asarray(rec[1]).dtype == np.float32
+
+    def test_verify_lossless_nan_bit_equality(self):
+        f = hdr_frames(2)
+        same = [x.copy() for x in f]
+        assert verify_lossless(f, same)["lossless"]
+        # flipped NaN payload bit must FAIL (bit-pattern semantics)
+        bad = [x.copy() for x in f]
+        v = bad[1].view(np.uint32)
+        v[0, 0, 0] ^= 1
+        assert not verify_lossless(f, bad)["lossless"]
+
+
+class TestDeterminism:
+    def test_bitstream_identical_across_runs(self, tmp_path):
+        frames = generate_frames(8, 64, 48, noise=2.0, seed=5)
+        paths = []
+        for run in range(2):
+            comp = ImprovedVideoCompressor(verbose=False,
+                                           keyframe_interval=4)
+            p = str(tmp_path / f"run{run}.bfvc")
+            comp.compress_video(frames, p)
+            paths.append(p)
+        with open(paths[0], "rb") as a, open(paths[1], "rb") as b:
+            assert a.read() == b.read()
+
+    def test_keyframe_mode_deterministic(self, tmp_path):
+        frames = generate_frames(4, 48, 32, noise=1.0, seed=9)
+        blobs = []
+        for run in range(2):
+            comp = ImprovedVideoCompressor(verbose=False, mode="keyframe")
+            p = str(tmp_path / f"k{run}.bfvc")
+            comp.compress_video(frames, p)
+            with open(p, "rb") as f:
+                blobs.append(f.read())
+        assert blobs[0] == blobs[1]
