@@ -23,6 +23,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Persistent XLA compilation cache: TPU kernel compiles go through a slow
+# remote compile path in this environment; the cache makes repeat runs
+# start in seconds instead of minutes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/nbf_jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
 import numpy as np  # noqa: E402
 
 REF_EQUIV_1080P_FPS = 1.18

@@ -29,7 +29,6 @@ Fixes over the reference (documented deviations):
 
 from __future__ import annotations
 
-import math
 import os
 import struct
 import time
@@ -47,14 +46,9 @@ from new_bloom_filter_repo_tpu.models.binary_codec import (
     BloomFilterCompressor,
     _filter_scalars,
 )
-from new_bloom_filter_repo_tpu.models.bloom import (
-    P_STAR,
-    optimal_compression_params,
-)
 from new_bloom_filter_repo_tpu.ops import bitpack
 from new_bloom_filter_repo_tpu.ops import diff as diff_ops
 from new_bloom_filter_repo_tpu.ops import median as median_ops
-from new_bloom_filter_repo_tpu.ops.bloom_core import bitmap_pad
 from new_bloom_filter_repo_tpu.ops.hashtables import get_hash_tables
 from new_bloom_filter_repo_tpu.utils import container, videoio
 from new_bloom_filter_repo_tpu.utils.yuvframe import YUVFrame, unwrap, yuv_info_of
@@ -185,7 +179,8 @@ class ImprovedVideoCompressor:
                  use_direct_yuv: bool = False,
                  verbose: bool = False,
                  mode: str = "bloom",
-                 exact: bool = True):
+                 exact: bool = True,
+                 profile: str = "blocked"):
         self.noise_tolerance = noise_tolerance
         self.keyframe_interval = max(1, int(keyframe_interval))
         self.min_diff_threshold = min_diff_threshold
@@ -197,8 +192,15 @@ class ImprovedVideoCompressor:
         self.verbose = verbose
         if mode not in ("bloom", "keyframe"):
             raise ValueError(f"unknown mode: {mode!r}")
+        if profile not in ("blocked", "bfv2"):
+            raise ValueError(f"unknown profile: {profile!r}")
         self.mode = mode
         self.exact = exact
+        # "blocked": TPU-native BFV3 records (default). "bfv2": emit the
+        # reference's designed diff-record layout exactly (type-0 bloom
+        # records, improved_video_compressor.py:930-959) via the
+        # reference-semantics device path.
+        self.profile = profile
         self.compressor = FixedVideoCompressor(verbose=verbose)
         self.bloom_compressor = BloomFilterCompressor(verbose=False,
                                                       seed_set="video")
@@ -226,7 +228,8 @@ class ImprovedVideoCompressor:
         arrs = [np.asarray(unwrap(f)) for f in frames]
         uniform = all(
             a.dtype == np.uint8 and a.shape == arrs[0].shape for a in arrs)
-        if self.exact and uniform and len(frames) > 1:
+        if (self.exact and uniform and len(frames) > 1
+                and self.profile == "blocked"):
             infos = [yuv_info_of(f) for f in frames]
             return self._encode_frames_batched(arrs, infos)
         return self._encode_frames_loop(frames)

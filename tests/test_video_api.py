@@ -188,3 +188,53 @@ class TestImprovedCompressor:
         frames = make_video(3)
         res = verify_lossless(frames, frames[:2])
         assert not res["lossless"] and "mismatch" in res["reason"]
+
+
+class TestProfiles:
+    def test_bfv2_profile_emits_reference_layout_records(self, tmp_path):
+        """profile='bfv2' produces type-0 bloom records decodable by the
+        same decoder (reference diff layout end to end)."""
+        from new_bloom_filter_repo_tpu.models import frame_codec as fc
+        frames = make_video(6, h=32, w=40, noise=2)
+        comp = ImprovedVideoCompressor(verbose=False, keyframe_interval=6,
+                                       profile="bfv2")
+        out = str(tmp_path / "b2.bfvc")
+        comp.compress_video(frames, out)
+        magic, payloads = container.read_bfvc(out)
+        types = [fc.record_type(p) for p in payloads]
+        assert types[0] == fc.KEYFRAME
+        assert all(t in (fc.INTERFRAME, fc.KEYFRAME) for t in types)
+        assert fc.INTERFRAME in types
+        rec = comp.decompress_video(out)
+        assert comp.verify_lossless(frames, rec)["lossless"]
+
+    def test_blocked_profile_records(self, tmp_path):
+        from new_bloom_filter_repo_tpu.models import frame_codec as fc
+        frames = make_video(6, h=32, w=40, noise=2)
+        comp = ImprovedVideoCompressor(verbose=False, keyframe_interval=6)
+        out = str(tmp_path / "b3.bfvc")
+        comp.compress_video(frames, out)
+        _, payloads = container.read_bfvc(out)
+        types = set(fc.record_type(p) for p in payloads[1:])
+        assert types <= {fc.BLOCKED, fc.SPARSE, fc.EMPTY, fc.INTERFRAME,
+                         fc.KEYFRAME}
+
+    def test_cross_profile_decode(self, tmp_path):
+        """A bfv2-profile file and a blocked-profile file of the same clip
+        decode to identical frames."""
+        frames = make_video(5, h=32, w=40, noise=2, seed=8)
+        a = ImprovedVideoCompressor(verbose=False, profile="bfv2",
+                                    keyframe_interval=5)
+        b = ImprovedVideoCompressor(verbose=False, profile="blocked",
+                                    keyframe_interval=5)
+        pa, pb = str(tmp_path / "a.bfvc"), str(tmp_path / "b.bfvc")
+        a.compress_video(frames, pa)
+        b.compress_video(frames, pb)
+        ra = ImprovedVideoCompressor(verbose=False).decompress_video(pa)
+        rb = ImprovedVideoCompressor(verbose=False).decompress_video(pb)
+        for x, y in zip(ra, rb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_bogus_profile_raises(self):
+        with pytest.raises(ValueError, match="profile"):
+            ImprovedVideoCompressor(profile="nope")
