@@ -181,11 +181,20 @@ class BlockedEncoder:
     def __init__(self, zlib_level: int = 6):
         self.zlib_level = zlib_level
 
+    @staticmethod
+    def stack_chunk(base: np.ndarray, frames: List[np.ndarray]):
+        """Host-stack + async device upload of a chunk; call one chunk
+        ahead so the (slow) host->device copy overlaps the previous
+        chunk's pulls and record assembly."""
+        return jnp.asarray(np.stack([base] + frames))
+
     def encode_chunk(self, base: np.ndarray, frames: List[np.ndarray],
-                     payload_sink: List[bytes], keyframe_fn=None) -> int:
+                     payload_sink: List[bytes], keyframe_fn=None,
+                     stacked=None) -> int:
         """Encode ``frames`` (diffed against base, then chained); append
         one record per frame to payload_sink.  ``keyframe_fn(j) -> bytes``
-        supplies a keyframe record for scene-cut fallbacks.  Returns the
+        supplies a keyframe record for scene-cut fallbacks; ``stacked``
+        may carry a pre-uploaded stack_chunk() result.  Returns the
         number of keyframes emitted."""
         f = len(frames)
         shape = base.shape
@@ -195,7 +204,8 @@ class BlockedEncoder:
         tab = blocked_tables(n)
         nb, npad = tab["nb"], tab["npad"]
 
-        stacked = jnp.asarray(np.stack([base] + frames))
+        if stacked is None:
+            stacked = self.stack_chunk(base, frames)
         masks, packed_d, counts_d, vals = _phase_a(stacked, npad=npad, nb=nb)
         # Pull only the tiny counts; packed masks are fetched lazily per
         # frame (pass-through/sparse records only) — the device->host

@@ -206,6 +206,10 @@ class ImprovedVideoCompressor:
                                                       seed_set="video")
         self._blocked_enc = blocked_pipeline.BlockedEncoder()
         self._blocked_dec = blocked_pipeline.BlockedDecoder()
+        # Bloom-mode keyframes use a faster DEFLATE level (any level
+        # decodes identically; level 9 stays for reference-byte-parity
+        # BFVC keyframe mode).
+        self._keyframe_zlib_level = 6 if mode == "bloom" else 9
 
     # -- encoding ----------------------------------------------------------
 
@@ -242,30 +246,60 @@ class ImprovedVideoCompressor:
         payloads: List[bytes] = []
         keyframes = 0
         total = len(arrs)
+
+        # Segment plan first, so chunk uploads can run one step ahead of
+        # processing (the host->device link dominates end-to-end time).
+        segments = []
         pos = 0
         while pos < total:
             if pos % self.keyframe_interval == 0:
-                payloads.append(fc.encode_keyframe(arrs[pos], infos[pos],
-                                                   typed=True))
-                keyframes += 1
+                segments.append(("key", pos, pos + 1))
                 pos += 1
                 continue
             next_key = ((pos // self.keyframe_interval) + 1
                         ) * self.keyframe_interval
             run_end = min(total, next_key, pos + _CHUNK)
-            frames = arrs[pos:run_end]
-            real = len(frames)
-            frames = frames + [frames[-1]] * (_CHUNK - real)  # pad -> EMPTY
+            segments.append(("run", pos, run_end))
+            pos = run_end
 
-            def keyframe_fn(j, _pos=pos):
+        def padded_frames(start, end):
+            fr = arrs[start:end]
+            return fr + [fr[-1]] * (_CHUNK - len(fr))
+
+        # Note: prefetching chunk i+1's device upload while chunk i's
+        # outputs are pulled was measured SLOWER on this rig — the
+        # host<->device tunnel serializes, so the early upload delays the
+        # pulls the pipeline is waiting on.  Uploads therefore happen at
+        # use time; revisit on locally-attached hardware.
+        uploads: dict = {}
+
+        def prefetch(i):
+            if i < len(segments) and segments[i][0] == "run":
+                _, s0, _e = segments[i]
+                uploads[i] = blocked_pipeline.BlockedEncoder.stack_chunk(
+                    arrs[s0 - 1], padded_frames(s0, _e))
+
+        for i, (kind, start, end) in enumerate(segments):
+            prefetch(i)
+            if kind == "key":
+                payloads.append(fc.encode_keyframe(
+                    arrs[start], infos[start], typed=True,
+                    zlib_level=self._keyframe_zlib_level))
+                keyframes += 1
+                continue
+            real = end - start
+
+            def keyframe_fn(j, _pos=start):
                 idx = _pos + j
-                return fc.encode_keyframe(arrs[idx], infos[idx], typed=True)
+                return fc.encode_keyframe(
+                    arrs[idx], infos[idx], typed=True,
+                    zlib_level=self._keyframe_zlib_level)
 
             before = len(payloads)
             keyframes += self._blocked_enc.encode_chunk(
-                arrs[pos - 1], frames, payloads, keyframe_fn)
+                arrs[start - 1], padded_frames(start, end), payloads,
+                keyframe_fn, stacked=uploads.pop(i))
             del payloads[before + real:]  # drop padded-frame records
-            pos = run_end
         return payloads, keyframes
 
     def _encode_frames_loop(self, frames) -> tuple[List[bytes], int]:

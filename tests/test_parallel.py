@@ -112,3 +112,58 @@ def test_sharded_matches_host_codec_bitstream():
             np.asarray(bit_arrays[i])[: int(l[i])], bitmap)
         np.testing.assert_array_equal(
             np.asarray(witness[i])[: int(counts[i])], wit)
+
+
+def test_blocked_dp_sharding_matches_single_device():
+    """Frame-sharded blocked encode over dp equals the unsharded kernels
+    (the flagship BFV3 multi-chip path)."""
+    from new_bloom_filter_repo_tpu.ops.pallas import blocked as bk
+    from new_bloom_filter_repo_tpu.parallel import blocked_batch
+
+    sys_mod = __import__("sys")
+    rng = np.random.default_rng(11)
+    F, NB = 8, 16
+    bits = (rng.random((F, NB, bk.IPB)) < 0.05).astype(np.uint8)
+    a = rng.integers(0, 100, (F, NB, bk.IPB)).astype(np.int32)
+    b = rng.integers(0, 100, (F, NB, bk.IPB)).astype(np.int32)
+    act = (rng.random((F, NB, bk.IPB)) < 0.4).astype(np.uint8)
+    vals = rng.integers(0, 1 << 24, (F, NB, bk.IPB)).astype(np.int32)
+    ms = np.full(F, 100, np.int32)
+    fks = np.full(F, 2, np.int32)
+
+    args = tuple(jnp.asarray(x) for x in (bits, a, b, act, vals, ms, fks))
+    want = [np.asarray(x) for x in bk.blocked_encode(
+        *args, k_lanes=2, vh=4)]
+
+    mesh = cpu_mesh(4, 2)  # dp=4 used; sp axis unused by this path
+    enc = blocked_batch.make_blocked_encode_dp(mesh, k_lanes=2, vh=4)
+    got = [np.asarray(x) for x in enc(*args)]
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_blocked_dp_decode_roundtrip():
+    from new_bloom_filter_repo_tpu.ops.pallas import blocked as bk
+    from new_bloom_filter_repo_tpu.parallel import blocked_batch
+
+    rng = np.random.default_rng(12)
+    F, NB = 4, 8
+    bits = (rng.random((F, NB, bk.IPB)) < 0.06).astype(np.uint8)
+    a = rng.integers(0, 90, (F, NB, bk.IPB)).astype(np.int32)
+    b = rng.integers(0, 90, (F, NB, bk.IPB)).astype(np.int32)
+    act = (rng.random((F, NB, bk.IPB)) < 0.3).astype(np.uint8)
+    vals = rng.integers(0, 1 << 24, (F, NB, bk.IPB)).astype(np.int32)
+    ms = np.full(F, 90, np.int32)
+    fks = np.full(F, 2, np.int32)
+    flags = np.zeros(F, np.int32)
+
+    args = tuple(jnp.asarray(x) for x in (bits, a, b, act, vals, ms, fks))
+    words, wit, wcnt, vseg, vcnt = bk.blocked_encode(*args, k_lanes=2, vh=4)
+
+    mesh = cpu_mesh(4, 2)
+    dec = blocked_batch.make_blocked_decode_dp(mesh, k_lanes=2, vh=4)
+    passes, wcnt2, mask, out_vals = dec(
+        words, args[1], args[2], args[3], args[5], args[6],
+        jnp.asarray(flags), wit, jnp.asarray(np.zeros_like(bits)), vseg)
+    np.testing.assert_array_equal(np.asarray(mask), bits)
+    np.testing.assert_array_equal(np.asarray(wcnt2), np.asarray(wcnt))
