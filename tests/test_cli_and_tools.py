@@ -11,6 +11,8 @@ from new_bloom_filter_repo_tpu.utils import videoio
 from new_bloom_filter_repo_tpu.utils.synthetic import generate_frames
 from new_bloom_filter_repo_tpu import verify_harness as vh
 
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
 
 def make_y4m(path, n=6, w=64, h=48):
     """Static textured scene + moving block (temporally correlated)."""
@@ -148,3 +150,38 @@ class TestImageTextCodec:
         # '!I' n field at offset 4 must be big-endian
         n = struct.unpack_from("!I", data, 4)[0]
         assert n == len("hello world, format check") * 8
+
+
+class TestBloomCompressCrossParity:
+    """Golden cross-parity with artifacts produced by running the actual
+    reference bloom_compress implementation."""
+
+    def test_decode_reference_text_blob(self):
+        c = BloomCompressor()
+        with open(os.path.join(FIXTURES, "golden_text.bcz"), "rb") as f:
+            data = f.read()
+        with open(os.path.join(FIXTURES, "golden_text.txt")) as f:
+            want = f.read()
+        assert c.decompress_text(data) == want
+
+    def test_decode_reference_binary_blob(self):
+        c = BloomCompressor()
+        with open(os.path.join(FIXTURES, "golden_binary.bcz"), "rb") as f:
+            data = f.read()
+        bits = np.load(os.path.join(FIXTURES, "golden_binary_bits.npy"))
+        bitmap, witness, p, n, k, shape = c._unpack_compressed_data(data)
+        assert shape == (50, 60)
+        out = c.decompress(bitmap, witness, n, k)
+        np.testing.assert_array_equal(out, bits)
+
+    def test_encode_matches_reference_bytes(self):
+        """Our encoder reproduces the reference's packed bytes for the
+        same input (float32-k quantization is byte-invisible here)."""
+        c = BloomCompressor()
+        bits = np.load(os.path.join(FIXTURES, "golden_binary_bits.npy"))
+        bitmap, witness, p, n, _ = c.compress(bits)
+        k, _l = c._calculate_optimal_params(n, p)
+        ours = c._pack_compressed_data(bitmap, witness, p, n, k, (50, 60))
+        with open(os.path.join(FIXTURES, "golden_binary.bcz"), "rb") as f:
+            ref = f.read()
+        assert ours == ref
