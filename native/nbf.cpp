@@ -143,7 +143,6 @@ int nbf_deflate_frames(int count, const uint8_t** in, const uint64_t* in_len,
     for (int i = 0; i < count; ++i) work(i);
   } else {
     std::vector<std::thread> ts;
-    std::vector<int> next(1, 0);
     for (int t = 0; t < threads && t < count; ++t) {
       ts.emplace_back([&, t]() {
         for (int i = t; i < count; i += threads) work(i);

@@ -98,8 +98,11 @@ def verify_lossless(original_frames, decompressed_frames,
             exact += 1
             frame_diffs.append(0.0)
         else:
-            fd = float(np.mean(np.abs(od.astype(np.float32)
-                                      - dd.astype(np.float32))))
+            with np.errstate(invalid="ignore"):
+                fd = float(np.nanmean(np.abs(od.astype(np.float32)
+                                             - dd.astype(np.float32))))
+            if np.isnan(fd):
+                fd = float("inf")
             frame_diffs.append(fd)
             diff_frames.append(i)
             if fd > max_diff:

@@ -161,7 +161,7 @@ def expand_butterfly(payloads, kept):
     return v
 
 
-def _insert_words(pos_list, lane_act, bits, floor_k, act):
+def _insert_words(pos_list, bits, floor_k, act):
     """Sub-filter u32 words (BG, NW) via masked OR-reduces."""
     bitsb = bits.astype(jnp.bool_)
     weights = []
@@ -223,7 +223,7 @@ def _encode_kernel(m_ref, fk_ref, bits_ref, a_ref, b_ref, act_ref,
     lane = _lane_iota(bits.shape)
 
     pos = _positions(a, b, m, k_lanes)
-    words, his, weights = _insert_words(pos, None, bits, floor_k, act)
+    words, his, weights = _insert_words(pos, bits, floor_k, act)
     words_ref[0] = words
 
     passes = _membership_words(words, his, weights, floor_k, act, k_lanes)
@@ -232,7 +232,6 @@ def _encode_kernel(m_ref, fk_ref, bits_ref, a_ref, b_ref, act_ref,
     # witness: compact the original bits of passing items, pack to words
     cpos = excl_prefix(passes.astype(_I32))
     (wbits,), wk = compact_butterfly([bits], passes, lane - cpos)
-    wcnt_lanes = jnp.roll(cpos, -1, axis=1)  # unused; counts via XLA
     witw_ref[0] = _pack_group32(wbits, wk)
 
     # values: compact packed pixels of changed items
