@@ -57,6 +57,43 @@ def bench_bloom(path: str, max_frames: int, mode: str) -> Dict:
     }
 
 
+def bench_bloom_planar(path: str, max_frames: int) -> Dict:
+    """Encode the Y4M's native planes as three grayscale streams.
+
+    The reference upconverts 4:2:0 to 4:4:4 BGR and measures against the
+    *expanded* frame bytes (improved_video_compressor.py:387), flattering
+    its ratios.  This mode compresses the actual file content: Y, U and V
+    plane sequences independently, measured against the true raw size.
+    """
+    import tempfile
+
+    from new_bloom_filter_repo_tpu.models.video import ImprovedVideoCompressor
+    from new_bloom_filter_repo_tpu.utils.videoio import read_y4m
+
+    _frames, params = read_y4m(path, max_frames=max_frames)
+    planes = params["planes"]
+    raw = sum(sum(p.nbytes for p in pl) for pl in planes)
+    total = 0
+    t_enc = t_dec = 0.0
+    lossless = True
+    with tempfile.TemporaryDirectory() as td:
+        for ci in range(len(planes[0])):
+            seq = [pl[ci] for pl in planes]
+            comp = ImprovedVideoCompressor(verbose=False)
+            out = os.path.join(td, f"plane{ci}.bfvc")
+            t0 = time.time()
+            comp.compress_video(seq, out)
+            t_enc += time.time() - t0
+            total += os.path.getsize(out)
+            t0 = time.time()
+            rec = comp.decompress_video(out)
+            t_dec += time.time() - t0
+            lossless &= comp.verify_lossless(seq, rec)["lossless"]
+    return {"ratio": total / raw, "encode_s": round(t_enc, 3),
+            "decode_s": round(t_dec, 3), "frames": len(planes),
+            "lossless": bool(lossless)}
+
+
 def bench_ffmpeg(path: str, max_frames: int, codec_args: List[str],
                  ext: str) -> Optional[Dict]:
     ff = _ffmpeg()
@@ -106,8 +143,8 @@ def main(argv=None):
                     help="Skip clips already present in the results file")
     ap.add_argument("--results", default="benchmark_results.json")
     ap.add_argument("--codecs", nargs="+",
-                    default=["bloom", "keyframe", "ffv1", "huffyuv",
-                             "h264-lossless"])
+                    default=["bloom-planar", "bloom", "keyframe", "ffv1",
+                             "huffyuv", "h264-lossless"])
     args = ap.parse_args(argv)
 
     clips = sorted(
@@ -131,7 +168,9 @@ def main(argv=None):
             if args.skip_existing and codec in results[name]:
                 continue
             print(f"{name} / {codec} ...", flush=True)
-            if codec in ("bloom", "keyframe"):
+            if codec == "bloom-planar":
+                r = bench_bloom_planar(clip, args.max_frames)
+            elif codec in ("bloom", "keyframe"):
                 mode = "bloom" if codec == "bloom" else "keyframe"
                 r = bench_bloom(clip, args.max_frames, mode)
             elif codec in CODECS:

@@ -238,3 +238,34 @@ class TestProfiles:
     def test_bogus_profile_raises(self):
         with pytest.raises(ValueError, match="profile"):
             ImprovedVideoCompressor(profile="nope")
+
+
+class TestWeirdGeometries:
+    @pytest.mark.parametrize("h,w,c", [(2, 2, 3), (1, 7, 0), (3, 1, 3),
+                                       (17, 19, 3)])
+    def test_tiny_and_odd_shapes(self, tmp_path, h, w, c):
+        rng = np.random.default_rng(h * 100 + w)
+        shape = (h, w, c) if c else (h, w)
+        frames = [rng.integers(0, 256, shape, dtype=np.uint8)
+                  for _ in range(3)]
+        frames[1] = frames[0].copy()
+        if c:
+            frames[1][0, 0, 0] ^= 1
+        else:
+            frames[1][0, 0] ^= 1
+        comp = ImprovedVideoCompressor(verbose=False, keyframe_interval=3)
+        out = str(tmp_path / "t.bfvc")
+        comp.compress_video(frames, out)
+        rec = comp.decompress_video(out)
+        assert comp.verify_lossless(frames, rec)["lossless"]
+
+    def test_mixed_shapes_fall_back_to_keyframes(self, tmp_path):
+        rng = np.random.default_rng(0)
+        frames = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8),
+                  rng.integers(0, 256, (16, 8, 3), dtype=np.uint8)]
+        comp = ImprovedVideoCompressor(verbose=False)
+        out = str(tmp_path / "m.bfvc")
+        res = comp.compress_video(frames, out)
+        assert res["keyframes"] == 2
+        rec = comp.decompress_video(out)
+        assert comp.verify_lossless(frames, rec)["lossless"]
