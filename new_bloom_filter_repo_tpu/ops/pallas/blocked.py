@@ -316,6 +316,7 @@ def _bytes_to_witwords(by):
             | (b[..., 2] << 8) | b[..., 3]).astype(_I32)
 
 
+@functools.partial(jax.jit, static_argnames=("k_lanes", "vh"))
 def blocked_encode(bits, a, b, act, vals, m, floor_k, *, k_lanes: int,
                    vh: int):
     """Blocked Bloom encode over a batch of frames.
@@ -370,6 +371,7 @@ def blocked_encode(bits, a, b, act, vals, m, floor_k, *, k_lanes: int,
     return words, wit, wcnt, vseg, vcnt
 
 
+@functools.partial(jax.jit, static_argnames=("k_lanes",))
 def blocked_membership(words, a, b, act, m, floor_k, flags, *, k_lanes: int):
     """Membership pass for decode.
 
@@ -398,6 +400,7 @@ def blocked_membership(words, a, b, act, m, floor_k, flags, *, k_lanes: int):
     return passes, wcnt
 
 
+@functools.partial(jax.jit, static_argnames=("vh",))
 def blocked_expand(passes, wit, raw_mask, flags, vseg, *, vh: int):
     """Witness + value expansion for decode.
 
