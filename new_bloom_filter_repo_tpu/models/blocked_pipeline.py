@@ -254,12 +254,13 @@ class BlockedEncoder:
 
         vh = _vh_bucket(max_block)
         k_lanes = int(fk_arr.max())
+        nw = bk.nw_bucket(int(m_arr.max()))
         a, b, act = _frame_mod_tables(
             tab["h1"], tab["h2"], tab["act_hi"], tab["act_lo"],
             jnp.asarray(m_arr), jnp.asarray(thi), jnp.asarray(tlo))
         words_d, wit_d, wcnt_d, vseg_d, vcnt_d = bk.blocked_encode(
             masks, a, b, act, vals, jnp.asarray(m_arr),
-            jnp.asarray(fk_arr), k_lanes=k_lanes, vh=vh)
+            jnp.asarray(fk_arr), k_lanes=k_lanes, vh=vh, nw=nw)
         words, wit, wcnt, vseg, vcnt = jax.device_get(
             (words_d, wit_d, wcnt_d, vseg_d, vcnt_d))
 
@@ -391,12 +392,14 @@ class BlockedDecoder:
             wit_streams[j] = rec["witness_bytes"].tobytes()
 
         k_lanes = int(fk_arr.max())
+        nw = bk.nw_bucket(int(m_arr.max()))
         a, b, act = _frame_mod_tables(
             tab["h1"], tab["h2"], tab["act_hi"], tab["act_lo"],
             jnp.asarray(m_arr), jnp.asarray(thi), jnp.asarray(tlo))
         passes_d, wcnt_d = bk.blocked_membership(
             jnp.asarray(words), a, b, act, jnp.asarray(m_arr),
-            jnp.asarray(fk_arr), jnp.asarray(flags), k_lanes=k_lanes)
+            jnp.asarray(fk_arr), jnp.asarray(flags), k_lanes=k_lanes,
+            nw=nw)
         wcnt = jax.device_get(wcnt_d)
 
         # Host: slice witness streams into per-block padded segments and

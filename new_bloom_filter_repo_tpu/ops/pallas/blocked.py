@@ -161,8 +161,8 @@ def expand_butterfly(payloads, kept):
     return v
 
 
-def _insert_words(pos_list, bits, floor_k, act):
-    """Sub-filter u32 words (BG, NW) via masked OR-reduces."""
+def _insert_words(pos_list, bits, floor_k, act, nw):
+    """Sub-filter u32 words (BG, nw) via masked OR-reduces."""
     bitsb = bits.astype(jnp.bool_)
     weights = []
     his = []
@@ -170,27 +170,36 @@ def _insert_words(pos_list, bits, floor_k, act):
         weights.append(jax.lax.shift_left(_I32(1), 31 - (pos & 31)))
         his.append(pos >> 5)
     cols = []
-    for w in range(NW):
+    for w in range(nw):
         m_w = jnp.zeros_like(bits)
         for j, pos in enumerate(pos_list):
             active = _lane_active(j, floor_k, act) & bitsb
             m_w = m_w | jnp.where(active & (his[j] == w), weights[j], 0)
         cols.append(_or_reduce_lanes(m_w))
-    return jnp.concatenate(cols, axis=1), his, weights   # (BG, NW)
+    return jnp.concatenate(cols, axis=1), his, weights   # (BG, nw)
 
 
-def _membership_words(words, his, weights, floor_k, act, k_lanes):
-    """Pass mask (BG, IPB) given sub-filter words (BG, NW) i32."""
+def _membership_words(words, his, weights, floor_k, act, k_lanes, nw):
+    """Pass mask (BG, IPB) given sub-filter words (BG, nw) i32."""
     passes = None
     for j in range(k_lanes + 1):
         wsel = jnp.zeros_like(his[j])
-        for w in range(NW):
+        for w in range(nw):
             wsel = wsel | jnp.where(his[j] == w, words[:, w:w + 1], 0)
         hit = (wsel & weights[j]) != 0
         active = _lane_active(j, floor_k, act)
         term = hit | ~active
         passes = term if passes is None else passes & term
     return passes
+
+
+def nw_bucket(max_m: int) -> int:
+    """Static sub-filter word count covering the chunk's largest m."""
+    need = max(1, (max_m + 31) // 32)
+    for b in (4, 8, NW):
+        if need <= b:
+            return b
+    return NW
 
 
 def _pack_group32(bits_at_lanes, valid):
@@ -211,7 +220,7 @@ def _pack_group32(bits_at_lanes, valid):
 
 def _encode_kernel(m_ref, fk_ref, bits_ref, a_ref, b_ref, act_ref,
                    vals_ref, words_ref, witw_ref, pass_ref, valc_ref,
-                   *, k_lanes):
+                   *, k_lanes, nw):
     f = pl.program_id(0)
     m = m_ref[f]
     floor_k = fk_ref[f]
@@ -223,10 +232,11 @@ def _encode_kernel(m_ref, fk_ref, bits_ref, a_ref, b_ref, act_ref,
     lane = _lane_iota(bits.shape)
 
     pos = _positions(a, b, m, k_lanes)
-    words, his, weights = _insert_words(pos, bits, floor_k, act)
+    words, his, weights = _insert_words(pos, bits, floor_k, act, nw)
     words_ref[0] = words
 
-    passes = _membership_words(words, his, weights, floor_k, act, k_lanes)
+    passes = _membership_words(words, his, weights, floor_k, act,
+                               k_lanes, nw)
     pass_ref[0] = _to_u8(passes)
 
     # witness: compact the original bits of passing items, pack to words
@@ -242,7 +252,7 @@ def _encode_kernel(m_ref, fk_ref, bits_ref, a_ref, b_ref, act_ref,
 
 
 def _member_kernel(m_ref, fk_ref, flag_ref, words_ref, a_ref, b_ref,
-                   act_ref, pass_ref, *, k_lanes):
+                   act_ref, pass_ref, *, k_lanes, nw):
     f = pl.program_id(0)
     m = m_ref[f]
     floor_k = fk_ref[f]
@@ -254,7 +264,8 @@ def _member_kernel(m_ref, fk_ref, flag_ref, words_ref, a_ref, b_ref,
     pos = _positions(a, b, m, k_lanes)
     his = [p >> 5 for p in pos]
     weights = [jax.lax.shift_left(_I32(1), 31 - (p & 31)) for p in pos]
-    passes = _membership_words(words, his, weights, floor_k, act, k_lanes)
+    passes = _membership_words(words, his, weights, floor_k, act,
+                               k_lanes, nw)
     passes = passes & (passthrough == 0)
     pass_ref[0] = _to_u8(passes)
 
@@ -289,15 +300,17 @@ def _expand_kernel(flag_ref, pass_ref, witw_ref, raw_ref, vseg_ref,
 # ---------------------------------------------------------------------------
 
 def _words32_to_bits(words32):
-    """(F, NB, NW) i32 -> (F, NB, MMAX) u8 (packbits bit order per word)."""
+    """(..., nw) i32 -> (..., nw*32) u8 (packbits bit order per word)."""
     shifts = 31 - jnp.arange(32, dtype=_I32)
     bits = (words32[..., None] >> shifts) & 1
-    return bits.reshape(words32.shape[:-1] + (MMAX,)).astype(jnp.uint8)
+    return bits.reshape(words32.shape[:-1]
+                        + (words32.shape[-1] * 32,)).astype(jnp.uint8)
 
 
 def _bits_to_words32(bits):
-    """(F, NB, MMAX) u8 -> (F, NB, NW) i32."""
-    b = bits.reshape(bits.shape[:-1] + (NW, 32)).astype(_I32)
+    """(..., nw*32) u8 -> (..., nw) i32."""
+    nw = bits.shape[-1] // 32
+    b = bits.reshape(bits.shape[:-1] + (nw, 32)).astype(_I32)
     weights = jax.lax.shift_left(_I32(1), 31 - jnp.arange(32, dtype=_I32))
     return jnp.sum(b * weights, axis=-1).astype(_I32)
 
@@ -316,9 +329,9 @@ def _bytes_to_witwords(by):
             | (b[..., 2] << 8) | b[..., 3]).astype(_I32)
 
 
-@functools.partial(jax.jit, static_argnames=("k_lanes", "vh"))
+@functools.partial(jax.jit, static_argnames=("k_lanes", "vh", "nw"))
 def blocked_encode(bits, a, b, act, vals, m, floor_k, *, k_lanes: int,
-                   vh: int):
+                   vh: int, nw: int = NW):
     """Blocked Bloom encode over a batch of frames.
 
     Args:
@@ -332,11 +345,11 @@ def blocked_encode(bits, a, b, act, vals, m, floor_k, *, k_lanes: int,
       vh: static — value bucket rows; vh*32 slots/block must cover the
         largest per-block change count in the batch.
 
-    Returns (words (F,NB,MMAX) u8, wit (F,NB,128) u8, wcnt (F,NB) i32,
+    Returns (words (F,NB,nw*32) u8, wit (F,NB,128) u8, wcnt (F,NB) i32,
              vseg (F,NB,vh*32) i32, vcnt (F,NB) i32).
     """
     f_, nb, _ = bits.shape
-    kern = functools.partial(_encode_kernel, k_lanes=k_lanes)
+    kern = functools.partial(_encode_kernel, k_lanes=k_lanes, nw=nw)
     words32, witw, passes, valc = pl.pallas_call(
         kern,
         grid=(f_, nb // BG),
@@ -350,13 +363,13 @@ def blocked_encode(bits, a, b, act, vals, m, floor_k, *, k_lanes: int,
             pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, BG, NW), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, BG, nw), lambda f, g: (f, g, 0)),
             pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
             pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
             pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((f_, nb, NW), _I32),
+            jax.ShapeDtypeStruct((f_, nb, nw), _I32),
             jax.ShapeDtypeStruct((f_, nb, IPB), _I32),
             jax.ShapeDtypeStruct((f_, nb, IPB), jnp.uint8),
             jax.ShapeDtypeStruct((f_, nb, IPB), _I32),
@@ -371,15 +384,17 @@ def blocked_encode(bits, a, b, act, vals, m, floor_k, *, k_lanes: int,
     return words, wit, wcnt, vseg, vcnt
 
 
-@functools.partial(jax.jit, static_argnames=("k_lanes",))
-def blocked_membership(words, a, b, act, m, floor_k, flags, *, k_lanes: int):
+@functools.partial(jax.jit, static_argnames=("k_lanes", "nw"))
+def blocked_membership(words, a, b, act, m, floor_k, flags, *, k_lanes: int,
+                       nw: int = NW):
     """Membership pass for decode.
 
     words: (F, NB, MMAX) u8 sub-filter bits; flags: (F,) i32 — 1 for
     pass-through/empty records (mask used verbatim; passes forced to 0).
     Returns (pass (F,NB,IPB) u8, wcnt (F,NB) i32)."""
     f_, nb, _ = words.shape
-    kern = functools.partial(_member_kernel, k_lanes=k_lanes)
+    words = words[:, :, : nw * 32]
+    kern = functools.partial(_member_kernel, k_lanes=k_lanes, nw=nw)
     passes = pl.pallas_call(
         kern,
         grid=(f_, nb // BG),
@@ -387,7 +402,7 @@ def blocked_membership(words, a, b, act, m, floor_k, flags, *, k_lanes: int):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, BG, NW), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, BG, nw), lambda f, g: (f, g, 0)),
             pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
             pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
             pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
