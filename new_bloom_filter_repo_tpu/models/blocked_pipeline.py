@@ -362,6 +362,11 @@ class BlockedDecoder:
                 continue
             if rtype == fc.SPARSE:
                 rec_n, indices, values = fc.parse_sparse_frame(payload, 1)
+                if rec_n != n:
+                    raise ValueError(
+                        "sparse record length mismatch with geometry")
+                if indices.size and int(indices.max()) >= n:
+                    raise ValueError("sparse record index out of range")
                 flags[j] = 1
                 mb = np.zeros(npad, np.uint8)
                 mb[indices] = 1

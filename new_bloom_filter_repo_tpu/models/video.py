@@ -53,10 +53,6 @@ from new_bloom_filter_repo_tpu.ops.hashtables import get_hash_tables
 from new_bloom_filter_repo_tpu.utils import container, videoio
 from new_bloom_filter_repo_tpu.utils.yuvframe import YUVFrame, unwrap, yuv_info_of
 
-# Scene-cut heuristic: above this change density a keyframe record is
-# cheaper and more robust than a diff record.
-_KEYFRAME_DENSITY = 0.45
-
 # Fixed device batch: inter frames are processed in padded chunks of this
 # many so every GOP reuses one compiled program per geometry (variable
 # batch shapes would trigger a fresh XLA compile per GOP length).
@@ -235,7 +231,10 @@ class ImprovedVideoCompressor:
         arrs = [np.asarray(unwrap(f)) for f in frames]
         uniform = all(
             a.dtype == np.uint8 and a.shape == arrs[0].shape for a in arrs)
-        if (self.exact and uniform and len(frames) > 1
+        # The blocked pipeline packs pixels into 24 bits; >3 channels
+        # (e.g. BGRA) go through the per-frame loop instead.
+        packable = arrs[0].ndim == 2 or arrs[0].shape[2] <= 3
+        if (self.exact and uniform and packable and len(frames) > 1
                 and self.profile == "blocked"):
             infos = [yuv_info_of(f) for f in frames]
             return self._encode_frames_batched(arrs, infos)
@@ -274,16 +273,7 @@ class ImprovedVideoCompressor:
         # host<->device tunnel serializes, so the early upload delays the
         # pulls the pipeline is waiting on.  Uploads therefore happen at
         # use time; revisit on locally-attached hardware.
-        uploads: dict = {}
-
-        def prefetch(i):
-            if i < len(segments) and segments[i][0] == "run":
-                _, s0, _e = segments[i]
-                uploads[i] = blocked_pipeline.BlockedEncoder.stack_chunk(
-                    arrs[s0 - 1], padded_frames(s0, _e))
-
         for i, (kind, start, end) in enumerate(segments):
-            prefetch(i)
             if kind == "key":
                 payloads.append(fc.encode_keyframe(
                     arrs[start], infos[start], typed=True,
@@ -299,9 +289,11 @@ class ImprovedVideoCompressor:
                     zlib_level=self._keyframe_zlib_level)
 
             before = len(payloads)
+            chunk_frames = padded_frames(start, end)
             keyframes += self._blocked_enc.encode_chunk(
-                arrs[start - 1], padded_frames(start, end), payloads,
-                keyframe_fn, stacked=uploads.pop(i))
+                arrs[start - 1], chunk_frames, payloads, keyframe_fn,
+                stacked=blocked_pipeline.BlockedEncoder.stack_chunk(
+                    arrs[start - 1], chunk_frames))
             del payloads[before + real:]  # drop padded-frame records
         return payloads, keyframes
 
@@ -346,7 +338,7 @@ class ImprovedVideoCompressor:
             inter = fc.encode_interframe(mask, values, self.bloom_compressor)
             # Encoder freedom: fall back to a keyframe when the diff record
             # is not actually smaller (dense masks on scene cuts).
-            if float(mask.mean()) > 0.45:
+            if float(mask.mean()) > blocked_pipeline.KEY_DENSITY:
                 key = fc.encode_keyframe(arr, info, typed=True)
                 if len(key) <= len(inter):
                     payloads.append(key)
@@ -577,7 +569,9 @@ class ImprovedVideoCompressor:
         (reference: improved_video_compressor.py:452-504)."""
         start = time.time()
         magic = container.MAGIC_FIXED
-        if input_path and os.path.exists(input_path):
+        if input_path:
+            if not os.path.exists(input_path):
+                raise FileNotFoundError(input_path)
             magic, compressed_frames = container.read_bfvc(input_path)
         if not compressed_frames:
             raise ValueError("No compressed frames provided")

@@ -269,3 +269,22 @@ class TestWeirdGeometries:
         assert res["keyframes"] == 2
         rec = comp.decompress_video(out)
         assert comp.verify_lossless(frames, rec)["lossless"]
+
+
+class TestFourChannel:
+    def test_bgra_frames_roundtrip_via_loop_path(self, tmp_path):
+        rng = np.random.default_rng(0)
+        base = rng.integers(0, 256, (16, 20, 4), dtype=np.uint8)
+        frames = [base.copy() for _ in range(4)]
+        for i in range(1, 4):
+            frames[i][2:6, 3 + 2 * i:8 + 2 * i] = (9, 8, 7, 6)
+        comp = ImprovedVideoCompressor(verbose=False, keyframe_interval=4)
+        out = str(tmp_path / "rgba.bfvc")
+        comp.compress_video(frames, out)
+        rec = comp.decompress_video(out)
+        assert comp.verify_lossless(frames, rec)["lossless"]
+
+    def test_missing_input_path_raises_filenotfound(self):
+        comp = ImprovedVideoCompressor(verbose=False)
+        with pytest.raises(FileNotFoundError):
+            comp.decompress_video("/definitely/not/here.bfvc")
