@@ -1,13 +1,15 @@
 """Multi-chip execution of the blocked (BFV3) codec.
 
-Frames are embarrassingly parallel in the blocked profile (every frame
-carries its own sub-filters, witness segments and value buckets), so the
-flagship path scales over chips by sharding the frame axis of one
-compiled program across the ``dp`` mesh axis with shard_map — each chip
-runs the same Pallas kernels on its frame shard; no collectives are
-required on this axis.  (Index-range ``sp`` sharding with OR-all-reduce
-remains available through the BFV2 cores in parallel/batch.py for
-frames too large for a single chip's HBM.)
+Both axes of the blocked profile are collective-free:
+
+* ``dp`` — frames are embarrassingly parallel (every frame carries its
+  own sub-filters, witness segments and value buckets);
+* ``sp`` — *blocks within a frame* are independent too (each 1024-index
+  block owns a private sub-filter and byte-aligned witness segment), so
+  a single oversized frame (4K/8K) shards its block axis across chips
+  with plain shard_map and zero communication — a structural win over
+  the reference layout, whose global bit array needs an OR-all-reduce
+  (that path remains available via the BFV2 cores in parallel/batch.py).
 """
 
 from __future__ import annotations
@@ -32,6 +34,26 @@ def make_blocked_encode_dp(mesh: Mesh, *, k_lanes: int, vh: int):
         in_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
                   P("dp"), P("dp")),
         out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_blocked_encode_dpsp(mesh: Mesh, *, k_lanes: int, vh: int,
+                             nw: int = None):
+    """Jitted blocked encode sharded over frames ('dp') AND the block
+    axis ('sp') — within-frame sharding for oversized frames.  The
+    block-axis dims of every argument must divide mesh.shape['sp']."""
+    kwargs = {"k_lanes": k_lanes, "vh": vh}
+    if nw is not None:
+        kwargs["nw"] = nw
+    fn = partial(bk.blocked_encode, **kwargs)
+    sharded = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P("dp", "sp"), P("dp", "sp"), P("dp", "sp"),
+                  P("dp", "sp"), P("dp", "sp"), P("dp"), P("dp")),
+        out_specs=(P("dp", "sp"), P("dp", "sp"), P("dp", "sp"),
+                   P("dp", "sp"), P("dp", "sp")),
         check_vma=False,
     )
     return jax.jit(sharded)

@@ -167,3 +167,28 @@ def test_blocked_dp_decode_roundtrip():
         jnp.asarray(flags), wit, jnp.asarray(np.zeros_like(bits)), vseg)
     np.testing.assert_array_equal(np.asarray(mask), bits)
     np.testing.assert_array_equal(np.asarray(wcnt2), np.asarray(wcnt))
+
+
+def test_blocked_dpsp_sharding_matches_single_device():
+    """Frame AND block-axis sharded blocked encode equals unsharded —
+    within-frame scaling with zero collectives."""
+    from new_bloom_filter_repo_tpu.ops.pallas import blocked as bk
+    from new_bloom_filter_repo_tpu.parallel import blocked_batch
+
+    rng = np.random.default_rng(21)
+    F, NB = 2, 32  # 32 blocks over sp=4 -> 8 blocks (1 grid step) each
+    bits = (rng.random((F, NB, bk.IPB)) < 0.05).astype(np.uint8)
+    a = rng.integers(0, 100, (F, NB, bk.IPB)).astype(np.int32)
+    b = rng.integers(0, 100, (F, NB, bk.IPB)).astype(np.int32)
+    act = (rng.random((F, NB, bk.IPB)) < 0.4).astype(np.uint8)
+    vals = rng.integers(0, 1 << 24, (F, NB, bk.IPB)).astype(np.int32)
+    ms = np.full(F, 100, np.int32)
+    fks = np.full(F, 2, np.int32)
+    args = tuple(jnp.asarray(x) for x in (bits, a, b, act, vals, ms, fks))
+
+    want = [np.asarray(x) for x in bk.blocked_encode(*args, k_lanes=2, vh=4)]
+    mesh = cpu_mesh(2, 4)
+    enc = blocked_batch.make_blocked_encode_dpsp(mesh, k_lanes=2, vh=4)
+    got = [np.asarray(x) for x in enc(*args)]
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
