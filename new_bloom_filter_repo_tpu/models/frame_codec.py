@@ -92,6 +92,59 @@ def encode_keyframe(frame: np.ndarray, yuv_info: dict | None = None,
     return buf.getvalue()
 
 
+def encode_keyframes_batch(frames, infos, typed: bool = False,
+                           zlib_level: int = 9,
+                           threads: int = 0) -> list:
+    """Serialize many keyframes with the DEFLATE stage parallelized.
+
+    All zlib streams (frame bytes + any YUV planes) are compressed in one
+    multi-threaded native batch (utils/native.py) and then assembled into
+    records byte-identically to :func:`encode_keyframe` (same zlib, same
+    level — the entropy stage is the keyframe path's hot loop,
+    fixed_video_compressor.py:31).
+    """
+    from new_bloom_filter_repo_tpu.utils import native
+
+    buffers = []
+    plan = []  # (frame_idx, [stream slots])
+    for frame, info in zip(frames, infos):
+        arr = np.asarray(frame)
+        slots = [len(buffers)]
+        buffers.append(arr.tobytes())
+        if info is not None:
+            for plane in ("y_plane", "u_plane", "v_plane"):
+                slots.append(len(buffers))
+                buffers.append(np.asarray(info[plane]).tobytes())
+        plan.append(slots)
+
+    compressed = native.deflate_frames(buffers, level=zlib_level,
+                                       threads=threads)
+    records = []
+    for (frame, info), slots in zip(zip(frames, infos), plan):
+        arr = np.asarray(frame)
+        buf = io.BytesIO()
+        if typed:
+            buf.write(_U8.pack(KEYFRAME))
+        z = compressed[slots[0]]
+        buf.write(_HDR_III.pack(arr.shape[0], arr.shape[1],
+                                arr.dtype.itemsize))
+        buf.write(_U32.pack(len(z)))
+        buf.write(z)
+        buf.write(_U8.pack(1 if info is not None else 0))
+        if info is not None:
+            fmt = info.get("format", "YUV444").encode("utf-8")
+            buf.write(_U16.pack(len(fmt)))
+            buf.write(fmt)
+            for slot, plane in zip(slots[1:],
+                                   ("y_plane", "u_plane", "v_plane")):
+                pz = compressed[slot]
+                buf.write(_U32.pack(len(pz)))
+                buf.write(pz)
+                buf.write(struct.pack("<II", *np.asarray(info[plane]).shape))
+        records.append(buf.getvalue())
+    return records
+
+
 def decode_keyframe(data: bytes, offset: int = 0):
     """Parse a keyframe body (after any type byte).
 

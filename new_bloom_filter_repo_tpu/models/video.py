@@ -143,7 +143,11 @@ class FixedVideoCompressor:
     def compress_video(self, frames) -> List[bytes]:
         if self.verbose:
             print(f"Compressing {len(frames)} frames")
-        return [self.compress_frame(f) for f in frames]
+        # Threaded DEFLATE over all frame/plane streams (byte-identical
+        # to the per-frame path; the entropy stage is the hot loop here).
+        return fc.encode_keyframes_batch(
+            [unwrap(f) for f in frames],
+            [yuv_info_of(f) for f in frames], typed=False)
 
     def decompress_video(self, compressed_frames) -> List[np.ndarray]:
         if self.verbose:
