@@ -43,6 +43,97 @@ KEY_DENSITY = 0.45    # scene-cut fallback
 SUPER = bk.IPB * bk.BG  # geometry padding granularity
 
 
+class _MeshDispatch:
+    """Routes the blocked kernels through dp/dpsp-sharded programs.
+
+    Frames shard over ``dp``, and — when the mesh has an ``sp`` axis
+    larger than 1 — the block axis shards over ``sp`` (within-frame
+    parallelism for oversized frames).  Neither axis needs collectives.
+    The record geometry (npad, nb) is canonical per n, so sharded and
+    unsharded encoders emit byte-identical streams: both axes are padded
+    to shard multiples only for the kernel call and sliced back after.
+    Compiled programs are cached per (kind, k_lanes, vh, nw).
+    """
+
+    def __init__(self, mesh):
+        from new_bloom_filter_repo_tpu.parallel import blocked_batch
+        self._bb = blocked_batch
+        self.mesh = mesh
+        self.dp = int(mesh.shape["dp"])
+        self.sp = int(mesh.shape.get("sp", 1))
+        self._progs: dict = {}
+
+    def _prog(self, kind: str, **key):
+        ck = (kind,) + tuple(sorted(key.items()))
+        if ck not in self._progs:
+            two = self.sp > 1
+            if kind == "enc":
+                make = (self._bb.make_blocked_encode_dpsp if two
+                        else self._bb.make_blocked_encode_dp)
+            elif kind == "mem":
+                make = (self._bb.make_blocked_membership_dpsp if two
+                        else self._bb.make_blocked_membership_dp)
+            else:
+                make = (self._bb.make_blocked_expand_dpsp if two
+                        else self._bb.make_blocked_expand_dp)
+            self._progs[ck] = make(self.mesh, **key)
+        return self._progs[ck]
+
+    @staticmethod
+    def _pad_axis(x, axis: int, to: int, value=0):
+        cur = x.shape[axis]
+        if cur == to:
+            return x
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, to - cur)
+        return jnp.pad(x, widths, constant_values=value)
+
+    def _pads(self, f: int, nb: int):
+        fpad = -(-f // self.dp) * self.dp
+        # each sp shard's local block count must stay a multiple of the
+        # kernel grid granularity BG
+        g = self.sp * bk.BG
+        nbpad = -(-nb // g) * g
+        return fpad, nbpad
+
+    def _pad_blocks(self, x, fpad: int, nbpad: int, value=0):
+        return self._pad_axis(self._pad_axis(x, 0, fpad, value), 1, nbpad,
+                              value)
+
+    def encode(self, masks, a, b, act, vals, m, fk, *, k_lanes, vh, nw):
+        f, nb = masks.shape[0], masks.shape[1]
+        fpad, nbpad = self._pads(f, nb)
+        args = [self._pad_blocks(x, fpad, nbpad)
+                for x in (masks, a, b, act, vals)]
+        m = self._pad_axis(m, 0, fpad, value=1)   # m >= 1 (mod divisor)
+        fk = self._pad_axis(fk, 0, fpad)
+        prog = self._prog("enc", k_lanes=k_lanes, vh=vh, nw=nw)
+        outs = prog(*args, m, fk)
+        return tuple(o[:f, :nb] for o in outs)
+
+    def membership(self, words, a, b, act, m, fk, flags, *, k_lanes, nw):
+        f, nb = words.shape[0], words.shape[1]
+        fpad, nbpad = self._pads(f, nb)
+        args = [self._pad_blocks(x, fpad, nbpad)
+                for x in (words, a, b, act)]
+        m = self._pad_axis(m, 0, fpad, value=1)
+        fk = self._pad_axis(fk, 0, fpad)
+        flags = self._pad_axis(flags, 0, fpad, value=1)  # padded = empty
+        prog = self._prog("mem", k_lanes=k_lanes, nw=nw)
+        passes, wcnt = prog(*args, m, fk, flags)
+        return passes[:f, :nb], wcnt[:f, :nb]
+
+    def expand(self, passes, wit, raw, flags, vseg, *, vh):
+        f, nb = passes.shape[0], passes.shape[1]
+        fpad, nbpad = self._pads(f, nb)
+        args = [self._pad_blocks(x, fpad, nbpad)
+                for x in (passes, wit, raw, vseg)]
+        flags = self._pad_axis(flags, 0, fpad, value=1)
+        prog = self._prog("exp", vh=vh)
+        mask, vals = prog(args[0], args[1], args[2], flags, args[3])
+        return mask[:f, :nb], vals[:f, :nb]
+
+
 def npad_of(n: int) -> int:
     return ((n + SUPER - 1) // SUPER) * SUPER
 
@@ -176,10 +267,17 @@ def _bytes_to_packed(values: np.ndarray, channels: int) -> np.ndarray:
 
 
 class BlockedEncoder:
-    """Encodes chunks of frames into typed records via the Pallas path."""
+    """Encodes chunks of frames into typed records via the Pallas path.
 
-    def __init__(self, zlib_level: int = 6):
+    ``mesh`` (optional jax.sharding.Mesh with axes 'dp'[, 'sp']) shards
+    the kernels across chips: frames over dp, blocks over sp.  The
+    emitted byte stream is identical with or without a mesh.
+    """
+
+    def __init__(self, zlib_level: int = 6, mesh=None):
         self.zlib_level = zlib_level
+        self.dispatch = (_MeshDispatch(mesh)
+                         if mesh is not None and mesh.size > 1 else None)
 
     @staticmethod
     def stack_chunk(base: np.ndarray, frames: List[np.ndarray]):
@@ -258,9 +356,14 @@ class BlockedEncoder:
         a, b, act = _frame_mod_tables(
             tab["h1"], tab["h2"], tab["act_hi"], tab["act_lo"],
             jnp.asarray(m_arr), jnp.asarray(thi), jnp.asarray(tlo))
-        words_d, wit_d, wcnt_d, vseg_d, vcnt_d = bk.blocked_encode(
-            masks, a, b, act, vals, jnp.asarray(m_arr),
-            jnp.asarray(fk_arr), k_lanes=k_lanes, vh=vh, nw=nw)
+        if self.dispatch is not None:
+            words_d, wit_d, wcnt_d, vseg_d, vcnt_d = self.dispatch.encode(
+                masks, a, b, act, vals, jnp.asarray(m_arr),
+                jnp.asarray(fk_arr), k_lanes=k_lanes, vh=vh, nw=nw)
+        else:
+            words_d, wit_d, wcnt_d, vseg_d, vcnt_d = bk.blocked_encode(
+                masks, a, b, act, vals, jnp.asarray(m_arr),
+                jnp.asarray(fk_arr), k_lanes=k_lanes, vh=vh, nw=nw)
         words, wit, wcnt, vseg, vcnt = jax.device_get(
             (words_d, wit_d, wcnt_d, vseg_d, vcnt_d))
 
@@ -333,7 +436,14 @@ def _chain_apply(base, masks, vals, *, shape):
 
 class BlockedDecoder:
     """Decodes runs of typed records (types 0-pass/2/3/4) via the Pallas
-    path; returns reconstructed frames."""
+    path; returns reconstructed frames.
+
+    ``mesh`` shards membership/expansion like :class:`BlockedEncoder`.
+    """
+
+    def __init__(self, mesh=None):
+        self.dispatch = (_MeshDispatch(mesh)
+                         if mesh is not None and mesh.size > 1 else None)
 
     def decode_run(self, base: np.ndarray, payloads: List[bytes]
                    ) -> List[np.ndarray]:
@@ -401,10 +511,16 @@ class BlockedDecoder:
         a, b, act = _frame_mod_tables(
             tab["h1"], tab["h2"], tab["act_hi"], tab["act_lo"],
             jnp.asarray(m_arr), jnp.asarray(thi), jnp.asarray(tlo))
-        passes_d, wcnt_d = bk.blocked_membership(
-            jnp.asarray(words), a, b, act, jnp.asarray(m_arr),
-            jnp.asarray(fk_arr), jnp.asarray(flags), k_lanes=k_lanes,
-            nw=nw)
+        if self.dispatch is not None:
+            passes_d, wcnt_d = self.dispatch.membership(
+                jnp.asarray(words), a, b, act, jnp.asarray(m_arr),
+                jnp.asarray(fk_arr), jnp.asarray(flags), k_lanes=k_lanes,
+                nw=nw)
+        else:
+            passes_d, wcnt_d = bk.blocked_membership(
+                jnp.asarray(words), a, b, act, jnp.asarray(m_arr),
+                jnp.asarray(fk_arr), jnp.asarray(flags), k_lanes=k_lanes,
+                nw=nw)
         wcnt = jax.device_get(wcnt_d)
 
         # Host: slice witness streams into per-block padded segments and
@@ -436,9 +552,14 @@ class BlockedDecoder:
             sel = vcols[None, :] < block_counts[j][:, None]
             vseg[j][sel] = packed_vals
 
-        mask_d, vals_d = bk.blocked_expand(
-            passes_d, jnp.asarray(wit), jnp.asarray(raw_mask),
-            jnp.asarray(flags), jnp.asarray(vseg), vh=vh)
+        if self.dispatch is not None:
+            mask_d, vals_d = self.dispatch.expand(
+                passes_d, jnp.asarray(wit), jnp.asarray(raw_mask),
+                jnp.asarray(flags), jnp.asarray(vseg), vh=vh)
+        else:
+            mask_d, vals_d = bk.blocked_expand(
+                passes_d, jnp.asarray(wit), jnp.asarray(raw_mask),
+                jnp.asarray(flags), jnp.asarray(vseg), vh=vh)
         frames = jax.device_get(_chain_apply(
             jnp.asarray(base), mask_d, vals_d, shape=tuple(shape)))
         return [np.asarray(frames[j]) for j in range(f)]

@@ -33,14 +33,18 @@ def make_mesh(dp: int = 1, sp: int = 1, devices=None) -> Mesh:
     return Mesh(arr, axis_names=("dp", "sp"))
 
 
-def auto_mesh(n_devices: int | None = None) -> Mesh:
-    """Reasonable default: split devices between frame and index parallelism,
-    favoring frame parallelism (frames are embarrassingly parallel)."""
+def auto_mesh(n_devices: int | None = None, sp: int = 1) -> Mesh:
+    """Reasonable default: all devices on frame parallelism (frames are
+    embarrassingly parallel); pass ``sp`` > 1 to reserve an index/block
+    axis for within-frame sharding of oversized (4K/8K) frames."""
     devices = jax.devices()
+    if n_devices and len(devices) < n_devices:
+        # 1-chip dev rigs: fall back to the (virtual) host platform so a
+        # requested mesh width can still be built and tested.
+        cpus = jax.devices("cpu")
+        if len(cpus) >= n_devices:
+            devices = cpus
     n = n_devices or len(devices)
-    sp = 1
-    for cand in (2, 4):
-        if n % cand == 0 and n // cand >= 1:
-            sp = cand
-    dp = n // sp
-    return make_mesh(dp, sp, devices[:n])
+    if n % sp != 0:
+        raise ValueError(f"sp={sp} must divide device count {n}")
+    return make_mesh(n // sp, sp, devices[:n])

@@ -192,3 +192,89 @@ def test_blocked_dpsp_sharding_matches_single_device():
     got = [np.asarray(x) for x in enc(*args)]
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w)
+
+
+def test_blocked_dpsp_decode_matches_single_device():
+    """Block-axis sharded membership+expansion equals unsharded — the
+    decode mirror of the dpsp encode (4K/8K frames decode sharded too)."""
+    from new_bloom_filter_repo_tpu.ops.pallas import blocked as bk
+    from new_bloom_filter_repo_tpu.parallel import blocked_batch
+
+    rng = np.random.default_rng(22)
+    F, NB = 2, 32
+    bits = (rng.random((F, NB, bk.IPB)) < 0.05).astype(np.uint8)
+    a = rng.integers(0, 100, (F, NB, bk.IPB)).astype(np.int32)
+    b = rng.integers(0, 100, (F, NB, bk.IPB)).astype(np.int32)
+    act = (rng.random((F, NB, bk.IPB)) < 0.4).astype(np.uint8)
+    vals = rng.integers(0, 1 << 24, (F, NB, bk.IPB)).astype(np.int32)
+    ms = np.full(F, 100, np.int32)
+    fks = np.full(F, 2, np.int32)
+    flags = np.zeros(F, np.int32)
+    args = tuple(jnp.asarray(x) for x in (bits, a, b, act, vals, ms, fks))
+    words, wit, wcnt, vseg, vcnt = bk.blocked_encode(*args, k_lanes=2, vh=4)
+
+    raw = jnp.asarray(np.zeros_like(bits))
+    want_pass, want_wcnt = bk.blocked_membership(
+        words, args[1], args[2], args[3], args[5], args[6],
+        jnp.asarray(flags), k_lanes=2)
+    want_mask, want_vals = bk.blocked_expand(
+        want_pass, wit, raw, jnp.asarray(flags), vseg, vh=4)
+
+    mesh = cpu_mesh(2, 4)
+    dec = blocked_batch.make_blocked_decode_dpsp(mesh, k_lanes=2, vh=4)
+    passes, wcnt2, mask, out_vals = dec(
+        words, args[1], args[2], args[3], args[5], args[6],
+        jnp.asarray(flags), wit, raw, vseg)
+    np.testing.assert_array_equal(np.asarray(passes), np.asarray(want_pass))
+    np.testing.assert_array_equal(np.asarray(wcnt2), np.asarray(want_wcnt))
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(want_mask))
+    np.testing.assert_array_equal(np.asarray(out_vals),
+                                  np.asarray(want_vals))
+    np.testing.assert_array_equal(np.asarray(mask), bits)
+
+
+def test_4k_frame_sp_sharded_roundtrip():
+    """One real 3840x2160 frame encoded AND decoded with the block axis
+    sharded over sp, bit-identical to the unsharded kernels (the product
+    _MeshDispatch path, including its BG-granularity block padding)."""
+    from new_bloom_filter_repo_tpu.models import blocked_pipeline as bp
+    from new_bloom_filter_repo_tpu.ops.pallas import blocked as bk
+
+    n = 3840 * 2160
+    tab = bp.blocked_tables(n)
+    nb, npad = tab["nb"], tab["npad"]
+    rng = np.random.default_rng(33)
+    flat = np.zeros(npad, np.uint8)
+    idx = rng.choice(n, size=int(n * 0.02), replace=False)
+    flat[idx] = 1
+    bits = jnp.asarray(flat.reshape(1, nb, bk.IPB))
+    vals = jnp.asarray(
+        rng.integers(0, 1 << 24, (1, nb, bk.IPB)).astype(np.int32))
+    m_arr = jnp.asarray(np.array([320], np.int32))
+    fk_arr = jnp.asarray(np.array([2], np.int32))
+    thi = jnp.asarray(np.array([0x80000000], np.uint32))
+    tlo = jnp.asarray(np.array([0], np.uint32))
+    flags = jnp.asarray(np.zeros(1, np.int32))
+    a, b, act = bp._frame_mod_tables(
+        tab["h1"], tab["h2"], tab["act_hi"], tab["act_lo"],
+        m_arr, thi, tlo)
+
+    want = [np.asarray(x) for x in bk.blocked_encode(
+        bits, a, b, act, vals, m_arr, fk_arr, k_lanes=2, vh=4)]
+
+    dispatch = bp._MeshDispatch(cpu_mesh(1, 8))
+    got = [np.asarray(x) for x in dispatch.encode(
+        bits, a, b, act, vals, m_arr, fk_arr, k_lanes=2, vh=4, nw=None)]
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+    words, wit, wcnt, vseg, vcnt = [jnp.asarray(x) for x in got]
+    words_full = jnp.zeros((1, nb, bk.MMAX), jnp.uint8).at[
+        :, :, :words.shape[2]].set(words)
+    passes, wcnt2 = dispatch.membership(
+        words_full, a, b, act, m_arr, fk_arr, flags, k_lanes=2, nw=None)
+    raw = jnp.zeros((1, nb, bk.IPB), jnp.uint8)
+    mask, out_vals = dispatch.expand(passes, wit, raw, flags, vseg, vh=4)
+    np.testing.assert_array_equal(np.asarray(wcnt2), np.asarray(wcnt))
+    np.testing.assert_array_equal(np.asarray(mask),
+                                  np.asarray(bits))
