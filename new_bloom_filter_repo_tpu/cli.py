@@ -45,13 +45,27 @@ def _add_codec_flags(p, include_batch=True):
     p.add_argument("--mode", choices=["bloom", "keyframe"], default="bloom",
                    help="bloom: keyframes + Bloom inter frames (BFV2); "
                         "keyframe: reference-compatible BFVC")
+    p.add_argument("--profile", choices=["blocked", "bfv2", "planar"],
+                   default=None,
+                   help="blocked: BFV3 records (default); bfv2: reference "
+                        "record layout; planar: code native Y/U/V planes "
+                        "independently (default for process-yuv)")
     p.add_argument("--near-lossless", action="store_true",
                    help="Reference threshold semantics (lossy by design) "
                         "instead of exact any-channel masks")
+    p.add_argument("--devices", default=None,
+                   help="Multi-chip: 'auto' (all chips) or a chip count; "
+                        "frames shard across chips over ICI")
     p.add_argument("--verbose", action="store_true")
 
 
-def _compressor(args, use_direct_yuv=False):
+def _parse_devices(value):
+    if value is None or value == "auto":
+        return value
+    return int(value)
+
+
+def _compressor(args, use_direct_yuv=False, default_profile="blocked"):
     return ImprovedVideoCompressor(
         noise_tolerance=getattr(args, "noise_tolerance", 10.0),
         keyframe_interval=getattr(args, "keyframe_interval", 30),
@@ -65,6 +79,8 @@ def _compressor(args, use_direct_yuv=False):
         verbose=getattr(args, "verbose", False),
         mode=getattr(args, "mode", "bloom"),
         exact=not getattr(args, "near_lossless", False),
+        profile=getattr(args, "profile", None) or default_profile,
+        devices=_parse_devices(getattr(args, "devices", None)),
     )
 
 
@@ -99,6 +115,8 @@ def main(argv=None):
     pd.add_argument("input")
     pd.add_argument("output")
     pd.add_argument("--use-direct-yuv", action="store_true")
+    pd.add_argument("--devices", default=None,
+                    help="Multi-chip: 'auto' or a chip count")
     pd.add_argument("--verbose", action="store_true")
 
     py = sub.add_parser("process-yuv", help="Compress a raw planar YUV file")
@@ -120,11 +138,19 @@ def main(argv=None):
     ps.add_argument("--height", type=int, default=480)
     ps.add_argument("--noise", type=float, default=1.0)
     ps.add_argument("--speed", type=float, default=1.0)
+    ps.add_argument("--pan", type=float, default=0.0,
+                    help="Global pan (pixels/frame)")
+    ps.add_argument("--zoom", type=float, default=0.0,
+                    help="Zoom rate per frame")
+    ps.add_argument("--scene-cut-every", type=int, default=0,
+                    help="Hard scene cut every N frames")
     ps.add_argument("--use-direct-yuv", action="store_true")
     ps.add_argument("--color-space", default="BGR",
                     choices=["BGR", "RGB", "YUV", "GRAY"])
     ps.add_argument("--keyframe-interval", type=int, default=30)
     ps.add_argument("--mode", choices=["bloom", "keyframe"], default="bloom")
+    ps.add_argument("--devices", default=None,
+                    help="Multi-chip: 'auto' or a chip count")
     ps.add_argument("--verbose", action="store_true")
 
     pa = sub.add_parser("analyze", help="Analyze noise vs compression")
@@ -156,7 +182,8 @@ def main(argv=None):
 
     if args.action == "decompress":
         comp = ImprovedVideoCompressor(use_direct_yuv=args.use_direct_yuv,
-                                       verbose=args.verbose)
+                                       verbose=args.verbose,
+                                       devices=_parse_devices(args.devices))
         frames = comp.decompress_video(args.input, args.output)
         print("\nDecompression Summary:")
         print(f"Decompressed {len(frames)} frames")
@@ -164,7 +191,8 @@ def main(argv=None):
         return 0
 
     if args.action == "process-yuv":
-        comp = _compressor(args, use_direct_yuv=True)
+        comp = _compressor(args, use_direct_yuv=True,
+                           default_profile="planar")
         frames = comp.extract_frames_from_video(
             args.input, width=args.width, height=args.height,
             format=args.format, max_frames=args.max_frames,
@@ -183,10 +211,12 @@ def main(argv=None):
         comp = ImprovedVideoCompressor(
             keyframe_interval=args.keyframe_interval,
             use_direct_yuv=args.use_direct_yuv, verbose=args.verbose,
-            mode=args.mode)
+            mode=args.mode, devices=_parse_devices(args.devices))
         frames = generate_frames(args.frames, args.width, args.height,
                                  noise=args.noise, speed=args.speed,
-                                 color_space=args.color_space)
+                                 color_space=args.color_space,
+                                 pan=args.pan, zoom=args.zoom,
+                                 scene_cut_every=args.scene_cut_every)
         path = os.path.join(args.output, "synthetic_compressed.bfvc")
         result = comp.compress_video(frames, path,
                                      input_color_space=args.color_space

@@ -43,9 +43,14 @@ INTERFRAME = 0
 #     the concatenation of per-block byte-aligned segments.
 # 4 — sparse record: explicit changed-pixel indices + values, used when
 #     the change count is so small that any bitmap would dominate.
+# 5 — planar stream header: the container carries N independent plane
+#     streams (native 4:2:0/4:2:2 geometry — half the samples of the
+#     reference's 444 upconversion) instead of per-frame records; the
+#     header is followed by each plane's record sequence in order.
 EMPTY = 2
 BLOCKED = 3
 SPARSE = 4
+PLANAR = 5
 
 _HDR_III = struct.Struct("<III")
 _U32 = struct.Struct("<I")
@@ -309,6 +314,47 @@ def decode_interframe(data: bytes, codec: BloomFilterCompressor,
     else:
         flat = bitmap
     return flat, rec["values"]
+
+
+# ---------------------------------------------------------------------------
+# Planar stream header (profile="planar": native-subsampling plane coding)
+# ---------------------------------------------------------------------------
+
+def encode_planar_header(fmt: str, width: int, height: int,
+                         frame_count: int, plane_counts) -> bytes:
+    """Planar container header (type 5).
+
+    Layout: <B 5, <H len + fmt utf-8, <I width, <I height (luma geometry),
+    <I frame_count, <B n_planes, n_planes x <I per-plane record count.
+    The header payload is followed in the container by each plane's
+    record sequence, in plane order (Y, then U, then V)."""
+    buf = io.BytesIO()
+    buf.write(_U8.pack(PLANAR))
+    f = fmt.encode("utf-8")
+    buf.write(_U16.pack(len(f)))
+    buf.write(f)
+    buf.write(_U32.pack(width))
+    buf.write(_U32.pack(height))
+    buf.write(_U32.pack(frame_count))
+    buf.write(_U8.pack(len(plane_counts)))
+    for c in plane_counts:
+        buf.write(_U32.pack(c))
+    return buf.getvalue()
+
+
+def parse_planar_header(data: bytes, offset: int = 0) -> dict:
+    """Inverse of :func:`encode_planar_header` (after the type byte)."""
+    buf = io.BytesIO(data)
+    buf.seek(offset)
+    fmt_len = _U16.unpack(buf.read(2))[0]
+    fmt = buf.read(fmt_len).decode("utf-8")
+    width = _U32.unpack(buf.read(4))[0]
+    height = _U32.unpack(buf.read(4))[0]
+    frame_count = _U32.unpack(buf.read(4))[0]
+    n_planes = _U8.unpack(buf.read(1))[0]
+    counts = [_U32.unpack(buf.read(4))[0] for _ in range(n_planes)]
+    return {"format": fmt, "width": width, "height": height,
+            "frame_count": frame_count, "plane_counts": counts}
 
 
 def record_type(data: bytes) -> int:

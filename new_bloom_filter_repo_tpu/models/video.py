@@ -183,7 +183,9 @@ class ImprovedVideoCompressor:
                  verbose: bool = False,
                  mode: str = "bloom",
                  exact: bool = True,
-                 profile: str = "blocked"):
+                 profile: str = "blocked",
+                 devices=None,
+                 prefetch: Optional[bool] = None):
         self.noise_tolerance = noise_tolerance
         self.keyframe_interval = max(1, int(keyframe_interval))
         self.min_diff_threshold = min_diff_threshold
@@ -195,20 +197,40 @@ class ImprovedVideoCompressor:
         self.verbose = verbose
         if mode not in ("bloom", "keyframe"):
             raise ValueError(f"unknown mode: {mode!r}")
-        if profile not in ("blocked", "bfv2"):
+        if profile not in ("blocked", "bfv2", "planar"):
             raise ValueError(f"unknown profile: {profile!r}")
         self.mode = mode
         self.exact = exact
         # "blocked": TPU-native BFV3 records (default). "bfv2": emit the
         # reference's designed diff-record layout exactly (type-0 bloom
         # records, improved_video_compressor.py:930-959) via the
-        # reference-semantics device path.
+        # reference-semantics device path. "planar": code each native
+        # Y/U/V plane sequence independently at its true subsampled
+        # geometry (half the samples of the reference's 444 upconversion,
+        # improved_video_compressor.py:810-842 gestures at this with
+        # use_direct_yuv but still stores 444) — plane-exact round trip,
+        # honest ratios against the raw file size.
         self.profile = profile
         self.compressor = FixedVideoCompressor(verbose=verbose)
         self.bloom_compressor = BloomFilterCompressor(verbose=False,
                                                       seed_set="video")
-        self._blocked_enc = blocked_pipeline.BlockedEncoder()
-        self._blocked_dec = blocked_pipeline.BlockedDecoder()
+        # Pipeline stage overlap: upload chunk i+1 while chunk i computes
+        # and its outputs drain (SURVEY.md §2 PP row).  Default OFF here:
+        # on this dev rig the ~34 MB/s host<->device tunnel serializes,
+        # so the early upload delays the pulls the pipeline waits on
+        # (measured ~10% slower end-to-end); on PCIe/ICI-attached hosts
+        # the duplex link makes it a win.  Enable per-instance or with
+        # NBF_PREFETCH=1.
+        if prefetch is None:
+            prefetch = os.environ.get("NBF_PREFETCH", "0") == "1"
+        self.prefetch = bool(prefetch)
+        # Multi-chip: devices=None (single chip), "auto" (all available
+        # chips), an int (that many chips), or a jax.sharding.Mesh with
+        # axes 'dp'[, 'sp'].  Frames shard over dp, blocks within a frame
+        # over sp; the emitted stream is identical either way.
+        self.mesh = _resolve_mesh(devices)
+        self._blocked_enc = blocked_pipeline.BlockedEncoder(mesh=self.mesh)
+        self._blocked_dec = blocked_pipeline.BlockedDecoder(mesh=self.mesh)
         # Bloom-mode keyframes use a faster DEFLATE level (any level
         # decodes identically; level 9 stays for reference-byte-parity
         # BFVC keyframe mode).
@@ -239,7 +261,7 @@ class ImprovedVideoCompressor:
         # (e.g. BGRA) go through the per-frame loop instead.
         packable = arrs[0].ndim == 2 or arrs[0].shape[2] <= 3
         if (self.exact and uniform and packable and len(frames) > 1
-                and self.profile == "blocked"):
+                and self.profile in ("blocked", "planar")):
             infos = [yuv_info_of(f) for f in frames]
             return self._encode_frames_batched(arrs, infos)
         return self._encode_frames_loop(frames)
@@ -272,11 +294,18 @@ class ImprovedVideoCompressor:
             fr = arrs[start:end]
             return fr + [fr[-1]] * (_CHUNK - len(fr))
 
-        # Note: prefetching chunk i+1's device upload while chunk i's
-        # outputs are pulled was measured SLOWER on this rig — the
-        # host<->device tunnel serializes, so the early upload delays the
-        # pulls the pipeline is waiting on.  Uploads therefore happen at
-        # use time; revisit on locally-attached hardware.
+        # Pipeline overlap (self.prefetch): issue chunk i+1's async
+        # device upload before chunk i's compute/pulls so the two link
+        # directions overlap.  Off by default on this rig — its
+        # host<->device tunnel serializes, measured ~10% slower — the
+        # flag turns the PP stage on for duplex-link hardware.
+        def stack_for(seg):
+            _, s, e = seg
+            cf = padded_frames(s, e)
+            return cf, blocked_pipeline.BlockedEncoder.stack_chunk(
+                arrs[s - 1], cf)
+
+        pending: dict = {}
         for i, (kind, start, end) in enumerate(segments):
             if kind == "key":
                 payloads.append(fc.encode_keyframe(
@@ -292,12 +321,19 @@ class ImprovedVideoCompressor:
                     arrs[idx], infos[idx], typed=True,
                     zlib_level=self._keyframe_zlib_level)
 
+            chunk_frames, stacked = pending.pop(i, (None, None))
+            if stacked is None:
+                chunk_frames, stacked = stack_for((kind, start, end))
+            if self.prefetch:
+                for j in range(i + 1, len(segments)):
+                    if segments[j][0] == "run":
+                        pending[j] = stack_for(segments[j])
+                        break
+
             before = len(payloads)
-            chunk_frames = padded_frames(start, end)
             keyframes += self._blocked_enc.encode_chunk(
                 arrs[start - 1], chunk_frames, payloads, keyframe_fn,
-                stacked=blocked_pipeline.BlockedEncoder.stack_chunk(
-                    arrs[start - 1], chunk_frames))
+                stacked=stacked)
             del payloads[before + real:]  # drop padded-frame records
         return payloads, keyframes
 
@@ -358,6 +394,69 @@ class ImprovedVideoCompressor:
                                                  recon_info)
         return payloads, keyframes
 
+    def _encode_planar(self, frames) -> tuple[List[bytes], int, int]:
+        """profile="planar": code Y/U/V plane sequences independently at
+        their native subsampled geometry.
+
+        Returns (payloads, keyframes, native_size).  ``native_size`` is
+        the true raw plane byte count — ratios measure against the actual
+        file content, not the 444 upconversion the reference inflates its
+        original_size with (improved_video_compressor.py:387).
+        """
+        wrapped = [f if yuv_info_of(f) is not None
+                   else add_yuv_info_to_frame(unwrap(f)) for f in frames]
+        infos = [yuv_info_of(f) for f in wrapped]
+        fmt = infos[0].get("format", "YUV444")
+        shapes = [(np.asarray(i["y_plane"]).shape,
+                   np.asarray(i["u_plane"]).shape,
+                   np.asarray(i["v_plane"]).shape) for i in infos]
+        if any(s != shapes[0] for s in shapes):
+            raise ValueError("planar profile requires uniform plane "
+                             "geometry across frames")
+        h, w = shapes[0][0]
+        payloads: List[bytes] = []
+        counts = []
+        keyframes = 0
+        native_size = 0
+        for plane in ("y_plane", "u_plane", "v_plane"):
+            seq = [np.ascontiguousarray(i[plane], dtype=np.uint8)
+                   for i in infos]
+            native_size += sum(p.nbytes for p in seq)
+            pl, kf = self._encode_frames(seq)
+            counts.append(len(pl))
+            keyframes += kf
+            payloads.extend(pl)
+        header = fc.encode_planar_header(fmt, w, h, len(frames), counts)
+        return [header] + payloads, keyframes, native_size
+
+    def _decode_planar(self, payloads: List[bytes]) -> List[YUVFrame]:
+        """Inverse of :meth:`_encode_planar`: decode each plane stream,
+        reassemble YUVFrames (444 view + exact native planes)."""
+        hdr = fc.parse_planar_header(payloads[0], offset=1)
+        if len(hdr["plane_counts"]) != 3:
+            raise ValueError("planar stream must carry 3 planes")
+        seqs = []
+        pos = 1
+        for c in hdr["plane_counts"]:
+            if pos + c > len(payloads):
+                raise ValueError("planar stream truncated")
+            seqs.append(self._decode_payloads(payloads[pos:pos + c],
+                                              typed=True))
+            pos += c
+        frames = []
+        for i in range(hdr["frame_count"]):
+            y = np.asarray(unwrap(seqs[0][i]))
+            u = np.asarray(unwrap(seqs[1][i]))
+            v = np.asarray(unwrap(seqs[2][i]))
+            ry, rx = y.shape[0] // u.shape[0], y.shape[1] // u.shape[1]
+            u444 = np.repeat(np.repeat(u, ry, axis=0), rx, axis=1)
+            v444 = np.repeat(np.repeat(v, ry, axis=0), rx, axis=1)
+            frames.append(YUVFrame(
+                np.stack([y, u444, v444], axis=-1),
+                {"format": hdr["format"], "y_plane": y,
+                 "u_plane": u, "v_plane": v}))
+        return frames
+
     def compress_video(self, frames: List, output_path: str = None,
                        input_color_space: str = "BGR") -> Dict:
         """Compress frames; optionally write a .bfvc container.
@@ -379,6 +478,9 @@ class ImprovedVideoCompressor:
             payloads = self.compressor.compress_video(frames)
             keyframes = len(frames)
             magic = container.MAGIC_FIXED
+        elif self.profile == "planar":
+            payloads, keyframes, original_size = self._encode_planar(frames)
+            magic = container.MAGIC_BLOOM
         else:
             payloads, keyframes = self._encode_frames(frames)
             magic = container.MAGIC_BLOOM
@@ -428,6 +530,9 @@ class ImprovedVideoCompressor:
                 out.append(YUVFrame(frame, info) if info is not None
                            else frame)
             return out
+
+        if payloads and fc.record_type(payloads[0]) == fc.PLANAR:
+            return self._decode_planar(payloads)
 
         frames = []
         prev: Optional[np.ndarray] = None
@@ -582,7 +687,25 @@ class ImprovedVideoCompressor:
         frames = self._decode_payloads(compressed_frames,
                                        typed=(magic == container.MAGIC_BLOOM))
         if output_path:
-            self.save_frames_as_video(frames, output_path)
+            low = output_path.lower()
+            if low.endswith(".yuv"):
+                # byte-exact raw planar export (native planes)
+                videoio.write_raw_yuv(output_path, frames)
+            elif low.endswith(".y4m"):
+                infos = [yuv_info_of(f) for f in frames]
+                if any(i is None for i in infos):
+                    raise ValueError("y4m export requires YUV frames")
+                fmt = infos[0].get("format", "444")
+                cs = {"I420": "420jpeg", "YV12": "420jpeg",
+                      "YUV422": "422", "YUV444": "444"}.get(fmt, fmt)
+                h, w = np.asarray(infos[0]["y_plane"]).shape
+                videoio.write_y4m(
+                    output_path,
+                    [(np.asarray(i["y_plane"]), np.asarray(i["u_plane"]),
+                      np.asarray(i["v_plane"])) for i in infos],
+                    w, h, colorspace=cs)
+            else:
+                self.save_frames_as_video(frames, output_path)
         if self.verbose:
             dt = time.time() - start
             print(f"Decompressed {len(frames)} frames in {dt:.2f} seconds")
@@ -716,9 +839,22 @@ class ImprovedVideoCompressor:
                                           max_frames, frame_step)
             return [add_yuv_info_to_frame(f) for f in frames]
         if video_path.lower().endswith(".y4m"):
-            frames, _ = videoio.read_y4m(video_path, max_frames)
+            frames, params = videoio.read_y4m(video_path, max_frames)
             if output_color_space.upper() == "YUV":
-                return [add_yuv_info_to_frame(f) for f in frames]
+                # Carry the file's ORIGINAL subsampled planes so the
+                # planar profile can code (and export) them exactly.
+                out = []
+                for f, planes in zip(frames, params["planes"]):
+                    if len(planes) == 3 and f.ndim == 3:
+                        out.append(YUVFrame(f, {
+                            "format": params["colorspace"],
+                            "y_plane": planes[0].copy(),
+                            "u_plane": planes[1].copy(),
+                            "v_plane": planes[2].copy()}))
+                    else:
+                        out.append(add_yuv_info_to_frame(f)
+                                   if f.ndim == 3 else f)
+                return out
             bgr = [np.asarray(color_ops.yuv_to_bgr(jnp.asarray(f)))
                    for f in frames]
             if output_color_space.upper() == "RGB":
@@ -734,6 +870,24 @@ class ImprovedVideoCompressor:
                 np.asarray(color_ops.bgr_to_yuv(jnp.asarray(f))))
                 for f in frames]
         return frames
+
+
+def _resolve_mesh(devices):
+    """Turn the public ``devices`` parameter into a Mesh (or None)."""
+    if devices is None:
+        return None
+    from jax.sharding import Mesh
+    if isinstance(devices, Mesh):
+        if "dp" not in devices.axis_names:
+            raise ValueError("mesh must have a 'dp' axis")
+        return devices
+    from new_bloom_filter_repo_tpu.parallel.mesh import auto_mesh
+    if devices == "auto":
+        return auto_mesh()
+    if isinstance(devices, int):
+        return auto_mesh(devices) if devices > 1 else None
+    raise ValueError(f"devices must be None, 'auto', an int, or a Mesh; "
+                     f"got {devices!r}")
 
 
 def _copy_info(info: Optional[dict]) -> Optional[dict]:

@@ -130,9 +130,16 @@ _YUV_LAYOUTS = {
 
 
 def read_raw_yuv(path: str, width: int, height: int, fmt: str = "I420",
-                 max_frames: int = 0, frame_step: int = 1) -> List[np.ndarray]:
-    """Read a headerless planar YUV file into HxWx3 YUV444 uint8 frames
-    (chroma replicated for subsampled formats)."""
+                 max_frames: int = 0, frame_step: int = 1) -> List:
+    """Read a headerless planar YUV file into YUVFrame wrappers.
+
+    Each frame's ``.data`` view is an HxWx3 YUV444 uint8 array (chroma
+    replicated for subsampled formats) while ``.yuv_info`` carries the
+    file's ORIGINAL subsampled planes (canonical Y/U/V order — YV12's
+    swapped layout is normalized on read and restored on write), so a
+    planar pipeline can round-trip the raw bytes exactly.
+    """
+    from new_bloom_filter_repo_tpu.utils.yuvframe import YUVFrame
     if fmt not in _YUV_LAYOUTS:
         raise ValueError(f"unsupported YUV format: {fmt}")
     sx, sy = _YUV_LAYOUTS[fmt]
@@ -154,13 +161,39 @@ def read_raw_yuv(path: str, width: int, height: int, fmt: str = "I420",
                                   dtype=np.uint8).reshape(ch, cw)
                 if fmt == "YV12":  # V before U
                     u, v = v, u
-                u = np.repeat(np.repeat(u, sy, axis=0), sx, axis=1)
-                v = np.repeat(np.repeat(v, sy, axis=0), sx, axis=1)
-                frames.append(np.stack([y, u, v], axis=-1))
+                u444 = np.repeat(np.repeat(u, sy, axis=0), sx, axis=1)
+                v444 = np.repeat(np.repeat(v, sy, axis=0), sx, axis=1)
+                frames.append(YUVFrame(
+                    np.stack([y, u444, v444], axis=-1),
+                    {"format": fmt, "y_plane": y.copy(),
+                     "u_plane": u.copy(), "v_plane": v.copy()}))
                 if max_frames and len(frames) >= max_frames:
                     break
             idx += 1
     return frames
+
+
+def write_raw_yuv(path: str, frames, fmt: str = None) -> str:
+    """Write YUVFrames' native planes back to a headerless planar file —
+    the byte-exact inverse of :func:`read_raw_yuv`."""
+    from new_bloom_filter_repo_tpu.utils.yuvframe import yuv_info_of
+    with open(path, "wb") as f:
+        for frame in frames:
+            info = yuv_info_of(frame)
+            if info is None:
+                raise ValueError(
+                    "frame carries no yuv_info planes; planar export "
+                    "requires YUV input (read_raw_yuv/read_y4m)")
+            ffmt = fmt or info.get("format", "YUV444")
+            y = np.asarray(info["y_plane"], dtype=np.uint8)
+            u = np.asarray(info["u_plane"], dtype=np.uint8)
+            v = np.asarray(info["v_plane"], dtype=np.uint8)
+            if ffmt == "YV12":
+                u, v = v, u
+            f.write(y.tobytes())
+            f.write(u.tobytes())
+            f.write(v.tobytes())
+    return path
 
 
 # ---------------------------------------------------------------------------
