@@ -5,19 +5,43 @@ reads arguments its subparser never defines and calls a generator that
 does not exist (improved_video_compressor.py:1626-1643 vs :1778-1784 —
 SURVEY.md §2 broken subcommands).  This is the working implementation:
 a static textured scene, moving objects, and Gaussian sensor noise of a
-chosen level, in BGR / RGB / YUV / grayscale.
+chosen level, in BGR / RGB / YUV / grayscale — plus adversarial content
+knobs (global pan, zoom, scene cuts) so benchmark conditions exercise
+the codec's dense-mask, keyframe-fallback and pass-through branches,
+not just its best case.
 """
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+
+def _zoom_frame(img: np.ndarray, scale: float) -> np.ndarray:
+    """Nearest-neighbour zoom about the image centre (scale >= 1)."""
+    h, w = img.shape[:2]
+    ys = np.clip(((np.arange(h) - h / 2) / scale + h / 2).astype(np.int64),
+                 0, h - 1)
+    xs = np.clip(((np.arange(w) - w / 2) / scale + w / 2).astype(np.int64),
+                 0, w - 1)
+    return img[np.ix_(ys, xs)]
 
 
 def generate_frames(frame_count: int = 90, width: int = 640,
                     height: int = 480, noise: float = 1.0,
                     speed: float = 1.0, color_space: str = "BGR",
-                    seed: int = 0):
-    """Synthetic clip; returns a list of uint8 frames (HxWx3 or HxW)."""
+                    seed: int = 0, pan: float = 0.0, zoom: float = 0.0,
+                    scene_cut_every: int = 0):
+    """Synthetic clip; returns a list of uint8 frames (HxWx3 or HxW).
+
+    Adversarial knobs:
+      pan: global translation in pixels/frame (camera pan — every pixel
+        changes, driving mask density toward the pass-through branch);
+      zoom: per-frame zoom rate (scale = 1 + zoom*i — radial motion);
+      scene_cut_every: hard cut to a fresh random scene every N frames
+        (exercises the encoder's keyframe-fallback branch).
+    """
     rng = np.random.default_rng(seed)
     gray = color_space.upper() in ("GRAY", "GREY", "MONO")
     shape = (height, width) if gray else (height, width, 3)
@@ -25,19 +49,68 @@ def generate_frames(frame_count: int = 90, width: int = 640,
 
     frames = []
     for i in range(frame_count):
-        f = base.astype(np.float32)
+        if scene_cut_every and i and i % scene_cut_every == 0:
+            base = rng.integers(20, 200, size=shape, dtype=np.uint8)
+        scene = base
+        if pan:
+            dx = int(round(pan * i))
+            dy = int(round(pan * i / 2))
+            scene = np.roll(np.roll(scene, dy, axis=0), dx, axis=1)
+        if zoom:
+            scene = _zoom_frame(scene, 1.0 + zoom * i)
+        f = scene.astype(np.float32)
         if noise > 0:
             f = f + rng.normal(0.0, noise, size=shape)
         frame = np.clip(np.round(f), 0, 255).astype(np.uint8)
-        # two moving objects
-        x = int(20 + speed * 6 * i) % max(1, width - 80)
-        y = int(14 + speed * 3 * i) % max(1, height - 60)
+        # two moving objects, sized to the frame so small test clips
+        # keep visible background (a 48x64 object would blanket a 64x48
+        # frame entirely, producing identical frames)
+        oh = max(4, min(48, height // 5))
+        ow = max(4, min(64, width // 5))
+        h2 = max(3, min(40, height // 6))
+        w2 = max(3, min(40, width // 6))
+        x = int(20 + speed * 6 * i) % max(1, width - ow)
+        y = int(14 + speed * 3 * i) % max(1, height - oh)
         if gray:
-            frame[y:y + 48, x:x + 64] = 235
-            frame[(height - y - 40):(height - y), x // 2:x // 2 + 40] = 16
+            frame[y:y + oh, x:x + ow] = 235
+            frame[(height - y - h2):(height - y), x // 2:x // 2 + w2] = 16
         else:
-            frame[y:y + 48, x:x + 64] = (30, 200, 240)
-            frame[(height - y - 40):(height - y),
-                  x // 2:x // 2 + 40] = (220, 60, 40)
+            frame[y:y + oh, x:x + ow] = (30, 200, 240)
+            frame[(height - y - h2):(height - y),
+                  x // 2:x // 2 + w2] = (220, 60, 40)
         frames.append(frame)
     return frames
+
+
+# The adversarial benchmark suite: content classes spanning the codec's
+# branch space, from its best case (static scene, sparse noise) to cases
+# designed to defeat inter coding (global motion => dense masks, cuts =>
+# keyframe fallbacks, heavy noise => pass-through records).
+SUITE = {
+    "static_gentle": dict(noise=1.0, speed=1.0),
+    "static_noisy": dict(noise=4.0, speed=1.0),
+    "pan": dict(noise=2.0, pan=3.0),
+    "zoom": dict(noise=2.0, zoom=0.004),
+    "scene_cuts": dict(noise=4.0, scene_cut_every=12),
+    "noise_storm": dict(noise=8.0, speed=2.0),
+}
+
+
+def generate_y4m_suite(out_dir: str, width: int = 352, height: int = 288,
+                       frame_count: int = 60, seed: int = 0) -> list:
+    """Write the adversarial suite as real 4:2:0 Y4M files (CIF geometry
+    by default, matching the reference's benchmark set,
+    results.md:54-62).  Returns the written paths."""
+    from new_bloom_filter_repo_tpu.utils.videoio import write_y4m
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for name, kw in SUITE.items():
+        frames = generate_frames(frame_count, width, height, seed=seed,
+                                 **kw)
+        planes = [(f[:, :, 0], f[::2, ::2, 1], f[::2, ::2, 2])
+                  for f in frames]
+        path = os.path.join(out_dir, f"synthetic_{name}.y4m")
+        write_y4m(path, planes, width, height)
+        paths.append(path)
+    return paths

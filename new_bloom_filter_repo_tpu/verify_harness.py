@@ -28,6 +28,38 @@ from new_bloom_filter_repo_tpu.models.video import (
 from new_bloom_filter_repo_tpu.utils.yuvframe import unwrap
 
 
+def _channel_names(frame, n_channels: int):
+    """Channel labels for forensics: Y/U/V for wrapped YUV frames,
+    B/G/R for 3-channel arrays (the reference's convention,
+    test_lossless.py:193-247), else indices."""
+    if getattr(frame, "yuv_info", None) is not None and n_channels == 3:
+        return ["Y", "U", "V"]
+    if n_channels == 3:
+        return ["B", "G", "R"]
+    return [f"ch{i}" for i in range(n_channels)]
+
+
+def analyze_channel_differences(original, decompressed) -> Dict:
+    """Per-channel mismatch breakdown for one frame pair (reference:
+    test_lossless.py:193-247): diff pixel count, mean and max |diff| per
+    B/G/R (or Y/U/V) channel."""
+    od, dd = unwrap(original), unwrap(decompressed)
+    diff = od.astype(np.int32) - dd.astype(np.int32)
+    if diff.ndim == 2:
+        diff = diff[..., None]
+    out = {}
+    for ci, name in enumerate(_channel_names(original, diff.shape[-1])):
+        ch = diff[..., ci]
+        nz = ch != 0
+        cnt = int(nz.sum())
+        out[name] = {
+            "pixels_different": cnt,
+            "mean_abs_diff": (float(np.abs(ch[nz]).mean()) if cnt else 0.0),
+            "max_abs_diff": int(np.abs(ch).max()),
+        }
+    return out
+
+
 def verify_bit_exact(original_frames, decompressed_frames,
                      max_examples: int = 5) -> Dict:
     """Independent byte-level comparator with per-pixel forensics
@@ -70,6 +102,7 @@ def verify_bit_exact(original_frames, decompressed_frames,
                                     if diff.ndim == 3 else
                                     (diff != 0).sum()),
             "max_abs_diff": int(np.abs(diff).max()),
+            "channels": analyze_channel_differences(o, d),
         }
     return result
 

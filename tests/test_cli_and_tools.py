@@ -185,3 +185,62 @@ class TestBloomCompressCrossParity:
         with open(os.path.join(FIXTURES, "golden_binary.bcz"), "rb") as f:
             ref = f.read()
         assert ours == ref
+
+
+def test_channel_forensics_breakdown():
+    """verify_bit_exact reports per-channel diff stats (the reference's
+    analyze_channel_differences, test_lossless.py:193-247)."""
+    from new_bloom_filter_repo_tpu.verify_harness import (
+        analyze_channel_differences,
+        verify_bit_exact,
+    )
+    rng = np.random.default_rng(0)
+    orig = [rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)]
+    bad = [orig[0].copy()]
+    bad[0][2, 3, 1] += 10   # G channel
+    bad[0][5, 5, 1] += 3
+    bad[0][7, 1, 2] += 7    # R channel
+    res = verify_bit_exact(orig, bad)
+    assert not res["bit_exact"]
+    ch = res["diff_stats"][0]["channels"]
+    assert ch["B"]["pixels_different"] == 0
+    assert ch["G"]["pixels_different"] == 2
+    assert ch["R"]["pixels_different"] == 1
+    assert ch["R"]["max_abs_diff"] == 7
+    direct = analyze_channel_differences(orig[0], bad[0])
+    assert direct == ch
+
+
+def test_adversarial_synthetic_roundtrip(tmp_path):
+    """Scene cuts + global pan produce dense masks and keyframe
+    fallbacks, and the codec stays bit-exact on them."""
+    from new_bloom_filter_repo_tpu.models.video import (
+        ImprovedVideoCompressor,
+        verify_lossless,
+    )
+    from new_bloom_filter_repo_tpu.utils.synthetic import generate_frames
+
+    frames = generate_frames(12, 64, 48, noise=4.0, pan=3.0,
+                             scene_cut_every=4, seed=3)
+    comp = ImprovedVideoCompressor(verbose=False, keyframe_interval=12)
+    out = str(tmp_path / "adv.bfvc")
+    res = comp.compress_video(frames, out)
+    rec = comp.decompress_video(out)
+    assert verify_lossless(frames, rec)["lossless"]
+    # the cuts must have forced extra keyframes beyond the schedule
+    assert res["keyframes"] > 1
+
+
+def test_synthetic_y4m_suite(tmp_path):
+    from new_bloom_filter_repo_tpu.utils.synthetic import (
+        SUITE,
+        generate_y4m_suite,
+    )
+    from new_bloom_filter_repo_tpu.utils.videoio import read_y4m
+
+    paths = generate_y4m_suite(str(tmp_path), width=64, height=48,
+                               frame_count=6)
+    assert len(paths) == len(SUITE)
+    frames, params = read_y4m(paths[0])
+    assert len(frames) == 6
+    assert params["width"] == 64 and params["height"] == 48
