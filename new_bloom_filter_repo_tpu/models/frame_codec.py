@@ -72,9 +72,30 @@ def _dtype_from_itemsize(itemsize: int):
 # Keyframe records
 # ---------------------------------------------------------------------------
 
+def _planes_are_channels(frame: np.ndarray, yuv_info: dict) -> bool:
+    """True when the yuv_info planes are exactly the frame's channels
+    (a 444 wrapper) — storable as a 1-byte flag instead of three
+    duplicate zlib streams."""
+    if frame.ndim != 3 or frame.shape[2] != 3 or frame.dtype != np.uint8:
+        return False
+    for ci, plane in enumerate(("y_plane", "u_plane", "v_plane")):
+        arr = np.asarray(yuv_info.get(plane))
+        if arr is None or arr.shape != frame.shape[:2]:
+            return False
+        if not np.array_equal(arr, frame[:, :, ci]):
+            return False
+    return True
+
+
 def encode_keyframe(frame: np.ndarray, yuv_info: dict | None = None,
                     typed: bool = False, zlib_level: int = 9) -> bytes:
-    """Serialize a keyframe with bit-exact zlib coding."""
+    """Serialize a keyframe with bit-exact zlib coding.
+
+    Typed records use has_yuv flag 2 ("planes = frame channels") when the
+    YUV wrapper's planes duplicate the 444 frame, eliding three redundant
+    zlib streams (~40% of the record).  Untyped records always write the
+    reference layout (flag 0/1) for BFVC byte parity.
+    """
     frame = np.asarray(frame)
     buf = io.BytesIO()
     if typed:
@@ -83,17 +104,24 @@ def encode_keyframe(frame: np.ndarray, yuv_info: dict | None = None,
     buf.write(_HDR_III.pack(frame.shape[0], frame.shape[1], frame.dtype.itemsize))
     buf.write(_U32.pack(len(z)))
     buf.write(z)
-    buf.write(_U8.pack(1 if yuv_info is not None else 0))
-    if yuv_info is not None:
-        fmt = yuv_info.get("format", "YUV444").encode("utf-8")
+    if yuv_info is None:
+        buf.write(_U8.pack(0))
+        return buf.getvalue()
+    fmt = yuv_info.get("format", "YUV444").encode("utf-8")
+    if typed and _planes_are_channels(frame, yuv_info):
+        buf.write(_U8.pack(2))
         buf.write(_U16.pack(len(fmt)))
         buf.write(fmt)
-        for plane in ("y_plane", "u_plane", "v_plane"):
-            arr = np.asarray(yuv_info[plane])
-            pz = zlib.compress(arr.tobytes(), level=zlib_level)
-            buf.write(_U32.pack(len(pz)))
-            buf.write(pz)
-            buf.write(struct.pack("<II", *arr.shape))
+        return buf.getvalue()
+    buf.write(_U8.pack(1))
+    buf.write(_U16.pack(len(fmt)))
+    buf.write(fmt)
+    for plane in ("y_plane", "u_plane", "v_plane"):
+        arr = np.asarray(yuv_info[plane])
+        pz = zlib.compress(arr.tobytes(), level=zlib_level)
+        buf.write(_U32.pack(len(pz)))
+        buf.write(pz)
+        buf.write(struct.pack("<II", *arr.shape))
     return buf.getvalue()
 
 
@@ -179,6 +207,13 @@ def decode_keyframe(data: bytes, offset: int = 0):
             ph, pw = struct.unpack("<II", buf.read(8))
             yuv_info[plane] = np.frombuffer(
                 zlib.decompress(pz), dtype=np.uint8).reshape((ph, pw)).copy()
+    elif flag and flag[0] == 2:  # planes elided: they are the channels
+        fmt_len = _U16.unpack(buf.read(2))[0]
+        fmt = buf.read(fmt_len).decode("utf-8")
+        yuv_info = {"format": fmt,
+                    "y_plane": frame[:, :, 0].copy(),
+                    "u_plane": frame[:, :, 1].copy(),
+                    "v_plane": frame[:, :, 2].copy()}
     return frame, yuv_info
 
 

@@ -28,16 +28,37 @@ def _zoom_frame(img: np.ndarray, scale: float) -> np.ndarray:
     return img[np.ix_(ys, xs)]
 
 
+def _smooth_texture(rng, height, width, gray, cell: int = 8):
+    """Spatially smooth random scene (block texture + mild detail) —
+    compressible like real video, unlike white noise which no lossless
+    codec (this one, FFV1, or H.264-lossless) can do anything with."""
+    shape = (height, width) if gray else (height, width, 3)
+    small_shape = ((height + cell - 1) // cell, (width + cell - 1) // cell
+                   ) + (() if gray else (3,))
+    small = rng.integers(20, 200, size=small_shape).astype(np.int16)
+    up = np.repeat(np.repeat(small, cell, axis=0), cell, axis=1
+                   )[:height, :width]
+    up = up + rng.integers(-5, 6, size=shape).astype(np.int16)
+    return np.clip(up, 0, 255).astype(np.uint8)
+
+
 def generate_frames(frame_count: int = 90, width: int = 640,
                     height: int = 480, noise: float = 1.0,
                     speed: float = 1.0, color_space: str = "BGR",
                     seed: int = 0, pan: float = 0.0, zoom: float = 0.0,
-                    scene_cut_every: int = 0):
+                    scene_cut_every: int = 0, noise_frac: float = 0.02):
     """Synthetic clip; returns a list of uint8 frames (HxWx3 or HxW).
+
+    The scene is spatially smooth (block texture + mild detail) so the
+    entropy stage has something to compress, like real video; ``noise``
+    is per-frame Gaussian sensor noise of the given sigma applied to a
+    random ``noise_frac`` fraction of pixels (sparse glints by default;
+    noise_frac=1.0 = full-frame noise, the adversarial worst case where
+    every pixel changes every frame).
 
     Adversarial knobs:
       pan: global translation in pixels/frame (camera pan — every pixel
-        changes, driving mask density toward the pass-through branch);
+        changes, driving mask density toward the keyframe fallback);
       zoom: per-frame zoom rate (scale = 1 + zoom*i — radial motion);
       scene_cut_every: hard cut to a fresh random scene every N frames
         (exercises the encoder's keyframe-fallback branch).
@@ -45,12 +66,12 @@ def generate_frames(frame_count: int = 90, width: int = 640,
     rng = np.random.default_rng(seed)
     gray = color_space.upper() in ("GRAY", "GREY", "MONO")
     shape = (height, width) if gray else (height, width, 3)
-    base = rng.integers(20, 200, size=shape, dtype=np.uint8)
+    base = _smooth_texture(rng, height, width, gray)
 
     frames = []
     for i in range(frame_count):
         if scene_cut_every and i and i % scene_cut_every == 0:
-            base = rng.integers(20, 200, size=shape, dtype=np.uint8)
+            base = _smooth_texture(rng, height, width, gray)
         scene = base
         if pan:
             dx = int(round(pan * i))
@@ -59,8 +80,14 @@ def generate_frames(frame_count: int = 90, width: int = 640,
         if zoom:
             scene = _zoom_frame(scene, 1.0 + zoom * i)
         f = scene.astype(np.float32)
-        if noise > 0:
-            f = f + rng.normal(0.0, noise, size=shape)
+        if noise > 0 and noise_frac > 0:
+            if noise_frac >= 1.0:
+                f = f + rng.normal(0.0, noise, size=shape)
+            else:
+                m = rng.random((height, width)) < noise_frac
+                cnt = int(m.sum())
+                nshape = (cnt,) if gray else (cnt, 3)
+                f[m] = f[m] + rng.normal(0.0, noise, size=nshape)
         frame = np.clip(np.round(f), 0, 255).astype(np.uint8)
         # two moving objects, sized to the frame so small test clips
         # keep visible background (a 48x64 object would blanket a 64x48
@@ -87,12 +114,14 @@ def generate_frames(frame_count: int = 90, width: int = 640,
 # designed to defeat inter coding (global motion => dense masks, cuts =>
 # keyframe fallbacks, heavy noise => pass-through records).
 SUITE = {
-    "static_gentle": dict(noise=1.0, speed=1.0),
-    "static_noisy": dict(noise=4.0, speed=1.0),
-    "pan": dict(noise=2.0, pan=3.0),
-    "zoom": dict(noise=2.0, zoom=0.004),
-    "scene_cuts": dict(noise=4.0, scene_cut_every=12),
-    "noise_storm": dict(noise=8.0, speed=2.0),
+    "static_gentle": dict(noise=2.0, noise_frac=0.02, speed=1.0),
+    "static_noisy": dict(noise=6.0, noise_frac=0.10, speed=1.0),
+    "pan": dict(noise=2.0, noise_frac=0.02, pan=3.0),
+    "zoom": dict(noise=2.0, noise_frac=0.02, zoom=0.004),
+    "scene_cuts": dict(noise=4.0, noise_frac=0.05, scene_cut_every=12),
+    # every pixel renoised every frame: the designed worst case — inter
+    # coding is impossible and the entropy stage sees near-random bytes
+    "noise_storm": dict(noise=8.0, noise_frac=1.0, speed=2.0),
 }
 
 
