@@ -78,6 +78,8 @@ def _device_codec_fps(frames):
     (fps, lossless) having pulled only counts and one checksum tuple
     per iteration.
     """
+    import functools
+
     import jax
     import jax.numpy as jnp
     from new_bloom_filter_repo_tpu.models import blocked_pipeline as bp
@@ -95,18 +97,39 @@ def _device_codec_fps(frames):
     tab = bp.blocked_tables(n)
     nb, npad = tab["nb"], tab["npad"]
 
-    @jax.jit
-    def verify(decoded, stacked):
-        ok = jnp.all(decoded == stacked[1:])
-        checksum = jnp.sum(decoded.astype(jnp.uint32))
-        return ok, checksum
+    @functools.lru_cache(maxsize=8)
+    def codec_prog(k_lanes, vh, nw):
+        """ONE device program: mod tables, Bloom encode, membership,
+        expansion, chained reconstruction, and bit-exact verification
+        against the retained originals — returns (ok, checksum) only.
+        Dispatch overhead dominates multi-program flows on this rig, so
+        the codec proper runs as a single launch (the production
+        pipeline fuses the same stages per direction)."""
 
-    def run(stacked):
-        masks, _packed, counts_d, vals = bp._phase_a(
-            stacked, npad=npad, nb=nb)
-        counts = jax.device_get(counts_d)          # (F, NB) i32, ~120 KB
+        @jax.jit
+        def prog(stacked, masks, vals, m, thi, tlo, fk):
+            words, wit, _wcnt, vseg, _vcnt = bk.blocked_encode_h(
+                masks, tab["h1"], tab["h2"], tab["act_hi"], tab["act_lo"],
+                vals, m, thi, tlo, fk, k_lanes=k_lanes, vh=vh, nw=nw)
+            flags = jnp.zeros((f,), jnp.int32)
+            passes, _ = bk.blocked_membership_h(
+                words, tab["h1"], tab["h2"], tab["act_hi"], tab["act_lo"],
+                m, thi, tlo, fk, flags, k_lanes=k_lanes, nw=nw)
+            raw = jnp.zeros((f, nb, bk.IPB), jnp.uint8)
+            mask, out_vals = bk.blocked_expand(passes, wit, raw, flags,
+                                               vseg, vh=vh)
+            decoded = bp._chain_apply(stacked[0], mask, out_vals,
+                                      shape=(h, w, 3))
+            ok = jnp.all(decoded == stacked[1:])
+            return ok, jnp.sum(decoded.astype(jnp.uint32))
+
+        return prog
+
+    def run(stacked, defer=False):
+        # dispatch 1: diff masks + counts (counts pulled, ~120 KB)
+        masks, counts_d, vals = bp._phase_a(stacked, npad=npad, nb=nb)
+        counts = jax.device_get(counts_d)
         frame_counts = counts.sum(axis=1)
-        ks = np.zeros(f, np.float64)
         m_arr = np.ones(f, np.int32)
         fk_arr = np.zeros(f, np.int32)
         thi = np.zeros(f, np.uint32)
@@ -119,7 +142,6 @@ def _device_codec_fps(frames):
                 raise RuntimeError("bench clip produced a non-inter frame")
             max_block = max(max_block, int(counts[j].max()))
             k, l = optimal_compression_params(n, p)
-            ks[j] = k
             m = int(round(l / nb)) if l else 0
             if p >= P_STAR or l == 0 or l >= n or m < bp.MIN_M:
                 raise RuntimeError("bench clip produced a non-blocked frame")
@@ -131,35 +153,30 @@ def _device_codec_fps(frames):
         vh = bp._vh_bucket(max_block)
         k_lanes = int(fk_arr.max())
         nw = bk.nw_bucket(int(m_arr.max()))
-        m_d = jnp.asarray(m_arr)
-        fk_d = jnp.asarray(fk_arr)
-        flags = jnp.zeros(f, jnp.int32)
-        a, b, act = bp._frame_mod_tables(
-            tab["h1"], tab["h2"], tab["act_hi"], tab["act_lo"],
-            m_d, jnp.asarray(thi), jnp.asarray(tlo))
-        # encode
-        words, wit, _wcnt, vseg, _vcnt = bk.blocked_encode(
-            masks, a, b, act, vals, m_d, fk_d,
-            k_lanes=k_lanes, vh=vh, nw=nw)
-        # decode (membership recomputes the pass mask from the filter,
-        # expansion replays witness + value segments)
-        passes, _ = bk.blocked_membership(
-            words, a, b, act, m_d, fk_d, flags, k_lanes=k_lanes, nw=nw)
-        raw = jnp.zeros((f, nb, bk.IPB), jnp.uint8)
-        mask, out_vals = bk.blocked_expand(passes, wit, raw, flags, vseg,
-                                           vh=vh)
-        decoded = bp._chain_apply(stacked[0], mask, out_vals,
-                                  shape=(h, w, 3))
-        return jax.device_get(verify(decoded, stacked))
+        # dispatch 2: the full fused codec + on-device verify
+        prog = codec_prog(k_lanes, vh, nw)
+        out = prog(stacked, masks, vals, jnp.asarray(m_arr),
+                   jnp.asarray(thi), jnp.asarray(tlo),
+                   jnp.asarray(fk_arr))
+        return out if defer else jax.device_get(out)
 
     stacked = jax.device_put(np.stack([base] + chunk))
     ok, _ = run(stacked)                            # compile + correctness
     lossless = bool(ok)
-    reps = 3
+    # Steady-state pipeline: defer each chunk's (ok, checksum) pull until
+    # after the next chunk's dispatches are issued, like the production
+    # multi-chunk flow — round-trip latency overlaps device compute.
+    reps = 6
+    pending = None
     t0 = time.time()
     for _ in range(reps):
-        ok, _ = run(stacked)
-        lossless = lossless and bool(ok)
+        out = run(stacked, defer=True)
+        if pending is not None:
+            ok, _ = jax.device_get(pending)
+            lossless = lossless and bool(ok)
+        pending = out
+    ok, _ = jax.device_get(pending)
+    lossless = lossless and bool(ok)
     dt = (time.time() - t0) / reps
     return round(f / dt, 2), lossless
 

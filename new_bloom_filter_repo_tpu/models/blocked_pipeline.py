@@ -175,7 +175,10 @@ def _phase_a(stacked, *, npad: int, nb: int):
     """Masks + per-block counts + packed pixels for a chunk.
 
     stacked: (F+1, h, w[, c]) uint8.  Returns (masks (F,NB,IPB) u8,
-    packed_mask (F, npad//8) u8, counts (F, NB) i32, vals (F,NB,IPB) i32).
+    counts (F, NB) i32, vals (F,NB,IPB) i32).  The packbits'd mask (only
+    needed for the rare pass-through/sparse records) is a separate
+    program (:func:`_phase_a_packed`) so the common path never pays for
+    it.
     """
     neq = stacked[1:] != stacked[:-1]
     if neq.ndim == 4:
@@ -188,17 +191,32 @@ def _phase_a(stacked, *, npad: int, nb: int):
         flat = jnp.pad(flat, ((0, 0), (0, pad)))
     masks = flat.astype(jnp.uint8).reshape(f, nb, bk.IPB)
     counts = jnp.sum(masks.astype(jnp.int32), axis=2)
-    byts = flat.reshape(f, npad // 8, 8).astype(jnp.uint8)
-    packed = ((byts[..., 0] << 7) | (byts[..., 1] << 6) | (byts[..., 2] << 5)
-              | (byts[..., 3] << 4) | (byts[..., 4] << 3) | (byts[..., 5] << 2)
-              | (byts[..., 6] << 1) | byts[..., 7])
     curr = stacked[1:]
     if curr.ndim == 3:
         curr = curr[..., None]
     vals = _pack_pixels(curr.reshape(f, n, curr.shape[-1]))
     if pad:
         vals = jnp.pad(vals, ((0, 0), (0, pad)))
-    return masks, packed, counts, vals.reshape(f, nb, bk.IPB)
+    return masks, counts, vals.reshape(f, nb, bk.IPB)
+
+
+@partial(jax.jit, static_argnames=("npad",))
+def _phase_a_packed(stacked, *, npad: int):
+    """packbits(diff mask) for a chunk — pulled per frame only when a
+    pass-through or sparse record needs the raw mask bytes."""
+    neq = stacked[1:] != stacked[:-1]
+    if neq.ndim == 4:
+        neq = jnp.any(neq, axis=-1)
+    f = neq.shape[0]
+    n = neq.shape[1] * neq.shape[2]
+    flat = neq.reshape(f, n)
+    pad = npad - n
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, pad)))
+    byts = flat.reshape(f, npad // 8, 8).astype(jnp.uint8)
+    return ((byts[..., 0] << 7) | (byts[..., 1] << 6) | (byts[..., 2] << 5)
+            | (byts[..., 3] << 4) | (byts[..., 4] << 3) | (byts[..., 5] << 2)
+            | (byts[..., 6] << 1) | byts[..., 7])
 
 
 @partial(jax.jit, static_argnames=())
@@ -216,6 +234,42 @@ def _frame_mod_tables(h1, h2, act_hi, act_lo, m_arr, t_hi, t_lo):
     tlo = t_lo[:, None, None]
     act = (hi < thi) | ((hi == thi) & (lo < tlo))
     return a, b, act.astype(jnp.uint8)
+
+
+# Fused per-(static-key) device programs: one dispatch each for the
+# encode and decode sides.  Dispatch overhead through this rig's remote
+# tunnel costs ~10 ms per program launch, so collapsing mod-tables +
+# kernels (+ chain/verify) into single programs nearly doubles measured
+# end-to-end codec fps (70 ms vs 129 ms per 15-frame 1080p chunk).
+
+@lru_cache(maxsize=32)
+def _fused_encode_prog(k_lanes: int, vh: int, nw: int):
+    @jax.jit
+    def prog(h1, h2, act_hi, act_lo, masks, vals, m, thi, tlo, fk):
+        return bk.blocked_encode_h(masks, h1, h2, act_hi, act_lo, vals,
+                                   m, thi, tlo, fk,
+                                   k_lanes=k_lanes, vh=vh, nw=nw)
+    return prog
+
+
+@lru_cache(maxsize=32)
+def _fused_membership_prog(k_lanes: int, nw: int):
+    @jax.jit
+    def prog(h1, h2, act_hi, act_lo, words, m, thi, tlo, fk, flags):
+        return bk.blocked_membership_h(words, h1, h2, act_hi, act_lo,
+                                       m, thi, tlo, fk, flags,
+                                       k_lanes=k_lanes, nw=nw)
+    return prog
+
+
+@lru_cache(maxsize=32)
+def _fused_expand_chain_prog(vh: int, shape: tuple):
+    @jax.jit
+    def prog(passes, wit, raw, flags, vseg, base):
+        mask, vals = bk.blocked_expand(passes, wit, raw, flags, vseg,
+                                       vh=vh)
+        return _chain_apply(base, mask, vals, shape=shape)
+    return prog
 
 
 def _vh_bucket(max_count: int) -> int:
@@ -304,16 +358,19 @@ class BlockedEncoder:
 
         if stacked is None:
             stacked = self.stack_chunk(base, frames)
-        masks, packed_d, counts_d, vals = _phase_a(stacked, npad=npad, nb=nb)
-        # Pull only the tiny counts; packed masks are fetched lazily per
-        # frame (pass-through/sparse records only) — the device->host
-        # link, not compute, bounds this pipeline.
+        masks, counts_d, vals = _phase_a(stacked, npad=npad, nb=nb)
+        # Pull only the tiny counts; packed masks are computed and
+        # fetched lazily per frame (pass-through/sparse records only) —
+        # the device->host link, not compute, bounds this pipeline.
         counts = jax.device_get(counts_d)
         packed_cache: dict = {}
 
         def packed_row(j):
             if j not in packed_cache:
-                packed_cache[j] = np.asarray(packed_d[j])
+                if "packed" not in packed_cache:
+                    packed_cache["packed"] = _phase_a_packed(stacked,
+                                                             npad=npad)
+                packed_cache[j] = np.asarray(packed_cache["packed"][j])
             return packed_cache[j]
 
         frame_counts = counts.sum(axis=1)
@@ -353,17 +410,19 @@ class BlockedEncoder:
         vh = _vh_bucket(max_block)
         k_lanes = int(fk_arr.max())
         nw = bk.nw_bucket(int(m_arr.max()))
-        a, b, act = _frame_mod_tables(
-            tab["h1"], tab["h2"], tab["act_hi"], tab["act_lo"],
-            jnp.asarray(m_arr), jnp.asarray(thi), jnp.asarray(tlo))
         if self.dispatch is not None:
+            a, b, act = _frame_mod_tables(
+                tab["h1"], tab["h2"], tab["act_hi"], tab["act_lo"],
+                jnp.asarray(m_arr), jnp.asarray(thi), jnp.asarray(tlo))
             words_d, wit_d, wcnt_d, vseg_d, vcnt_d = self.dispatch.encode(
                 masks, a, b, act, vals, jnp.asarray(m_arr),
                 jnp.asarray(fk_arr), k_lanes=k_lanes, vh=vh, nw=nw)
         else:
-            words_d, wit_d, wcnt_d, vseg_d, vcnt_d = bk.blocked_encode(
-                masks, a, b, act, vals, jnp.asarray(m_arr),
-                jnp.asarray(fk_arr), k_lanes=k_lanes, vh=vh, nw=nw)
+            prog = _fused_encode_prog(k_lanes, vh, nw)
+            words_d, wit_d, wcnt_d, vseg_d, vcnt_d = prog(
+                tab["h1"], tab["h2"], tab["act_hi"], tab["act_lo"],
+                masks, vals, jnp.asarray(m_arr), jnp.asarray(thi),
+                jnp.asarray(tlo), jnp.asarray(fk_arr))
         words, wit, wcnt, vseg, vcnt = jax.device_get(
             (words_d, wit_d, wcnt_d, vseg_d, vcnt_d))
 
@@ -508,19 +567,20 @@ class BlockedDecoder:
 
         k_lanes = int(fk_arr.max())
         nw = bk.nw_bucket(int(m_arr.max()))
-        a, b, act = _frame_mod_tables(
-            tab["h1"], tab["h2"], tab["act_hi"], tab["act_lo"],
-            jnp.asarray(m_arr), jnp.asarray(thi), jnp.asarray(tlo))
         if self.dispatch is not None:
+            a, b, act = _frame_mod_tables(
+                tab["h1"], tab["h2"], tab["act_hi"], tab["act_lo"],
+                jnp.asarray(m_arr), jnp.asarray(thi), jnp.asarray(tlo))
             passes_d, wcnt_d = self.dispatch.membership(
                 jnp.asarray(words), a, b, act, jnp.asarray(m_arr),
                 jnp.asarray(fk_arr), jnp.asarray(flags), k_lanes=k_lanes,
                 nw=nw)
         else:
-            passes_d, wcnt_d = bk.blocked_membership(
-                jnp.asarray(words), a, b, act, jnp.asarray(m_arr),
-                jnp.asarray(fk_arr), jnp.asarray(flags), k_lanes=k_lanes,
-                nw=nw)
+            prog = _fused_membership_prog(k_lanes, nw)
+            passes_d, wcnt_d = prog(
+                tab["h1"], tab["h2"], tab["act_hi"], tab["act_lo"],
+                jnp.asarray(words), jnp.asarray(m_arr), jnp.asarray(thi),
+                jnp.asarray(tlo), jnp.asarray(fk_arr), jnp.asarray(flags))
         wcnt = jax.device_get(wcnt_d)
 
         # Host: slice witness streams into per-block padded segments and
@@ -556,10 +616,11 @@ class BlockedDecoder:
             mask_d, vals_d = self.dispatch.expand(
                 passes_d, jnp.asarray(wit), jnp.asarray(raw_mask),
                 jnp.asarray(flags), jnp.asarray(vseg), vh=vh)
+            frames = jax.device_get(_chain_apply(
+                jnp.asarray(base), mask_d, vals_d, shape=tuple(shape)))
         else:
-            mask_d, vals_d = bk.blocked_expand(
+            prog = _fused_expand_chain_prog(vh, tuple(shape))
+            frames = jax.device_get(prog(
                 passes_d, jnp.asarray(wit), jnp.asarray(raw_mask),
-                jnp.asarray(flags), jnp.asarray(vseg), vh=vh)
-        frames = jax.device_get(_chain_apply(
-            jnp.asarray(base), mask_d, vals_d, shape=tuple(shape)))
+                jnp.asarray(flags), jnp.asarray(vseg), jnp.asarray(base)))
         return [np.asarray(frames[j]) for j in range(f)]

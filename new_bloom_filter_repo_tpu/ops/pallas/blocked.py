@@ -218,19 +218,9 @@ def _pack_group32(bits_at_lanes, valid):
 # Kernels
 # ---------------------------------------------------------------------------
 
-def _encode_kernel(m_ref, fk_ref, bits_ref, a_ref, b_ref, act_ref,
-                   vals_ref, words_ref, witw_ref, pass_ref, valc_ref,
-                   *, k_lanes, nw):
-    f = pl.program_id(0)
-    m = m_ref[f]
-    floor_k = fk_ref[f]
-    bits = bits_ref[0].astype(_I32)                   # (BG, IPB)
-    a = a_ref[0]
-    b = b_ref[0]
-    act = act_ref[0].astype(jnp.bool_)
-    vals = vals_ref[0]
+def _encode_body(m, floor_k, bits, a, b, act, vals,
+                 words_ref, witw_ref, pass_ref, valc_ref, k_lanes, nw):
     lane = _lane_iota(bits.shape)
-
     pos = _positions(a, b, m, k_lanes)
     words, his, weights = _insert_words(pos, bits, floor_k, act, nw)
     words_ref[0] = words
@@ -251,16 +241,52 @@ def _encode_kernel(m_ref, fk_ref, bits_ref, a_ref, b_ref, act_ref,
     valc_ref[0] = vc
 
 
-def _member_kernel(m_ref, fk_ref, flag_ref, words_ref, a_ref, b_ref,
-                   act_ref, pass_ref, *, k_lanes, nw):
+def _encode_kernel(m_ref, fk_ref, bits_ref, a_ref, b_ref, act_ref,
+                   vals_ref, words_ref, witw_ref, pass_ref, valc_ref,
+                   *, k_lanes, nw):
+    f = pl.program_id(0)
+    _encode_body(m_ref[f], fk_ref[f], bits_ref[0].astype(_I32),
+                 a_ref[0], b_ref[0], act_ref[0].astype(jnp.bool_),
+                 vals_ref[0], words_ref, witw_ref, pass_ref, valc_ref,
+                 k_lanes, nw)
+
+
+def _imin():
+    """int32 sign bit, constructed in-trace (a module-level jnp scalar
+    would be a captured pallas constant)."""
+    return _I32(-2147483648)
+
+
+def _hash_prelude(m, thi_x, tlo_x, h1, h2, ahi, alo):
+    """In-kernel position + activation math from the per-geometry hash
+    tables: a/b = h mod m, act = (u64 activation hash < threshold) via
+    xor-bias unsigned compares on i32 bit patterns.  Removes the
+    (F,NB,IPB)x3 materialized tables (~375 MB per 15x1080p chunk) the
+    XLA prelude (_frame_mod_tables) writes and the kernels re-read."""
+    a = h1 % m
+    b = h2 % m
+    hix = ahi ^ _imin()
+    lox = alo ^ _imin()
+    act = (hix < thi_x) | ((hix == thi_x) & (lox < tlo_x))
+    return a, b, act
+
+
+def _encode_kernel_h(m_ref, fk_ref, thi_ref, tlo_ref, bits_ref, h1_ref,
+                     h2_ref, ahi_ref, alo_ref, vals_ref, words_ref,
+                     witw_ref, pass_ref, valc_ref, *, k_lanes, nw):
     f = pl.program_id(0)
     m = m_ref[f]
-    floor_k = fk_ref[f]
-    passthrough = flag_ref[f]
-    words = words_ref[0]                              # (BG, NW) i32
-    a = a_ref[0]
-    b = b_ref[0]
-    act = act_ref[0].astype(jnp.bool_)
+    a, b, act = _hash_prelude(m, thi_ref[f] ^ _imin(),
+                              tlo_ref[f] ^ _imin(),
+                              h1_ref[...], h2_ref[...], ahi_ref[...],
+                              alo_ref[...])
+    _encode_body(m, fk_ref[f], bits_ref[0].astype(_I32), a, b, act,
+                 vals_ref[0], words_ref, witw_ref, pass_ref, valc_ref,
+                 k_lanes, nw)
+
+
+def _member_body(m, floor_k, passthrough, words, a, b, act, pass_ref,
+                 k_lanes, nw):
     pos = _positions(a, b, m, k_lanes)
     his = [p >> 5 for p in pos]
     weights = [jax.lax.shift_left(_I32(1), 31 - (p & 31)) for p in pos]
@@ -268,6 +294,27 @@ def _member_kernel(m_ref, fk_ref, flag_ref, words_ref, a_ref, b_ref,
                                k_lanes, nw)
     passes = passes & (passthrough == 0)
     pass_ref[0] = _to_u8(passes)
+
+
+def _member_kernel(m_ref, fk_ref, flag_ref, words_ref, a_ref, b_ref,
+                   act_ref, pass_ref, *, k_lanes, nw):
+    f = pl.program_id(0)
+    _member_body(m_ref[f], fk_ref[f], flag_ref[f], words_ref[0],
+                 a_ref[0], b_ref[0], act_ref[0].astype(jnp.bool_),
+                 pass_ref, k_lanes, nw)
+
+
+def _member_kernel_h(m_ref, fk_ref, thi_ref, tlo_ref, flag_ref,
+                     words_ref, h1_ref, h2_ref, ahi_ref, alo_ref,
+                     pass_ref, *, k_lanes, nw):
+    f = pl.program_id(0)
+    m = m_ref[f]
+    a, b, act = _hash_prelude(m, thi_ref[f] ^ _imin(),
+                              tlo_ref[f] ^ _imin(),
+                              h1_ref[...], h2_ref[...], ahi_ref[...],
+                              alo_ref[...])
+    _member_body(m, fk_ref[f], flag_ref[f], words_ref[0], a, b, act,
+                 pass_ref, k_lanes, nw)
 
 
 def _expand_kernel(flag_ref, pass_ref, witw_ref, raw_ref, vseg_ref,
@@ -382,6 +429,88 @@ def blocked_encode(bits, a, b, act, vals, m, floor_k, *, k_lanes: int,
     vcnt = jnp.sum(bits.astype(_I32), axis=2)
     vseg = valc[:, :, : vh * 32]
     return words, wit, wcnt, vseg, vcnt
+
+
+def _i32(x):
+    return jax.lax.bitcast_convert_type(x, _I32)
+
+
+@functools.partial(jax.jit, static_argnames=("k_lanes", "vh", "nw"))
+def blocked_encode_h(bits, h1, h2, act_hi, act_lo, vals, m, thi, tlo,
+                     floor_k, *, k_lanes: int, vh: int, nw: int = NW):
+    """blocked_encode with position/activation math fused in-kernel.
+
+    Takes the per-geometry hash tables (h1/h2 (NB,IPB) i32 24-bit,
+    act_hi/act_lo (NB,IPB) u32) plus per-frame scalars (m, thi, tlo,
+    floor_k) instead of materialized (F,NB,IPB) a/b/act — ~375 MB less
+    HBM traffic per 15x1080p chunk and one less program.  Output is
+    identical to blocked_encode on _frame_mod_tables' tables."""
+    f_, nb, _ = bits.shape
+    kern = functools.partial(_encode_kernel_h, k_lanes=k_lanes, nw=nw)
+    table_spec = pl.BlockSpec((BG, IPB), lambda f, g: (g, 0))
+    words32, witw, passes, valc = pl.pallas_call(
+        kern,
+        grid=(f_, nb // BG),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # m (F,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # floor_k (F,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # thi (F,) i32 bits
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tlo (F,) i32 bits
+            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),  # bits
+            table_spec, table_spec, table_spec, table_spec,
+            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),  # vals
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BG, nw), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((f_, nb, nw), _I32),
+            jax.ShapeDtypeStruct((f_, nb, IPB), _I32),
+            jax.ShapeDtypeStruct((f_, nb, IPB), jnp.uint8),
+            jax.ShapeDtypeStruct((f_, nb, IPB), _I32),
+        ],
+        interpret=_interpret(),
+    )(m, floor_k, _i32(thi), _i32(tlo), bits, h1, h2,
+      _i32(act_hi), _i32(act_lo), vals.astype(_I32))
+    words = _words32_to_bits(words32)
+    wit = _witwords_to_bytes(witw[:, :, 31::32])
+    wcnt = jnp.sum(passes.astype(_I32), axis=2)
+    vcnt = jnp.sum(bits.astype(_I32), axis=2)
+    vseg = valc[:, :, : vh * 32]
+    return words, wit, wcnt, vseg, vcnt
+
+
+@functools.partial(jax.jit, static_argnames=("k_lanes", "nw"))
+def blocked_membership_h(words, h1, h2, act_hi, act_lo, m, thi, tlo,
+                         floor_k, flags, *, k_lanes: int, nw: int = NW):
+    """blocked_membership with in-kernel position/activation math (see
+    blocked_encode_h)."""
+    f_, nb, _ = words.shape
+    words = words[:, :, : nw * 32]
+    kern = functools.partial(_member_kernel_h, k_lanes=k_lanes, nw=nw)
+    table_spec = pl.BlockSpec((BG, IPB), lambda f, g: (g, 0))
+    passes = pl.pallas_call(
+        kern,
+        grid=(f_, nb // BG),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # m
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # floor_k
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # thi
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tlo
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # flags
+            pl.BlockSpec((1, BG, nw), lambda f, g: (f, g, 0)),
+            table_spec, table_spec, table_spec, table_spec,
+        ],
+        out_specs=pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
+        out_shape=jax.ShapeDtypeStruct((f_, nb, IPB), jnp.uint8),
+        interpret=_interpret(),
+    )(m, floor_k, _i32(thi), _i32(tlo), flags, _bits_to_words32(words),
+      h1, h2, _i32(act_hi), _i32(act_lo))
+    wcnt = jnp.sum(passes.astype(_I32), axis=2)
+    return passes, wcnt
 
 
 @functools.partial(jax.jit, static_argnames=("k_lanes", "nw"))

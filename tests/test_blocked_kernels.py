@@ -174,3 +174,47 @@ def test_butterfly_roundtrip_properties():
         for r in range(bk.BG):
             want = vals[r][kept[r].astype(bool)]
             np.testing.assert_array_equal(back[r][kept[r].astype(bool)], want)
+
+
+def test_hash_native_kernels_match_table_kernels():
+    """blocked_encode_h / blocked_membership_h (in-kernel mod +
+    activation compare) are bit-identical to the table-fed kernels on
+    _frame_mod_tables' output."""
+    import jax.numpy as jnp
+
+    from new_bloom_filter_repo_tpu.models import blocked_pipeline as bp
+
+    rng = np.random.default_rng(44)
+    F, NB = 3, 16
+    n = NB * bk.IPB
+    tabs = bp.blocked_tables(n)
+    assert tabs["nb"] == NB
+    bits = (rng.random((F, NB, bk.IPB)) < 0.06).astype(np.uint8)
+    vals = rng.integers(0, 1 << 24, (F, NB, bk.IPB)).astype(np.int32)
+    m = jnp.asarray(np.array([100, 196, 320], np.int32))
+    fk = jnp.asarray(np.array([1, 2, 3], np.int32))
+    thi = jnp.asarray(np.array([0x20000000, 0x80000000, 0xF0000000],
+                               np.uint32))
+    tlo = jnp.asarray(np.array([123, 0, 0xFFFFFFFF], np.uint32))
+    flags = jnp.asarray(np.array([0, 0, 1], np.int32))
+
+    a, b, act = bp._frame_mod_tables(
+        tabs["h1"], tabs["h2"], tabs["act_hi"], tabs["act_lo"],
+        m, thi, tlo)
+    bits_d, vals_d = jnp.asarray(bits), jnp.asarray(vals)
+    want = bk.blocked_encode(bits_d, a, b, act, vals_d, m, fk,
+                             k_lanes=3, vh=4)
+    got = bk.blocked_encode_h(bits_d, tabs["h1"], tabs["h2"],
+                              tabs["act_hi"], tabs["act_lo"], vals_d,
+                              m, thi, tlo, fk, k_lanes=3, vh=4)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    words = want[0]
+    want_m = bk.blocked_membership(words, a, b, act, m, fk, flags,
+                                   k_lanes=3)
+    got_m = bk.blocked_membership_h(words, tabs["h1"], tabs["h2"],
+                                    tabs["act_hi"], tabs["act_lo"],
+                                    m, thi, tlo, fk, flags, k_lanes=3)
+    for g, w in zip(got_m, want_m):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
