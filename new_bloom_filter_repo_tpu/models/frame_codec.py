@@ -72,6 +72,34 @@ def _dtype_from_itemsize(itemsize: int):
 # Keyframe records
 # ---------------------------------------------------------------------------
 
+def _frame_is_plane_upsample(frame: np.ndarray, yuv_info: dict) -> bool:
+    """True when the 444 frame is exactly chroma replication of the
+    wrapper's native subsampled planes — then the frame payload itself
+    is redundant and the record can store only the planes (flag 3),
+    cutting a 4:2:0-sourced keyframe to a third."""
+    if frame.ndim != 3 or frame.shape[2] != 3 or frame.dtype != np.uint8:
+        return False
+    h, w = frame.shape[:2]
+    y = np.asarray(yuv_info.get("y_plane"))
+    u = np.asarray(yuv_info.get("u_plane"))
+    v = np.asarray(yuv_info.get("v_plane"))
+    if y is None or u is None or v is None or y.shape != (h, w):
+        return False
+    if u.shape != v.shape or u.ndim != 2:
+        return False
+    ch, cw = u.shape
+    if ch == 0 or cw == 0 or h % ch or w % cw:
+        return False
+    if not np.array_equal(y, frame[:, :, 0]):
+        return False
+    ry, rx = h // ch, w // cw
+    if not np.array_equal(np.repeat(np.repeat(u, ry, 0), rx, 1),
+                          frame[:, :, 1]):
+        return False
+    return np.array_equal(np.repeat(np.repeat(v, ry, 0), rx, 1),
+                          frame[:, :, 2])
+
+
 def _planes_are_channels(frame: np.ndarray, yuv_info: dict) -> bool:
     """True when the yuv_info planes are exactly the frame's channels
     (a 444 wrapper) — storable as a 1-byte flag instead of three
@@ -91,31 +119,39 @@ def encode_keyframe(frame: np.ndarray, yuv_info: dict | None = None,
                     typed: bool = False, zlib_level: int = 9) -> bytes:
     """Serialize a keyframe with bit-exact zlib coding.
 
-    Typed records use has_yuv flag 2 ("planes = frame channels") when the
-    YUV wrapper's planes duplicate the 444 frame, eliding three redundant
-    zlib streams (~40% of the record).  Untyped records always write the
-    reference layout (flag 0/1) for BFVC byte parity.
+    Typed records elide redundancy the reference layout doubles up on:
+    flag 2 ("planes = frame channels") skips the three plane streams of
+    a 444 wrapper; flag 3 ("frame = chroma replication of the planes")
+    skips the frame payload of a 4:2:0/4:2:2-sourced frame, storing only
+    the native planes (a third of the bytes).  Untyped records always
+    write the reference layout (flag 0/1) for BFVC byte parity.
     """
     frame = np.asarray(frame)
     buf = io.BytesIO()
     if typed:
         buf.write(_U8.pack(KEYFRAME))
-    z = zlib.compress(frame.tobytes(), level=zlib_level)
-    buf.write(_HDR_III.pack(frame.shape[0], frame.shape[1], frame.dtype.itemsize))
-    buf.write(_U32.pack(len(z)))
-    buf.write(z)
-    if yuv_info is None:
-        buf.write(_U8.pack(0))
+    flag = 0 if yuv_info is None else 1
+    if typed and yuv_info is not None:
+        if _planes_are_channels(frame, yuv_info):
+            flag = 2
+        elif _frame_is_plane_upsample(frame, yuv_info):
+            flag = 3
+    buf.write(_HDR_III.pack(frame.shape[0], frame.shape[1],
+                            frame.dtype.itemsize))
+    if flag == 3:
+        buf.write(_U32.pack(0))  # frame payload elided (derivable)
+    else:
+        z = zlib.compress(frame.tobytes(), level=zlib_level)
+        buf.write(_U32.pack(len(z)))
+        buf.write(z)
+    buf.write(_U8.pack(flag))
+    if flag == 0:
         return buf.getvalue()
     fmt = yuv_info.get("format", "YUV444").encode("utf-8")
-    if typed and _planes_are_channels(frame, yuv_info):
-        buf.write(_U8.pack(2))
-        buf.write(_U16.pack(len(fmt)))
-        buf.write(fmt)
-        return buf.getvalue()
-    buf.write(_U8.pack(1))
     buf.write(_U16.pack(len(fmt)))
     buf.write(fmt)
+    if flag == 2:
+        return buf.getvalue()
     for plane in ("y_plane", "u_plane", "v_plane"):
         arr = np.asarray(yuv_info[plane])
         pz = zlib.compress(arr.tobytes(), level=zlib_level)
@@ -187,6 +223,29 @@ def decode_keyframe(data: bytes, offset: int = 0):
     buf.seek(offset)
     h, w, itemsize = _HDR_III.unpack(buf.read(12))
     zlen = _U32.unpack(buf.read(4))[0]
+    if zlen == 0:  # flag-3 record: frame derivable from the planes
+        flag = buf.read(1)
+        if not flag or flag[0] != 3:
+            raise ValueError("keyframe with no payload and no planes")
+        fmt_len = _U16.unpack(buf.read(2))[0]
+        fmt = buf.read(fmt_len).decode("utf-8")
+        yuv_info = {"format": fmt}
+        for plane in ("y_plane", "u_plane", "v_plane"):
+            pz_len = _U32.unpack(buf.read(4))[0]
+            pz = buf.read(pz_len)
+            ph, pw = struct.unpack("<II", buf.read(8))
+            yuv_info[plane] = np.frombuffer(
+                zlib.decompress(pz), dtype=np.uint8).reshape((ph, pw)).copy()
+        ch, cw = yuv_info["u_plane"].shape
+        if ch == 0 or cw == 0 or h % ch or w % cw:
+            raise ValueError("plane-only keyframe with bad chroma geometry")
+        ry, rx = h // ch, w // cw
+        frame = np.stack(
+            [yuv_info["y_plane"],
+             np.repeat(np.repeat(yuv_info["u_plane"], ry, 0), rx, 1),
+             np.repeat(np.repeat(yuv_info["v_plane"], ry, 0), rx, 1)],
+            axis=-1)
+        return frame, yuv_info
     raw = zlib.decompress(buf.read(zlen))
     dtype = _dtype_from_itemsize(itemsize)
     expected_gray = h * w * itemsize

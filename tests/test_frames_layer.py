@@ -257,3 +257,50 @@ class TestContainer:
             f.write(b"NOPE" + b"\x00" * 8)
         with pytest.raises(ValueError, match="Invalid file format"):
             container.read_bfvc(p)
+
+
+def test_typed_keyframe_plane_elision_flags():
+    """Typed keyframes elide redundancy: flag 2 (444 wrapper planes =
+    channels) and flag 3 (frame = chroma replication of native planes);
+    both decode back bit-exactly with planes intact."""
+    rng = np.random.default_rng(8)
+    h, w = 32, 48
+    # flag 2: 444 wrapper
+    frame = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    info444 = {"format": "YUV444", "y_plane": frame[:, :, 0].copy(),
+               "u_plane": frame[:, :, 1].copy(),
+               "v_plane": frame[:, :, 2].copy()}
+    rec = fc.encode_keyframe(frame, info444, typed=True)
+    assert rec[0] == fc.KEYFRAME
+    dec, info = fc.decode_keyframe(rec, offset=1)
+    np.testing.assert_array_equal(dec, frame)
+    np.testing.assert_array_equal(info["u_plane"], info444["u_plane"])
+    plain = fc.encode_keyframe(frame, None, typed=True)
+    assert len(rec) < len(plain) + 64  # no duplicate plane streams
+
+    # flag 3: 4:2:0 wrapper (frame is replication of native planes)
+    y = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    u = rng.integers(0, 255, (h // 2, w // 2), dtype=np.uint8)
+    v = rng.integers(0, 255, (h // 2, w // 2), dtype=np.uint8)
+    f420 = np.stack([y, np.repeat(np.repeat(u, 2, 0), 2, 1),
+                     np.repeat(np.repeat(v, 2, 0), 2, 1)], axis=-1)
+    info420 = {"format": "I420", "y_plane": y, "u_plane": u, "v_plane": v}
+    rec3 = fc.encode_keyframe(f420, info420, typed=True)
+    dec3, i3 = fc.decode_keyframe(rec3, offset=1)
+    np.testing.assert_array_equal(dec3, f420)
+    np.testing.assert_array_equal(i3["u_plane"], u)
+    assert i3["format"] == "I420"
+    # only the native planes are stored: much smaller than frame+planes
+    ref_layout = fc.encode_keyframe(f420, info420, typed=False)
+    assert len(rec3) < 0.55 * len(ref_layout)
+
+    # untyped records keep the reference layout (flag 1) for parity
+    assert ref_layout[16 + int.from_bytes(ref_layout[12:16], "little")] == 1
+
+    # lossy wrapper (planes disagree with frame) falls back to flag 1
+    bad = dict(info420)
+    bad["u_plane"] = u ^ 1
+    rec1 = fc.encode_keyframe(f420, bad, typed=True)
+    dec1, i1 = fc.decode_keyframe(rec1, offset=1)
+    np.testing.assert_array_equal(dec1, f420)
+    np.testing.assert_array_equal(i1["u_plane"], bad["u_plane"])
