@@ -251,29 +251,51 @@ class ImprovedVideoCompressor:
         """Encode frames into typed records; returns (payloads, keyframes).
 
         Uniform uint8 clips in exact mode go through the batched GOP
-        device pipeline (two device calls per GOP); everything else
-        (mixed dtypes/shapes, near-lossless mode) uses the per-frame
-        loop."""
+        device pipeline (two device calls per GOP).  Uniform clips of
+        any other fixed-size dtype (uint16, float32 HDR) or with more
+        than 3 channels run the same pipeline in the BYTE domain: diff
+        masks and witness values over each frame's raw bytes viewed as
+        an (H, row_bytes) uint8 image — bit-pattern exact by
+        construction (the reference's HDR support is a vestigial dtype
+        rule only, SURVEY.md §2).  Mixed dtypes/shapes and near-lossless
+        mode use the per-frame loop."""
         arrs = [np.asarray(unwrap(f)) for f in frames]
         uniform = all(
-            a.dtype == np.uint8 and a.shape == arrs[0].shape for a in arrs)
-        # The blocked pipeline packs pixels into 24 bits; >3 channels
-        # (e.g. BGRA) go through the per-frame loop instead.
-        packable = arrs[0].ndim == 2 or arrs[0].shape[2] <= 3
-        if (self.exact and uniform and packable and len(frames) > 1
+            a.dtype == arrs[0].dtype and a.shape == arrs[0].shape
+            for a in arrs)
+        if (self.exact and uniform and len(frames) > 1
                 and self.profile in ("blocked", "planar")):
             infos = [yuv_info_of(f) for f in frames]
-            return self._encode_frames_batched(arrs, infos)
+            a0 = arrs[0]
+            packable = (a0.dtype == np.uint8
+                        and (a0.ndim == 2 or a0.shape[2] <= 3))
+            if packable:
+                return self._encode_frames_batched(arrs, infos)
+            if a0.dtype.kind in "uif" and a0.ndim in (2, 3):
+                return self._encode_frames_batched(arrs, infos,
+                                                   byte_view=True)
         return self._encode_frames_loop(frames)
 
-    def _encode_frames_batched(self, arrs, infos) -> tuple[List[bytes], int]:
+    @staticmethod
+    def _byte_view(arr: np.ndarray) -> np.ndarray:
+        """Raw bytes of a frame as an (H, row_bytes) uint8 image."""
+        a = np.ascontiguousarray(arr)
+        return a.view(np.uint8).reshape(a.shape[0], -1)
+
+    def _encode_frames_batched(self, arrs, infos,
+                               byte_view: bool = False
+                               ) -> tuple[List[bytes], int]:
         """Bloom-mode batched encode through the blocked Pallas pipeline
         (models/blocked_pipeline.py): two device calls per chunk, chunks
         padded to _CHUNK frames so a single compiled program per geometry
-        serves the whole video."""
+        serves the whole video.  ``byte_view``: device work runs on raw
+        frame bytes (non-uint8 dtypes); keyframes keep the original
+        dtype."""
         payloads: List[bytes] = []
         keyframes = 0
         total = len(arrs)
+        darrs = ([self._byte_view(a) for a in arrs] if byte_view
+                 else arrs)
 
         # Segment plan first, so chunk uploads can run one step ahead of
         # processing (the host->device link dominates end-to-end time).
@@ -291,7 +313,7 @@ class ImprovedVideoCompressor:
             pos = run_end
 
         def padded_frames(start, end):
-            fr = arrs[start:end]
+            fr = darrs[start:end]
             return fr + [fr[-1]] * (_CHUNK - len(fr))
 
         # Pipeline overlap (self.prefetch): issue chunk i+1's async
@@ -303,7 +325,7 @@ class ImprovedVideoCompressor:
             _, s, e = seg
             cf = padded_frames(s, e)
             return cf, blocked_pipeline.BlockedEncoder.stack_chunk(
-                arrs[s - 1], cf)
+                darrs[s - 1], cf)
 
         pending: dict = {}
         for i, (kind, start, end) in enumerate(segments):
@@ -332,7 +354,7 @@ class ImprovedVideoCompressor:
 
             before = len(payloads)
             keyframes += self._blocked_enc.encode_chunk(
-                arrs[start - 1], chunk_frames, payloads, keyframe_fn,
+                darrs[start - 1], chunk_frames, payloads, keyframe_fn,
                 stacked=stacked)
             del payloads[before + real:]  # drop padded-frame records
         return payloads, keyframes
@@ -559,7 +581,16 @@ class ImprovedVideoCompressor:
                                                        fc.EMPTY, fc.BLOCKED,
                                                        fc.SPARSE)):
                 j += 1
-            decoded = self._decode_inter_run(prev, payloads[i:j])
+            byte_domain = (prev.dtype != np.uint8
+                           or (prev.ndim == 3 and prev.shape[2] > 3))
+            if byte_domain:
+                decoded_b = self._decode_inter_run(
+                    self._byte_view(prev), payloads[i:j])
+                decoded = [np.ascontiguousarray(d).reshape(-1)
+                           .view(prev.dtype).reshape(prev.shape)
+                           for d in decoded_b]
+            else:
+                decoded = self._decode_inter_run(prev, payloads[i:j])
             for frame in decoded:
                 prev = frame
                 if prev_info is not None:

@@ -120,3 +120,62 @@ class TestDeterminism:
             with open(p, "rb") as f:
                 blobs.append(f.read())
         assert blobs[0] == blobs[1]
+
+
+class TestByteDomainInterCoding:
+    """Non-uint8 clips inter-code in the byte domain (bit-pattern exact;
+    the reference's HDR support is only a dtype decode rule)."""
+
+    def _roundtrip(self, frames, tmp_path, name):
+        from new_bloom_filter_repo_tpu.models import frame_codec as fc
+        from new_bloom_filter_repo_tpu.utils import container
+        comp = ImprovedVideoCompressor(verbose=False, keyframe_interval=6)
+        path = str(tmp_path / name)
+        res = comp.compress_video(frames, path)
+        _, payloads = container.read_bfvc(path)
+        types = [fc.record_type(p) for p in payloads]
+        rec = comp.decompress_video(path)
+        assert len(rec) == len(frames)
+        for a, b in zip(frames, rec):
+            assert a.dtype == b.dtype and a.shape == b.shape
+            assert a.tobytes() == b.tobytes()
+        return res, types
+
+    def test_float32_hdr_clip_inter_codes(self, tmp_path):
+        rng = np.random.default_rng(0)
+        base = rng.random((24, 64, 3), dtype=np.float32) * 100
+        base[3, 5, 1] = np.nan  # NaN payload must survive bit-exactly
+        frames = []
+        for i in range(8):
+            f = base.copy()
+            f[10:14, 2 + 3 * i: 8 + 3 * i] = 7.5 + i
+            frames.append(f)
+        res, types = self._roundtrip(frames, tmp_path, "hdr.bfvc")
+        from new_bloom_filter_repo_tpu.models import frame_codec as fc
+        assert types[0] == fc.KEYFRAME
+        assert any(t in (fc.BLOCKED, fc.SPARSE, fc.INTERFRAME)
+                   for t in types[1:]), types
+        # inter coding must beat all-keyframes on static float content
+        key = ImprovedVideoCompressor(verbose=False, mode="keyframe")
+        rk = key.compress_video(frames, str(tmp_path / "k.bfvc"))
+        assert res["compressed_size"] < rk["compressed_size"]
+
+    def test_uint16_clip_inter_codes(self, tmp_path):
+        rng = np.random.default_rng(1)
+        base = rng.integers(0, 1 << 16, (32, 48), dtype=np.uint16)
+        frames = []
+        for i in range(6):
+            f = base.copy()
+            f[4:8, 4 + 2 * i: 10 + 2 * i] = 40000 + i
+            frames.append(f)
+        self._roundtrip(frames, tmp_path, "u16.bfvc")
+
+    def test_bgra_clip_inter_codes(self, tmp_path):
+        rng = np.random.default_rng(2)
+        base = rng.integers(0, 255, (24, 40, 4), dtype=np.uint8)
+        frames = []
+        for i in range(6):
+            f = base.copy()
+            f[6:12, 3 * i: 3 * i + 6] = (9, 8, 7, 255)
+            frames.append(f)
+        self._roundtrip(frames, tmp_path, "bgra.bfvc")
