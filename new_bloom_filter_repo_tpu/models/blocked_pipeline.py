@@ -175,26 +175,25 @@ def _phase_a(stacked, *, npad: int, nb: int):
     """Masks + per-block counts + packed pixels for a chunk.
 
     stacked: (F+1, h, w[, c]) uint8.  Returns (masks (F,NB,IPB) u8,
-    counts (F, NB) i32, vals (F,NB,IPB) i32).  The packbits'd mask (only
-    needed for the rare pass-through/sparse records) is a separate
-    program (:func:`_phase_a_packed`) so the common path never pays for
-    it.
+    counts (F, NB) i32, vals (F,NB,IPB) i32).  Pixels are packed to
+    24-bit ints FIRST so the change mask is one i32 compare (identical
+    to any-channel-differs for c <= 3) and the packed values are reused
+    as the witness payload.  The packbits'd mask (only needed for the
+    rare pass-through/sparse records) is a separate program
+    (:func:`_phase_a_packed`) so the common path never pays for it.
     """
-    neq = stacked[1:] != stacked[:-1]
-    if neq.ndim == 4:
-        neq = jnp.any(neq, axis=-1)
-    f = neq.shape[0]
-    n = neq.shape[1] * neq.shape[2]
-    flat = neq.reshape(f, n)
+    fp1 = stacked.shape[0]
+    n = stacked.shape[1] * stacked.shape[2]
+    arr = stacked if stacked.ndim == 4 else stacked[..., None]
+    packed_all = _pack_pixels(arr.reshape(fp1, n, arr.shape[-1]))
+    neq = packed_all[1:] != packed_all[:-1]
+    f = fp1 - 1
     pad = npad - n
     if pad:
-        flat = jnp.pad(flat, ((0, 0), (0, pad)))
-    masks = flat.astype(jnp.uint8).reshape(f, nb, bk.IPB)
+        neq = jnp.pad(neq, ((0, 0), (0, pad)))
+    masks = neq.astype(jnp.uint8).reshape(f, nb, bk.IPB)
     counts = jnp.sum(masks.astype(jnp.int32), axis=2)
-    curr = stacked[1:]
-    if curr.ndim == 3:
-        curr = curr[..., None]
-    vals = _pack_pixels(curr.reshape(f, n, curr.shape[-1]))
+    vals = packed_all[1:]
     if pad:
         vals = jnp.pad(vals, ((0, 0), (0, pad)))
     return masks, counts, vals.reshape(f, nb, bk.IPB)
