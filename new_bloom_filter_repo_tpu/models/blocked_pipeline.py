@@ -68,11 +68,11 @@ class _MeshDispatch:
         if ck not in self._progs:
             two = self.sp > 1
             if kind == "enc":
-                make = (self._bb.make_blocked_encode_dpsp if two
-                        else self._bb.make_blocked_encode_dp)
+                make = (self._bb.make_blocked_encode_h_dpsp if two
+                        else self._bb.make_blocked_encode_h_dp)
             elif kind == "mem":
-                make = (self._bb.make_blocked_membership_dpsp if two
-                        else self._bb.make_blocked_membership_dp)
+                make = (self._bb.make_blocked_membership_h_dpsp if two
+                        else self._bb.make_blocked_membership_h_dp)
             else:
                 make = (self._bb.make_blocked_expand_dpsp if two
                         else self._bb.make_blocked_expand_dp)
@@ -100,27 +100,39 @@ class _MeshDispatch:
         return self._pad_axis(self._pad_axis(x, 0, fpad, value), 1, nbpad,
                               value)
 
-    def encode(self, masks, a, b, act, vals, m, fk, *, k_lanes, vh, nw):
+    def _pad_tables(self, tab, nbpad: int):
+        return [self._pad_axis(t, 0, nbpad)
+                for t in (tab["h1"], tab["h2"], tab["act_hi"],
+                          tab["act_lo"])]
+
+    def encode(self, masks, vals, tab, m, thi, tlo, fk, *,
+               k_lanes, vh, nw):
         f, nb = masks.shape[0], masks.shape[1]
         fpad, nbpad = self._pads(f, nb)
-        args = [self._pad_blocks(x, fpad, nbpad)
-                for x in (masks, a, b, act, vals)]
+        masks = self._pad_blocks(masks, fpad, nbpad)
+        vals = self._pad_blocks(vals, fpad, nbpad)
+        tables = self._pad_tables(tab, nbpad)
         m = self._pad_axis(m, 0, fpad, value=1)   # m >= 1 (mod divisor)
+        thi = self._pad_axis(thi, 0, fpad)
+        tlo = self._pad_axis(tlo, 0, fpad)
         fk = self._pad_axis(fk, 0, fpad)
         prog = self._prog("enc", k_lanes=k_lanes, vh=vh, nw=nw)
-        outs = prog(*args, m, fk)
+        outs = prog(masks, *tables, vals, m, thi, tlo, fk)
         return tuple(o[:f, :nb] for o in outs)
 
-    def membership(self, words, a, b, act, m, fk, flags, *, k_lanes, nw):
+    def membership(self, words, tab, m, thi, tlo, fk, flags, *,
+                   k_lanes, nw):
         f, nb = words.shape[0], words.shape[1]
         fpad, nbpad = self._pads(f, nb)
-        args = [self._pad_blocks(x, fpad, nbpad)
-                for x in (words, a, b, act)]
+        words = self._pad_blocks(words, fpad, nbpad)
+        tables = self._pad_tables(tab, nbpad)
         m = self._pad_axis(m, 0, fpad, value=1)
+        thi = self._pad_axis(thi, 0, fpad)
+        tlo = self._pad_axis(tlo, 0, fpad)
         fk = self._pad_axis(fk, 0, fpad)
         flags = self._pad_axis(flags, 0, fpad, value=1)  # padded = empty
         prog = self._prog("mem", k_lanes=k_lanes, nw=nw)
-        passes, wcnt = prog(*args, m, fk, flags)
+        passes, wcnt = prog(words, *tables, m, thi, tlo, fk, flags)
         return passes[:f, :nb], wcnt[:f, :nb]
 
     def expand(self, passes, wit, raw, flags, vseg, *, vh):
@@ -410,12 +422,10 @@ class BlockedEncoder:
         k_lanes = int(fk_arr.max())
         nw = bk.nw_bucket(int(m_arr.max()))
         if self.dispatch is not None:
-            a, b, act = _frame_mod_tables(
-                tab["h1"], tab["h2"], tab["act_hi"], tab["act_lo"],
-                jnp.asarray(m_arr), jnp.asarray(thi), jnp.asarray(tlo))
             words_d, wit_d, wcnt_d, vseg_d, vcnt_d = self.dispatch.encode(
-                masks, a, b, act, vals, jnp.asarray(m_arr),
-                jnp.asarray(fk_arr), k_lanes=k_lanes, vh=vh, nw=nw)
+                masks, vals, tab, jnp.asarray(m_arr), jnp.asarray(thi),
+                jnp.asarray(tlo), jnp.asarray(fk_arr),
+                k_lanes=k_lanes, vh=vh, nw=nw)
         else:
             prog = _fused_encode_prog(k_lanes, vh, nw)
             words_d, wit_d, wcnt_d, vseg_d, vcnt_d = prog(
@@ -567,13 +577,10 @@ class BlockedDecoder:
         k_lanes = int(fk_arr.max())
         nw = bk.nw_bucket(int(m_arr.max()))
         if self.dispatch is not None:
-            a, b, act = _frame_mod_tables(
-                tab["h1"], tab["h2"], tab["act_hi"], tab["act_lo"],
-                jnp.asarray(m_arr), jnp.asarray(thi), jnp.asarray(tlo))
             passes_d, wcnt_d = self.dispatch.membership(
-                jnp.asarray(words), a, b, act, jnp.asarray(m_arr),
-                jnp.asarray(fk_arr), jnp.asarray(flags), k_lanes=k_lanes,
-                nw=nw)
+                jnp.asarray(words), tab, jnp.asarray(m_arr),
+                jnp.asarray(thi), jnp.asarray(tlo), jnp.asarray(fk_arr),
+                jnp.asarray(flags), k_lanes=k_lanes, nw=nw)
         else:
             prog = _fused_membership_prog(k_lanes, nw)
             passes_d, wcnt_d = prog(

@@ -66,6 +66,80 @@ def make_blocked_encode_dpsp(mesh: Mesh, *, k_lanes: int, vh: int,
     return jax.jit(sharded)
 
 
+def _encode_h_fn(*, k_lanes, vh, nw):
+    kwargs = {"k_lanes": k_lanes, "vh": vh}
+    if nw is not None:
+        kwargs["nw"] = nw
+    return partial(bk.blocked_encode_h, **kwargs)
+
+
+def make_blocked_encode_h_dp(mesh: Mesh, *, k_lanes: int, vh: int,
+                             nw: int = None):
+    """Frame-sharded hash-native encode: the per-geometry tables
+    (h1/h2/act_hi/act_lo, (NB,IPB)) replicate across dp; positions and
+    the activation compare run in-kernel (no materialized a/b/act).
+    Argument order matches ops.pallas.blocked.blocked_encode_h."""
+    sharded = jax.shard_map(
+        _encode_h_fn(k_lanes=k_lanes, vh=vh, nw=nw), mesh=mesh,
+        in_specs=(P("dp"), P(), P(), P(), P(), P("dp"),
+                  P("dp"), P("dp"), P("dp"), P("dp")),
+        out_specs=(P("dp"),) * 5,
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_blocked_encode_h_dpsp(mesh: Mesh, *, k_lanes: int, vh: int,
+                               nw: int = None):
+    """Hash-native encode sharded over frames AND blocks; the tables
+    shard their block axis over 'sp'."""
+    arr = P("dp", "sp")
+    tab = P("sp")
+    sharded = jax.shard_map(
+        _encode_h_fn(k_lanes=k_lanes, vh=vh, nw=nw), mesh=mesh,
+        in_specs=(arr, tab, tab, tab, tab, arr,
+                  P("dp"), P("dp"), P("dp"), P("dp")),
+        out_specs=(arr,) * 5,
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def _membership_h_fn(*, k_lanes, nw):
+    kwargs = {"k_lanes": k_lanes}
+    if nw is not None:
+        kwargs["nw"] = nw
+    return partial(bk.blocked_membership_h, **kwargs)
+
+
+def make_blocked_membership_h_dp(mesh: Mesh, *, k_lanes: int,
+                                 nw: int = None):
+    """Frame-sharded hash-native membership pass."""
+    sharded = jax.shard_map(
+        _membership_h_fn(k_lanes=k_lanes, nw=nw), mesh=mesh,
+        in_specs=(P("dp"), P(), P(), P(), P(),
+                  P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+        out_specs=(P("dp"), P("dp")),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_blocked_membership_h_dpsp(mesh: Mesh, *, k_lanes: int,
+                                   nw: int = None):
+    """Hash-native membership sharded over frames AND blocks."""
+    arr = P("dp", "sp")
+    tab = P("sp")
+    sharded = jax.shard_map(
+        _membership_h_fn(k_lanes=k_lanes, nw=nw), mesh=mesh,
+        in_specs=(arr, tab, tab, tab, tab,
+                  P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+        out_specs=(arr, arr),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def _decode_fn(*, k_lanes, vh, nw):
     mkw = {"k_lanes": k_lanes}
     if nw is not None:

@@ -264,7 +264,8 @@ def test_4k_frame_sp_sharded_roundtrip():
 
     dispatch = bp._MeshDispatch(cpu_mesh(1, 8))
     got = [np.asarray(x) for x in dispatch.encode(
-        bits, a, b, act, vals, m_arr, fk_arr, k_lanes=2, vh=4, nw=None)]
+        bits, vals, tab, m_arr, thi, tlo, fk_arr,
+        k_lanes=2, vh=4, nw=None)]
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w)
 
@@ -272,7 +273,8 @@ def test_4k_frame_sp_sharded_roundtrip():
     words_full = jnp.zeros((1, nb, bk.MMAX), jnp.uint8).at[
         :, :, :words.shape[2]].set(words)
     passes, wcnt2 = dispatch.membership(
-        words_full, a, b, act, m_arr, fk_arr, flags, k_lanes=2, nw=None)
+        words_full, tab, m_arr, thi, tlo, fk_arr, flags,
+        k_lanes=2, nw=None)
     raw = jnp.zeros((1, nb, bk.IPB), jnp.uint8)
     mask, out_vals = dispatch.expand(passes, wit, raw, flags, vseg, vh=4)
     np.testing.assert_array_equal(np.asarray(wcnt2), np.asarray(wcnt))
