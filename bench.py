@@ -46,7 +46,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 import numpy as np  # noqa: E402
 
 REF_EQUIV_1080P_FPS = 1.18
-FRAMES = 16
+FRAMES = 121           # 1 base + 120-frame device batch (RTT amortizes)
+E2E_FRAMES = 16
 H, W = 1080, 1920
 
 
@@ -211,14 +212,15 @@ def main():
     platform = jax.default_backend()
     frames = make_clip()
     codec_fps, dev_lossless = _device_codec_fps(frames)
-    e2e_fps, t_enc, t_dec, ratio, savings, e2e_lossless = _e2e_fps(frames)
+    e2e_fps, t_enc, t_dec, ratio, savings, e2e_lossless = _e2e_fps(
+        frames[:E2E_FRAMES])
     out = {
         "metric": "1080p_frames_per_sec_full_codec_per_chip",
         "value": codec_fps,
         "unit": "frames/sec",
         "vs_baseline": round(codec_fps / REF_EQUIV_1080P_FPS, 3),
         "platform": platform,
-        "frames": len(frames),
+        "frames": len(frames) - 1,
         "lossless": dev_lossless and e2e_lossless,
         "compression_ratio": round(ratio, 4),
         "space_savings_pct": round(savings * 100, 2),
