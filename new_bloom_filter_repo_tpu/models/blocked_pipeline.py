@@ -100,6 +100,32 @@ class _MeshDispatch:
         return self._pad_axis(self._pad_axis(x, 0, fpad, value), 1, nbpad,
                               value)
 
+    def phase_a(self, stacked, *, npad: int, nb: int):
+        """Frame-sharded diff stage: the chain shift happens BEFORE
+        sharding (prev/curr aliased slices both shard over dp), so the
+        diff needs no boundary exchange — zero collectives."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        f = stacked.shape[0] - 1
+        fpad = -(-f // self.dp) * self.dp
+        prev = stacked[:-1]
+        curr = stacked[1:]
+        if fpad != f:
+            rep = jnp.repeat(stacked[-1:], fpad - f, axis=0)
+            prev = jnp.concatenate([prev, rep], axis=0)
+            curr = jnp.concatenate([curr, rep], axis=0)
+        ck = ("pha", npad, nb)
+        if ck not in self._progs:
+            body = partial(_phase_a_pair, npad=npad, nb=nb)
+            self._progs[ck] = jax.jit(jax.shard_map(
+                body, mesh=self.mesh,
+                in_specs=(P("dp"), P("dp")),
+                out_specs=(P("dp"), P("dp"), P("dp")),
+                check_vma=False))
+        masks, counts, vals = self._progs[ck](prev, curr)
+        return masks[:f], counts[:f], vals[:f]
+
     def _pad_tables(self, tab, nbpad: int):
         return [self._pad_axis(t, 0, nbpad)
                 for t in (tab["h1"], tab["h2"], tab["act_hi"],
@@ -182,16 +208,39 @@ def _pack_pixels(frames_flat):
     return v
 
 
+def _phase_a_pair(prev, curr, *, npad: int, nb: int):
+    """Masks + per-block counts + packed pixels from (prev, curr) frame
+    pairs — the shared body of the single-device and dp-sharded phase A.
+
+    Pixels are packed to 24-bit ints FIRST so the change mask is one i32
+    compare (identical to any-channel-differs for c <= 3) and the packed
+    values are reused as the witness payload."""
+    f = curr.shape[0]
+    n = curr.shape[1] * curr.shape[2]
+    if curr.ndim == 3:
+        prev = prev[..., None]
+        curr = curr[..., None]
+    packed_prev = _pack_pixels(prev.reshape(f, n, prev.shape[-1]))
+    packed_curr = _pack_pixels(curr.reshape(f, n, curr.shape[-1]))
+    neq = packed_curr != packed_prev
+    pad = npad - n
+    if pad:
+        neq = jnp.pad(neq, ((0, 0), (0, pad)))
+        packed_curr = jnp.pad(packed_curr, ((0, 0), (0, pad)))
+    masks = neq.astype(jnp.uint8).reshape(f, nb, bk.IPB)
+    counts = jnp.sum(masks.astype(jnp.int32), axis=2)
+    return masks, counts, packed_curr.reshape(f, nb, bk.IPB)
+
+
 @partial(jax.jit, static_argnames=("npad", "nb"))
 def _phase_a(stacked, *, npad: int, nb: int):
     """Masks + per-block counts + packed pixels for a chunk.
 
     stacked: (F+1, h, w[, c]) uint8.  Returns (masks (F,NB,IPB) u8,
-    counts (F, NB) i32, vals (F,NB,IPB) i32).  Pixels are packed to
-    24-bit ints FIRST so the change mask is one i32 compare (identical
-    to any-channel-differs for c <= 3) and the packed values are reused
-    as the witness payload.  The packbits'd mask (only needed for the
-    rare pass-through/sparse records) is a separate program
+    counts (F, NB) i32, vals (F,NB,IPB) i32).  Packs all F+1 frames once
+    and diffs the packed ints (the sharded variant packs prev/curr pairs
+    via :func:`_phase_a_pair`).  The packbits'd mask (only needed for
+    the rare pass-through/sparse records) is a separate program
     (:func:`_phase_a_packed`) so the common path never pays for it.
     """
     fp1 = stacked.shape[0]
@@ -369,7 +418,11 @@ class BlockedEncoder:
 
         if stacked is None:
             stacked = self.stack_chunk(base, frames)
-        masks, counts_d, vals = _phase_a(stacked, npad=npad, nb=nb)
+        if self.dispatch is not None:
+            masks, counts_d, vals = self.dispatch.phase_a(
+                stacked, npad=npad, nb=nb)
+        else:
+            masks, counts_d, vals = _phase_a(stacked, npad=npad, nb=nb)
         # Pull only the tiny counts; packed masks are computed and
         # fetched lazily per frame (pass-through/sparse records only) —
         # the device->host link, not compute, bounds this pipeline.

@@ -56,7 +56,11 @@ from new_bloom_filter_repo_tpu.utils.yuvframe import YUVFrame, unwrap, yuv_info_
 # Fixed device batch: inter frames are processed in padded chunks of this
 # many so every GOP reuses one compiled program per geometry (variable
 # batch shapes would trigger a fresh XLA compile per GOP length).
-_CHUNK = 15
+# Bigger chunks amortize per-dispatch latency (bench.py measures 168 ->
+# 260 fps going 15 -> 120 at 1080p) at the cost of one fresh compile and
+# more device memory; NBF_CHUNK tunes it (keyframe_interval should be a
+# multiple for full chunks).
+_CHUNK = int(os.environ.get("NBF_CHUNK", "15"))
 
 
 def add_yuv_info_to_frame(frame) -> YUVFrame:
