@@ -456,3 +456,39 @@ def test_prefetch_flag_identical_output(tmp_path):
     comp.compress_video(frames, b)
     with open(a, "rb") as fa, open(b, "rb") as fb:
         assert fa.read() == fb.read()
+
+
+def test_planar_profile_with_devices_mesh(tmp_path):
+    """planar profile and devices= sharding compose: byte-identical
+    stream, plane-exact decode."""
+    rng = np.random.default_rng(13)
+    h, w = 48, 64
+    frames = []
+    base_y = rng.integers(0, 200, (h, w), dtype=np.uint8)
+    base_u = rng.integers(0, 200, (h // 2, w // 2), dtype=np.uint8)
+    base_v = rng.integers(0, 200, (h // 2, w // 2), dtype=np.uint8)
+    from new_bloom_filter_repo_tpu.utils.yuvframe import YUVFrame
+    for i in range(10):
+        y = base_y.copy()
+        y[8:16, 2 + 3 * i: 10 + 3 * i] = 250
+        u444 = np.repeat(np.repeat(base_u, 2, 0), 2, 1)
+        v444 = np.repeat(np.repeat(base_v, 2, 0), 2, 1)
+        frames.append(YUVFrame(
+            np.stack([y, u444, v444], axis=-1),
+            {"format": "I420", "y_plane": y, "u_plane": base_u.copy(),
+             "v_plane": base_v.copy()}))
+    p1 = str(tmp_path / "p1.bfvc")
+    p8 = str(tmp_path / "p8.bfvc")
+    ImprovedVideoCompressor(verbose=False, profile="planar",
+                            keyframe_interval=5).compress_video(
+        frames, p1, input_color_space="YUV")
+    comp8 = ImprovedVideoCompressor(verbose=False, profile="planar",
+                                    keyframe_interval=5, devices=8)
+    comp8.compress_video(frames, p8, input_color_space="YUV")
+    with open(p1, "rb") as a, open(p8, "rb") as b:
+        assert a.read() == b.read()
+    rec = comp8.decompress_video(p8)
+    for f, r in zip(frames, rec):
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(r))
+        np.testing.assert_array_equal(f.yuv_info["u_plane"],
+                                      r.yuv_info["u_plane"])
