@@ -52,6 +52,17 @@ def diff_mask_exact(prev, curr):
     return neq.astype(jnp.uint8)
 
 
+def _planes_full_res(yuv_info: dict, shape) -> bool:
+    """Plane-indexed reads/writes are only valid when the planes are at
+    frame resolution (444 wrappers); native subsampled planes (I420
+    sources, utils/videoio.read_raw_yuv) use the array channels."""
+    for plane in ("y_plane", "u_plane", "v_plane"):
+        arr = yuv_info.get(plane)
+        if arr is None or np.asarray(arr).shape != tuple(shape):
+            return False
+    return True
+
+
 def gather_changed_values(curr: np.ndarray, mask: np.ndarray,
                           yuv_info: dict | None = None) -> np.ndarray:
     """Exact values of changed pixels, all channels interleaved per pixel
@@ -63,7 +74,7 @@ def gather_changed_values(curr: np.ndarray, mask: np.ndarray,
     mask = np.asarray(mask, dtype=bool)
     curr = np.asarray(curr)
     if curr.ndim == 3 and curr.shape[2] > 1:
-        if yuv_info is not None:
+        if yuv_info is not None and _planes_full_res(yuv_info, mask.shape):
             rows, cols = np.nonzero(mask)
             vals = np.empty((rows.size, 3), dtype=np.uint8)
             vals[:, 0] = yuv_info["y_plane"][rows, cols]
@@ -84,7 +95,7 @@ def apply_diff(base: np.ndarray, mask: np.ndarray, values: np.ndarray,
         c = out.shape[2]
         vals = np.asarray(values, dtype=out.dtype).reshape(-1, c)
         out[mask] = vals
-        if yuv_info is not None:
+        if yuv_info is not None and _planes_full_res(yuv_info, mask.shape):
             rows, cols = np.nonzero(mask)
             yuv_info["y_plane"][rows, cols] = vals[:, 0]
             yuv_info["u_plane"][rows, cols] = vals[:, 1]

@@ -492,3 +492,29 @@ def test_planar_profile_with_devices_mesh(tmp_path):
         np.testing.assert_array_equal(np.asarray(f), np.asarray(r))
         np.testing.assert_array_equal(f.yuv_info["u_plane"],
                                       r.yuv_info["u_plane"])
+
+
+def test_loop_path_with_native_subsampled_planes(tmp_path):
+    """Near-lossless (loop) encode of frames carrying NATIVE subsampled
+    planes must not index planes at frame resolution (regression: planes
+    from read_raw_yuv/read_y4m are half-size for 4:2:0)."""
+    from new_bloom_filter_repo_tpu.utils.yuvframe import YUVFrame
+    rng = np.random.default_rng(3)
+    h, w = 48, 64
+    frames = []
+    for i in range(5):
+        y = rng.integers(0, 200, (h, w), dtype=np.uint8)
+        y[10:20, 4 * i: 4 * i + 12] = 255
+        u = rng.integers(90, 110, (h // 2, w // 2), dtype=np.uint8)
+        v = rng.integers(90, 110, (h // 2, w // 2), dtype=np.uint8)
+        frames.append(YUVFrame(
+            np.stack([y, np.repeat(np.repeat(u, 2, 0), 2, 1),
+                      np.repeat(np.repeat(v, 2, 0), 2, 1)], axis=-1),
+            {"format": "I420", "y_plane": y, "u_plane": u, "v_plane": v}))
+    comp = ImprovedVideoCompressor(verbose=False, exact=False,
+                                   use_direct_yuv=True,
+                                   keyframe_interval=5)
+    out = str(tmp_path / "nl.bfvc")
+    comp.compress_video(frames, out, input_color_space="YUV")
+    rec = comp.decompress_video(out)
+    assert len(rec) == len(frames)
