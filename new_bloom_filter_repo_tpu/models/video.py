@@ -46,6 +46,7 @@ from new_bloom_filter_repo_tpu.models.binary_codec import (
     BloomFilterCompressor,
     _filter_scalars,
 )
+from new_bloom_filter_repo_tpu.models.bloom import optimal_compression_params
 from new_bloom_filter_repo_tpu.ops import bitpack
 from new_bloom_filter_repo_tpu.ops import diff as diff_ops
 from new_bloom_filter_repo_tpu.ops import median as median_ops
@@ -278,6 +279,11 @@ class ImprovedVideoCompressor:
             if a0.dtype.kind in "uif" and a0.ndim in (2, 3):
                 return self._encode_frames_batched(arrs, infos,
                                                    byte_view=True)
+        if (self.exact and uniform and len(frames) > 1
+                and self.profile == "bfv2" and arrs[0].dtype == np.uint8
+                and arrs[0].ndim in (2, 3)):
+            infos = [yuv_info_of(f) for f in frames]
+            return self._encode_frames_batched_bfv2(arrs, infos)
         return self._encode_frames_loop(frames)
 
     @staticmethod
@@ -361,6 +367,110 @@ class ImprovedVideoCompressor:
                 darrs[start - 1], chunk_frames, payloads, keyframe_fn,
                 stacked=stacked)
             del payloads[before + real:]  # drop padded-frame records
+        return payloads, keyframes
+
+    def _encode_frames_batched_bfv2(self, arrs, infos
+                                    ) -> tuple[List[bytes], int]:
+        """Batched encode for the reference-layout (type-0) profile:
+        gop_masks + gop_encode run whole chunks on device (two dispatches
+        per chunk) and the host assembles records byte-identically to
+        the per-frame loop path (fc.encode_interframe)."""
+        from new_bloom_filter_repo_tpu.models import gop as gop_mod
+        from new_bloom_filter_repo_tpu.ops import bloom_core
+
+        payloads: List[bytes] = []
+        keyframes = 0
+        total = len(arrs)
+        a0 = arrs[0]
+        h, w = a0.shape[:2]
+        c = 1 if a0.ndim == 2 else a0.shape[2]
+        n = h * w
+        tables = get_hash_tables(n, "video")
+        l_pad = bloom_core.bitmap_pad(n)
+
+        segments = []
+        pos = 0
+        while pos < total:
+            if pos % self.keyframe_interval == 0:
+                segments.append(("key", pos, pos + 1))
+                pos += 1
+                continue
+            next_key = ((pos // self.keyframe_interval) + 1
+                        ) * self.keyframe_interval
+            run_end = min(total, next_key, pos + _CHUNK)
+            segments.append(("run", pos, run_end))
+            pos = run_end
+
+        for kind, start, end in segments:
+            if kind == "key":
+                payloads.append(fc.encode_keyframe(arrs[start],
+                                                   infos[start],
+                                                   typed=True))
+                keyframes += 1
+                continue
+            real = end - start
+            chunk = arrs[start:end] + [arrs[end - 1]] * (_CHUNK - real)
+            stacked = jnp.asarray(np.stack([arrs[start - 1]] + chunk))
+            masks_d, packed_d, counts_d = gop_mod.gop_masks(stacked)
+            counts = jax.device_get(counts_d)
+
+            ks = np.zeros(_CHUNK, np.float64)
+            l_arr = np.ones(_CHUNK, np.uint32)
+            thi = np.zeros(_CHUNK, np.uint32)
+            tlo = np.zeros(_CHUNK, np.uint32)
+            fk = np.zeros(_CHUNK, np.int32)
+            bloom_js = []
+            for j in range(real):
+                p = int(counts[j]) / n
+                k, l = optimal_compression_params(n, p)
+                ks[j] = k
+                if p >= blocked_pipeline.P_STAR or l == 0 or l >= n:
+                    continue  # pass-through (witness empty)
+                if l >= bloom_core.MAX_MODULUS:
+                    raise ValueError(
+                        f"filter length {l} exceeds supported maximum")
+                bloom_js.append(j)
+                l_arr[j] = l
+                _, floor_k, (t_hi, t_lo) = _filter_scalars(k)
+                fk[j] = floor_k
+                thi[j] = t_hi
+                tlo[j] = t_lo
+
+            vmax = min(gop_mod.next_bucket(int(counts[:real].max())
+                                           if real else 1),
+                       bitpack.padded_length(n))
+            pb_d, pw_d, wcnt_d, vals_d = gop_mod.gop_encode(
+                masks_d, stacked[1:], tables.h1, tables.h2, tables.act,
+                jnp.asarray(l_arr), jnp.asarray(thi), jnp.asarray(tlo),
+                jnp.asarray(fk), l_pad=l_pad, vmax=vmax)
+            pb, pw, wcnt, vals, packed = jax.device_get(
+                (pb_d, pw_d, wcnt_d, vals_d, packed_d))
+
+            bloom_set = set(bloom_js)
+            for j in range(real):
+                cnt = int(counts[j])
+                p = cnt / n
+                values = vals[j, :cnt].reshape(-1)
+                if j in bloom_set:
+                    l = int(l_arr[j])
+                    wc = int(wcnt[j])
+                    rec = fc.build_interframe_record(
+                        p, n, ks[j], pb[j][: (l + 7) // 8].tobytes(), l,
+                        pw[j][: (wc + 7) // 8].tobytes(), wc, values)
+                else:
+                    rec = fc.build_interframe_record(
+                        p, n, ks[j], packed[j][: (n + 7) // 8].tobytes(),
+                        n, b"", 0, values)
+                # Encoder freedom: dense masks (scene cuts) fall back to
+                # a keyframe when that is not larger (loop-path policy).
+                if p > blocked_pipeline.KEY_DENSITY:
+                    key = fc.encode_keyframe(arrs[start + j],
+                                             infos[start + j], typed=True)
+                    if len(key) <= len(rec):
+                        payloads.append(key)
+                        keyframes += 1
+                        continue
+                payloads.append(rec)
         return payloads, keyframes
 
     def _encode_frames_loop(self, frames) -> tuple[List[bytes], int]:

@@ -518,3 +518,39 @@ def test_loop_path_with_native_subsampled_planes(tmp_path):
     comp.compress_video(frames, out, input_color_space="YUV")
     rec = comp.decompress_video(out)
     assert len(rec) == len(frames)
+
+
+def test_bfv2_batched_encode_matches_loop_bytes(tmp_path):
+    """The batched bfv2 encode (gop_masks + gop_encode, two dispatches
+    per chunk) emits byte-identical records to the per-frame loop."""
+    frames = make_video(10, h=40, w=56, seed=21)
+    comp = ImprovedVideoCompressor(verbose=False, profile="bfv2",
+                                   keyframe_interval=10)
+    batched, kb = comp._encode_frames(frames)
+    loop, kl = comp._encode_frames_loop(frames)
+    assert kb == kl
+    assert len(batched) == len(loop)
+    for i, (a, b) in enumerate(zip(batched, loop)):
+        assert a == b, f"record {i} differs"
+    # and it round-trips through the container
+    out = str(tmp_path / "b2.bfvc")
+    comp.compress_video(frames, out)
+    rec = comp.decompress_video(out)
+    assert verify_lossless(frames, rec)["lossless"]
+
+
+def test_bfv2_batched_scene_cut_fallback(tmp_path):
+    """Dense masks (scene cut) keep the loop policy: keyframe when not
+    larger."""
+    rng = np.random.default_rng(31)
+    frames = [rng.integers(0, 255, (40, 56, 3), dtype=np.uint8)
+              for _ in range(6)]  # every frame a full scene change
+    comp = ImprovedVideoCompressor(verbose=False, profile="bfv2",
+                                   keyframe_interval=6)
+    batched, kb = comp._encode_frames(frames)
+    loop, kl = comp._encode_frames_loop(frames)
+    assert kb == kl and batched == loop
+    out = str(tmp_path / "cut.bfvc")
+    comp.compress_video(frames, out)
+    rec = comp.decompress_video(out)
+    assert verify_lossless(frames, rec)["lossless"]
