@@ -554,3 +554,23 @@ def test_bfv2_batched_scene_cut_fallback(tmp_path):
     comp.compress_video(frames, out)
     rec = comp.decompress_video(out)
     assert verify_lossless(frames, rec)["lossless"]
+
+
+def test_chunk_size_cross_compat(tmp_path, monkeypatch):
+    """A stream encoded with one device chunk size decodes with another
+    (records are per-frame; NBF_CHUNK only shapes batching)."""
+    from new_bloom_filter_repo_tpu.models import video as video_mod
+    frames = make_video(14, seed=17)
+    out = str(tmp_path / "c.bfvc")
+    ImprovedVideoCompressor(verbose=False, keyframe_interval=14
+                            ).compress_video(frames, out)
+    monkeypatch.setattr(video_mod, "_CHUNK", 5)
+    comp = ImprovedVideoCompressor(verbose=False)
+    rec = comp.decompress_video(out)
+    assert verify_lossless(frames, rec)["lossless"]
+    # and encode with the small chunk, decode with the default
+    out2 = str(tmp_path / "c2.bfvc")
+    comp.compress_video(frames, out2)
+    monkeypatch.undo()
+    rec2 = ImprovedVideoCompressor(verbose=False).decompress_video(out2)
+    assert verify_lossless(frames, rec2)["lossless"]
