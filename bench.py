@@ -117,11 +117,12 @@ def _device_codec_fps(frames):
                 words, tab["h1"], tab["h2"], tab["act_hi"], tab["act_lo"],
                 m, thi, tlo, fk, flags, k_lanes=k_lanes, nw=nw)
             raw = jnp.zeros((f, nb, bk.IPB), jnp.uint8)
-            mask, out_vals = bk.blocked_expand(passes, wit, raw, flags,
-                                               vseg, vh=vh)
-            decoded = bp._chain_apply(stacked[0], mask, out_vals,
-                                      shape=(h, w, 3))
-            ok = jnp.all(decoded == stacked[1:])
+            base_packed = bp._pack_base(stacked[0], npad=npad, nb=nb)
+            decoded = bk.blocked_expand_chain(passes, wit, raw, flags,
+                                              vseg, base_packed, vh=vh)
+            # phase A's packed pixels ARE the originals (24-bit packed,
+            # zero padding in both) — verify in the packed domain.
+            ok = jnp.all(decoded == vals)
             return ok, jnp.sum(decoded.astype(jnp.uint32))
 
         return prog

@@ -322,13 +322,42 @@ def _fused_membership_prog(k_lanes: int, nw: int):
     return prog
 
 
+@partial(jax.jit, static_argnames=("npad", "nb"))
+def _pack_base(base, *, npad: int, nb: int):
+    """(h, w[, c]) uint8 -> (NB, IPB) i32 24-bit packed pixels."""
+    arr = base if base.ndim == 3 else base[..., None]
+    n = arr.shape[0] * arr.shape[1]
+    packed = _pack_pixels(arr.reshape(1, n, arr.shape[-1]))[0]
+    if npad != n:
+        packed = jnp.pad(packed, (0, npad - n))
+    return packed.reshape(nb, bk.IPB)
+
+
+def _unpack_frames(packed, *, shape):
+    """(F, NB, IPB) i32 packed pixels -> (F,) + shape uint8 frames."""
+    h, w = shape[:2]
+    c = 1 if len(shape) == 2 else shape[2]
+    f = packed.shape[0]
+    v = packed.reshape(f, -1)[:, : h * w]
+    outs = [(v & 0xFF).astype(jnp.uint8)]
+    if c > 1:
+        outs.append(((v >> 8) & 0xFF).astype(jnp.uint8))
+    if c > 2:
+        outs.append(((v >> 16) & 0xFF).astype(jnp.uint8))
+    return jnp.stack(outs, axis=-1).reshape((f,) + shape)
+
+
 @lru_cache(maxsize=32)
-def _fused_expand_chain_prog(vh: int, shape: tuple):
+def _fused_expand_chain_prog(vh: int, shape: tuple, npad: int, nb: int):
+    """Decode stage 2 as ONE kernel: expansion fused with the frame
+    chain (bk.blocked_expand_chain) — no (F,NB,IPB) value-pad pass, no
+    separate scan over (F, n) mask/value arrays."""
     @jax.jit
     def prog(passes, wit, raw, flags, vseg, base):
-        mask, vals = bk.blocked_expand(passes, wit, raw, flags, vseg,
-                                       vh=vh)
-        return _chain_apply(base, mask, vals, shape=shape)
+        base_packed = _pack_base(base, npad=npad, nb=nb)
+        packed = bk.blocked_expand_chain(passes, wit, raw, flags, vseg,
+                                         base_packed, vh=vh)
+        return _unpack_frames(packed, shape=shape)
     return prog
 
 
@@ -678,7 +707,7 @@ class BlockedDecoder:
             frames = jax.device_get(_chain_apply(
                 jnp.asarray(base), mask_d, vals_d, shape=tuple(shape)))
         else:
-            prog = _fused_expand_chain_prog(vh, tuple(shape))
+            prog = _fused_expand_chain_prog(vh, tuple(shape), npad, nb)
             frames = jax.device_get(prog(
                 passes_d, jnp.asarray(wit), jnp.asarray(raw_mask),
                 jnp.asarray(flags), jnp.asarray(vseg), jnp.asarray(base)))

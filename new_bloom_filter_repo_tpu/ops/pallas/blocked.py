@@ -162,19 +162,26 @@ def expand_butterfly(payloads, kept):
 
 
 def _insert_words(pos_list, bits, floor_k, act, nw):
-    """Sub-filter u32 words (BG, nw) via masked OR-reduces."""
+    """Sub-filter u32 words (BG, nw) via masked OR-reduces.
+
+    The lane-applicability test is folded into the weight once per hash
+    lane (``wmasked``), so the per-word loop pays only the word-select
+    compare — (k+1)·nw fewer ops per tile than re-masking per word."""
     bitsb = bits.astype(jnp.bool_)
     weights = []
     his = []
-    for pos in pos_list:
-        weights.append(jax.lax.shift_left(_I32(1), 31 - (pos & 31)))
+    wmasked = []
+    for j, pos in enumerate(pos_list):
+        weight = jax.lax.shift_left(_I32(1), 31 - (pos & 31))
+        weights.append(weight)
         his.append(pos >> 5)
+        active = _lane_active(j, floor_k, act) & bitsb
+        wmasked.append(jnp.where(active, weight, 0))
     cols = []
     for w in range(nw):
         m_w = jnp.zeros_like(bits)
-        for j, pos in enumerate(pos_list):
-            active = _lane_active(j, floor_k, act) & bitsb
-            m_w = m_w | jnp.where(active & (his[j] == w), weights[j], 0)
+        for j in range(len(pos_list)):
+            m_w = m_w | jnp.where(his[j] == w, wmasked[j], 0)
         cols.append(_or_reduce_lanes(m_w))
     return jnp.concatenate(cols, axis=1), his, weights   # (BG, nw)
 
@@ -315,6 +322,50 @@ def _member_kernel_h(m_ref, fk_ref, thi_ref, tlo_ref, flag_ref,
                               alo_ref[...])
     _member_body(m, fk_ref[f], flag_ref[f], words_ref[0], a, b, act,
                  pass_ref, k_lanes, nw)
+
+
+def _expand_chain_kernel(flag_ref, pass_ref, witw_ref, raw_ref, vseg_ref,
+                         base_ref, out_ref, run_ref, *, vh):
+    """Fused witness decode + value expansion + frame chaining.
+
+    Grid is (block-group, frame) with the FRAME axis innermost: the
+    running reconstruction for this block group lives in VMEM scratch
+    (``run_ref``) across the whole frame sequence, so the sequential
+    chain costs zero extra HBM passes (vs. the separate lax.scan the
+    unfused path runs over (F, n) mask/value arrays).
+
+    The witness decode replaces the unfused path's 32-word unpack chain
+    + butterfly expansion with a direct rank-indexed word select: a
+    passing lane with in-block rank r reads bit (31 - r%32) of witness
+    word r/32 — half the vector ops, bit-identical output.
+    """
+    f = pl.program_id(1)
+
+    @pl.when(f == 0)
+    def _():
+        run_ref[...] = base_ref[...]
+
+    passes = pass_ref[0].astype(jnp.bool_)            # (BG, IPB)
+    witw = witw_ref[0]                                # (BG, WW) i32
+
+    cpos = excl_prefix(passes.astype(_I32))           # rank among passes
+    whi = cpos >> 5
+    wsel = jnp.zeros_like(cpos)
+    for w in range(WW):
+        wsel = wsel | jnp.where(whi == w, witw[:, w:w + 1], 0)
+    wbit = jax.lax.shift_right_logical(wsel, 31 - (cpos & 31)) & 1
+    decoded = jnp.where(passes, wbit, 0)
+    mask = jnp.where(flag_ref[f] > 0, raw_ref[0].astype(_I32), decoded)
+
+    # value expansion: pad the value segment to lane width in-register
+    vseg = vseg_ref[0]                                # (BG, vh*32) i32
+    if vh * 32 < IPB:
+        vseg = jnp.pad(vseg, ((0, 0), (0, IPB - vh * 32)))
+    (at_mask,) = expand_butterfly([vseg], mask.astype(jnp.bool_))
+
+    new = jnp.where(mask > 0, at_mask, run_ref[...])
+    run_ref[...] = new
+    out_ref[0] = new
 
 
 def _expand_kernel(flag_ref, pass_ref, witw_ref, raw_ref, vseg_ref,
@@ -576,3 +627,38 @@ def blocked_expand(passes, wit, raw_mask, flags, vseg, *, vh: int):
         ],
         interpret=_interpret(),
     )(flags, passes, _bytes_to_witwords(wit), raw_mask, vpad)
+
+
+@functools.partial(jax.jit, static_argnames=("vh",))
+def blocked_expand_chain(passes, wit, raw_mask, flags, vseg, base_packed,
+                         *, vh: int):
+    """Fused decode stage 2: witness/value expansion + frame chaining.
+
+    Same record semantics as :func:`blocked_expand` followed by the
+    chain scan, in ONE kernel pass (see :func:`_expand_chain_kernel`).
+
+    passes: (F,NB,IPB) u8; wit: (F,NB,128) u8 witness segments;
+    raw_mask: (F,NB,IPB) u8 for pass-through records; flags: (F,) i32;
+    vseg: (F,NB,vh*32) i32 value segments; base_packed: (NB,IPB) i32 —
+    24-bit packed pixels of the reconstruction base.
+    Returns packed reconstructed frames (F, NB, IPB) i32.
+    """
+    f_, nb, _ = passes.shape
+    kern = functools.partial(_expand_chain_kernel, vh=vh)
+    return pl.pallas_call(
+        kern,
+        grid=(nb // BG, f_),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # flags
+            pl.BlockSpec((1, BG, IPB), lambda g, f: (f, g, 0)),
+            pl.BlockSpec((1, BG, WW), lambda g, f: (f, g, 0)),
+            pl.BlockSpec((1, BG, IPB), lambda g, f: (f, g, 0)),
+            pl.BlockSpec((1, BG, vh * 32), lambda g, f: (f, g, 0)),
+            pl.BlockSpec((BG, IPB), lambda g, f: (g, 0)),     # base
+        ],
+        out_specs=pl.BlockSpec((1, BG, IPB), lambda g, f: (f, g, 0)),
+        out_shape=jax.ShapeDtypeStruct((f_, nb, IPB), _I32),
+        scratch_shapes=[pltpu.VMEM((BG, IPB), _I32)],
+        interpret=_interpret(),
+    )(flags, passes, _bytes_to_witwords(wit), raw_mask,
+      vseg.astype(_I32), base_packed)

@@ -133,6 +133,71 @@ class TestDecodeKernels:
             np.asarray(out_vals), np.where(bits.astype(bool), vals, 0))
 
 
+class TestExpandChainFused:
+    def test_matches_unfused_expand_plus_chain(self):
+        """blocked_expand_chain == blocked_expand followed by the frame
+        chain, including pass-through flags and empty frames."""
+        bits, a, b, act, vals, ms, fks = make_case(F=4, NB=16, seed=11)
+        F, NB = bits.shape[:2]
+        ja, jb, jact = jnp.asarray(a), jnp.asarray(b), jnp.asarray(act)
+        enc = bk.blocked_encode(
+            jnp.asarray(bits), ja, jb, jact, jnp.asarray(vals),
+            jnp.asarray(ms), jnp.asarray(fks), k_lanes=int(fks[0]), vh=4)
+        words, wit, wcnt, vseg, vcnt = enc
+
+        # frame 2 becomes a pass-through record (raw mask, empty witness)
+        flags = np.array([0, 0, 1, 0], np.int32)
+        raw = np.zeros_like(bits)
+        raw[2] = bits[2]
+        passes, _ = bk.blocked_membership(
+            words, ja, jb, jact, jnp.asarray(ms), jnp.asarray(fks),
+            jnp.asarray(flags), k_lanes=int(fks[0]))
+
+        mask, out_vals = bk.blocked_expand(
+            passes, wit, jnp.asarray(raw), jnp.asarray(flags), vseg, vh=4)
+
+        # reference chain on host (24-bit packed domain)
+        rng = np.random.default_rng(99)
+        base = rng.integers(0, 1 << 24, (NB, bk.IPB)).astype(np.int32)
+        run = base.copy()
+        want = np.zeros((F, NB, bk.IPB), np.int32)
+        mask_np, vals_np = np.asarray(mask), np.asarray(out_vals)
+        for f in range(F):
+            run = np.where(mask_np[f] > 0, vals_np[f], run)
+            want[f] = run
+
+        got = bk.blocked_expand_chain(
+            passes, wit, jnp.asarray(raw), jnp.asarray(flags), vseg,
+            jnp.asarray(base), vh=4)
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    def test_full_width_vseg(self):
+        """vh*32 == IPB (no in-kernel pad) still round-trips."""
+        bits, a, b, act, vals, ms, fks = make_case(F=2, NB=8, seed=13)
+        ja, jb, jact = jnp.asarray(a), jnp.asarray(b), jnp.asarray(act)
+        enc = bk.blocked_encode(
+            jnp.asarray(bits), ja, jb, jact, jnp.asarray(vals),
+            jnp.asarray(ms), jnp.asarray(fks), k_lanes=int(fks[0]),
+            vh=bk.IPB // 32)
+        words, wit, wcnt, vseg, vcnt = enc
+        flags = np.zeros(2, np.int32)
+        raw = np.zeros_like(bits)
+        passes, _ = bk.blocked_membership(
+            words, ja, jb, jact, jnp.asarray(ms), jnp.asarray(fks),
+            jnp.asarray(flags), k_lanes=int(fks[0]))
+        base = np.zeros((8, bk.IPB), np.int32)
+        got = np.asarray(bk.blocked_expand_chain(
+            passes, wit, jnp.asarray(raw), jnp.asarray(flags), vseg,
+            jnp.asarray(base), vh=bk.IPB // 32))
+        # chained reconstruction from zero base = last change wins
+        want = np.zeros((2, 8, bk.IPB), np.int32)
+        run = base.copy()
+        for f in range(2):
+            run = np.where(bits[f] > 0, vals[f].astype(np.int32), run)
+            want[f] = run
+        np.testing.assert_array_equal(got, want)
+
+
 def test_excl_prefix_ladder():
     import jax
     rng = np.random.default_rng(0)
