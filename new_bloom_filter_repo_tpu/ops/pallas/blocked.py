@@ -57,6 +57,20 @@ _I32 = jnp.int32
 _STAGES = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
 
 
+def _tile_blocks(nb: int) -> int:
+    """Tile height (blocks per grid step) for a batch with nb blocks.
+
+    Grid-step fixed overhead (~2us/step measured on v5e) dominates the
+    lighter kernels at BG=8; doubling the tile height nearly halves it.
+    Outputs are bit-identical for any tile height (block rows are
+    independent), so this is purely a dispatch-shape choice.  nb is
+    always a multiple of BG (geometry pads to SUPER = IPB*BG)."""
+    for tg in (16, BG):
+        if nb % tg == 0:
+            return tg
+    return BG
+
+
 def _interpret() -> bool:
     dev = jax.config.jax_default_device
     if dev is not None:
@@ -447,24 +461,25 @@ def blocked_encode(bits, a, b, act, vals, m, floor_k, *, k_lanes: int,
              vseg (F,NB,vh*32) i32, vcnt (F,NB) i32).
     """
     f_, nb, _ = bits.shape
+    tg = _tile_blocks(nb)
     kern = functools.partial(_encode_kernel, k_lanes=k_lanes, nw=nw)
     words32, witw, passes, valc = pl.pallas_call(
         kern,
-        grid=(f_, nb // BG),
+        grid=(f_, nb // tg),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # m (F,)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # floor_k (F,)
-            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
-            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
-            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
-            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
-            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, BG, nw), lambda f, g: (f, g, 0)),
-            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
-            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
-            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, tg, nw), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((f_, nb, nw), _I32),
@@ -497,25 +512,26 @@ def blocked_encode_h(bits, h1, h2, act_hi, act_lo, vals, m, thi, tlo,
     HBM traffic per 15x1080p chunk and one less program.  Output is
     identical to blocked_encode on _frame_mod_tables' tables."""
     f_, nb, _ = bits.shape
+    tg = _tile_blocks(nb)
     kern = functools.partial(_encode_kernel_h, k_lanes=k_lanes, nw=nw)
-    table_spec = pl.BlockSpec((BG, IPB), lambda f, g: (g, 0))
+    table_spec = pl.BlockSpec((tg, IPB), lambda f, g: (g, 0))
     words32, witw, passes, valc = pl.pallas_call(
         kern,
-        grid=(f_, nb // BG),
+        grid=(f_, nb // tg),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # m (F,)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # floor_k (F,)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # thi (F,) i32 bits
             pl.BlockSpec(memory_space=pltpu.SMEM),   # tlo (F,) i32 bits
-            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),  # bits
+            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),  # bits
             table_spec, table_spec, table_spec, table_spec,
-            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),  # vals
+            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),  # vals
         ],
         out_specs=[
-            pl.BlockSpec((1, BG, nw), lambda f, g: (f, g, 0)),
-            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
-            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
-            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, tg, nw), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((f_, nb, nw), _I32),
@@ -540,22 +556,23 @@ def blocked_membership_h(words, h1, h2, act_hi, act_lo, m, thi, tlo,
     """blocked_membership with in-kernel position/activation math (see
     blocked_encode_h)."""
     f_, nb, _ = words.shape
+    tg = _tile_blocks(nb)
     words = words[:, :, : nw * 32]
     kern = functools.partial(_member_kernel_h, k_lanes=k_lanes, nw=nw)
-    table_spec = pl.BlockSpec((BG, IPB), lambda f, g: (g, 0))
+    table_spec = pl.BlockSpec((tg, IPB), lambda f, g: (g, 0))
     passes = pl.pallas_call(
         kern,
-        grid=(f_, nb // BG),
+        grid=(f_, nb // tg),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # m
             pl.BlockSpec(memory_space=pltpu.SMEM),   # floor_k
             pl.BlockSpec(memory_space=pltpu.SMEM),   # thi
             pl.BlockSpec(memory_space=pltpu.SMEM),   # tlo
             pl.BlockSpec(memory_space=pltpu.SMEM),   # flags
-            pl.BlockSpec((1, BG, nw), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, tg, nw), lambda f, g: (f, g, 0)),
             table_spec, table_spec, table_spec, table_spec,
         ],
-        out_specs=pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
+        out_specs=pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
         out_shape=jax.ShapeDtypeStruct((f_, nb, IPB), jnp.uint8),
         interpret=_interpret(),
     )(m, floor_k, _i32(thi), _i32(tlo), flags, _bits_to_words32(words),
@@ -573,21 +590,22 @@ def blocked_membership(words, a, b, act, m, floor_k, flags, *, k_lanes: int,
     pass-through/empty records (mask used verbatim; passes forced to 0).
     Returns (pass (F,NB,IPB) u8, wcnt (F,NB) i32)."""
     f_, nb, _ = words.shape
+    tg = _tile_blocks(nb)
     words = words[:, :, : nw * 32]
     kern = functools.partial(_member_kernel, k_lanes=k_lanes, nw=nw)
     passes = pl.pallas_call(
         kern,
-        grid=(f_, nb // BG),
+        grid=(f_, nb // tg),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, BG, nw), lambda f, g: (f, g, 0)),
-            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
-            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
-            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, tg, nw), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
         ],
-        out_specs=pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
+        out_specs=pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
         out_shape=jax.ShapeDtypeStruct((f_, nb, IPB), jnp.uint8),
         interpret=_interpret(),
     )(m, floor_k, flags, _bits_to_words32(words), a, b, act)
@@ -605,21 +623,22 @@ def blocked_expand(passes, wit, raw_mask, flags, vseg, *, vh: int):
     vseg: (F,NB,vh*32) i32 value segments.
     Returns (mask (F,NB,IPB) u8, vals (F,NB,IPB) i32)."""
     f_, nb, _ = passes.shape
+    tg = _tile_blocks(nb)
     vpad = jnp.zeros((f_, nb, IPB), _I32)
     vpad = vpad.at[:, :, : vh * 32].set(vseg.astype(_I32))
     return pl.pallas_call(
         _expand_kernel,
-        grid=(f_, nb // BG),
+        grid=(f_, nb // tg),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
-            pl.BlockSpec((1, BG, WW), lambda f, g: (f, g, 0)),
-            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
-            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, tg, WW), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
-            pl.BlockSpec((1, BG, IPB), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((f_, nb, IPB), jnp.uint8),
@@ -644,21 +663,22 @@ def blocked_expand_chain(passes, wit, raw_mask, flags, vseg, base_packed,
     Returns packed reconstructed frames (F, NB, IPB) i32.
     """
     f_, nb, _ = passes.shape
+    tg = _tile_blocks(nb)
     kern = functools.partial(_expand_chain_kernel, vh=vh)
     return pl.pallas_call(
         kern,
-        grid=(nb // BG, f_),
+        grid=(nb // tg, f_),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),            # flags
-            pl.BlockSpec((1, BG, IPB), lambda g, f: (f, g, 0)),
-            pl.BlockSpec((1, BG, WW), lambda g, f: (f, g, 0)),
-            pl.BlockSpec((1, BG, IPB), lambda g, f: (f, g, 0)),
-            pl.BlockSpec((1, BG, vh * 32), lambda g, f: (f, g, 0)),
-            pl.BlockSpec((BG, IPB), lambda g, f: (g, 0)),     # base
+            pl.BlockSpec((1, tg, IPB), lambda g, f: (f, g, 0)),
+            pl.BlockSpec((1, tg, WW), lambda g, f: (f, g, 0)),
+            pl.BlockSpec((1, tg, IPB), lambda g, f: (f, g, 0)),
+            pl.BlockSpec((1, tg, vh * 32), lambda g, f: (f, g, 0)),
+            pl.BlockSpec((tg, IPB), lambda g, f: (g, 0)),     # base
         ],
-        out_specs=pl.BlockSpec((1, BG, IPB), lambda g, f: (f, g, 0)),
+        out_specs=pl.BlockSpec((1, tg, IPB), lambda g, f: (f, g, 0)),
         out_shape=jax.ShapeDtypeStruct((f_, nb, IPB), _I32),
-        scratch_shapes=[pltpu.VMEM((BG, IPB), _I32)],
+        scratch_shapes=[pltpu.VMEM((tg, IPB), _I32)],
         interpret=_interpret(),
     )(flags, passes, _bytes_to_witwords(wit), raw_mask,
       vseg.astype(_I32), base_packed)
