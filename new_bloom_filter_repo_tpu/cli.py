@@ -54,14 +54,19 @@ def _add_codec_flags(p, include_batch=True):
                    help="Reference threshold semantics (lossy by design) "
                         "instead of exact any-channel masks")
     p.add_argument("--devices", default=None,
-                   help="Multi-chip: 'auto' (all chips) or a chip count; "
-                        "frames shard across chips over ICI")
+                   help="Multi-chip: 'auto' (all chips), a chip count, or "
+                        "DPxSP (e.g. 4x2: frames shard over dp, blocks "
+                        "within a frame over sp for oversized frames); "
+                        "collectives ride ICI")
     p.add_argument("--verbose", action="store_true")
 
 
 def _parse_devices(value):
     if value is None or value == "auto":
         return value
+    if isinstance(value, str) and "x" in value:
+        dp, sp = value.lower().split("x", 1)
+        return (int(dp), int(sp))
     return int(value)
 
 

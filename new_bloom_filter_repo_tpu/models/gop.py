@@ -56,14 +56,13 @@ def _n8(n: int) -> int:
     return bitpack.padded_length(n)
 
 
-@jax.jit
-def gop_masks(frames: jnp.ndarray):
-    """Exact diff masks for consecutive frames.
+def gop_masks_pairs(prev, curr):
+    """Exact diff masks for (prev, curr) frame pairs — the shared body of
+    :func:`gop_masks` and its dp-sharded variant (both operands shard
+    over the frame axis; no boundary exchange needed).
 
-    frames: (B+1, h, w[, c]) uint8 — frame 0 is the reconstruction base.
-    Returns (masks (B, n8) u8 on device, packed (B, n8/8), counts (B,)).
-    """
-    neq = frames[1:] != frames[:-1]
+    Returns (masks (B, n8) u8, packed (B, n8/8) u8, counts (B,) i32)."""
+    neq = curr != prev
     if neq.ndim == 4:
         neq = jnp.any(neq, axis=-1)
     b = neq.shape[0]
@@ -75,6 +74,16 @@ def gop_masks(frames: jnp.ndarray):
         masks = jnp.pad(masks, ((0, 0), (0, pad)))
     packed = bitpack.pack_bits(masks)
     return masks, packed, counts
+
+
+@jax.jit
+def gop_masks(frames: jnp.ndarray):
+    """Exact diff masks for consecutive frames.
+
+    frames: (B+1, h, w[, c]) uint8 — frame 0 is the reconstruction base.
+    Returns (masks (B, n8) u8 on device, packed (B, n8/8), counts (B,)).
+    """
+    return gop_masks_pairs(frames[:-1], frames[1:])
 
 
 @partial(jax.jit, static_argnames=("l_pad", "vmax", "k_max"))
@@ -121,30 +130,19 @@ def gop_encode(masks, frames_curr, h1, h2, act, l, t_hi, t_lo, floor_k,
     return jax.vmap(one)(masks, frames_flat, l, t_hi, t_lo, floor_k)
 
 
-@partial(jax.jit, static_argnames=("n", "vmax", "k_max", "passthrough_pad"))
-def gop_decode(base, packed_bitmaps, packed_witness, values, flags,
-               h1, h2, act, l, t_hi, t_lo, floor_k,
-               *, n: int, vmax: int, k_max: int = KMAX,
-               passthrough_pad: int = 0):
-    """Batched GOP decode: lax.scan frame chaining on device.
+@partial(jax.jit, static_argnames=("n", "vmax", "k_max"))
+def gop_decode_fields(packed_bitmaps, packed_witness, values, flags,
+                      h1, h2, act, l, t_hi, t_lo, floor_k,
+                      *, n: int, vmax: int, k_max: int = KMAX):
+    """Per-frame decode fields: (mask (B, n) u8, pix (B, n, C) u8).
 
-    base: (h, w[, c]) uint8 — decoded keyframe the GOP starts from.
-    packed_bitmaps: (B, n8/8) u8 — bitmap region (zero-padded; covers both
-      Bloom bitmaps of length l and pass-through masks of length n).
-    packed_witness: (B, n8/8) u8.
-    values: (B, vmax, C) u8 — inflated changed values.
-    flags: (B,) i32 — 1 where the record is pass-through (witness empty:
-      the bitmap *is* the mask; improved_video_compressor.py:1012-1015).
-
-    Returns frames (B, h, w[, c]) uint8.
-    """
-    shape = base.shape
-    c = 1 if base.ndim == 2 else shape[-1]
-    base_flat = base.reshape(-1, c)
+    The frame-independent part of GOP decode (bitmap unpack, membership,
+    witness expansion, value gather) — vmapped, so it frame-shards over a
+    ``dp`` mesh axis (parallel/batch.make_gop_decode_fields_dp); only the
+    tiny chain (:func:`gop_chain`) is sequential."""
     n8 = packed_bitmaps.shape[1] * 8
 
-    def step(prev, x):
-        pb, pw, vals, flag, ll, th, tl, fk = x
+    def one(pb, pw, vals, flag, ll, th, tl, fk):
         bit_array = bitpack.unpack_bits(pb, n8)
         pmask = membership_lanes(bit_array, h1, h2, act, ll, th, tl,
                                  fk, k_max)
@@ -156,14 +154,52 @@ def gop_decode(base, packed_bitmaps, packed_witness, values, flags,
         m32 = mask.astype(jnp.uint32)
         vidx = jnp.clip(jnp.cumsum(m32) - m32, 0, vmax - 1)
         pix = vals[vidx]                                  # (n, C)
-        frame = jnp.where(mask.astype(jnp.bool_)[:, None], pix, prev)
+        return mask, pix
+
+    return jax.vmap(one)(packed_bitmaps, packed_witness, values, flags,
+                         l, t_hi, t_lo, floor_k)
+
+
+@jax.jit
+def gop_chain(base, masks, pix):
+    """Chain per-frame (mask, pixels) deltas from the decoded keyframe.
+
+    base: (h, w[, c]) uint8; masks: (B, n) u8; pix: (B, n, C) u8.
+    Returns frames (B, h, w[, c]) uint8."""
+    shape = base.shape
+    c = 1 if base.ndim == 2 else shape[-1]
+    base_flat = base.reshape(-1, c)
+
+    def step(prev, x):
+        mask, p = x
+        frame = jnp.where(mask.astype(jnp.bool_)[:, None], p, prev)
         return frame, frame
 
-    _, frames = jax.lax.scan(
-        step, base_flat,
-        (packed_bitmaps, packed_witness, values, flags, l, t_hi, t_lo,
-         floor_k))
-    return frames.reshape((frames.shape[0],) + shape)
+    _, frames = jax.lax.scan(step, base_flat, (masks, pix))
+    return frames.reshape((masks.shape[0],) + shape)
+
+
+@partial(jax.jit, static_argnames=("n", "vmax", "k_max", "passthrough_pad"))
+def gop_decode(base, packed_bitmaps, packed_witness, values, flags,
+               h1, h2, act, l, t_hi, t_lo, floor_k,
+               *, n: int, vmax: int, k_max: int = KMAX,
+               passthrough_pad: int = 0):
+    """Batched GOP decode: fields (vmapped) + frame chaining on device.
+
+    base: (h, w[, c]) uint8 — decoded keyframe the GOP starts from.
+    packed_bitmaps: (B, n8/8) u8 — bitmap region (zero-padded; covers both
+      Bloom bitmaps of length l and pass-through masks of length n).
+    packed_witness: (B, n8/8) u8.
+    values: (B, vmax, C) u8 — inflated changed values.
+    flags: (B,) i32 — 1 where the record is pass-through (witness empty:
+      the bitmap *is* the mask; improved_video_compressor.py:1012-1015).
+
+    Returns frames (B, h, w[, c]) uint8.
+    """
+    masks, pix = gop_decode_fields(
+        packed_bitmaps, packed_witness, values, flags,
+        h1, h2, act, l, t_hi, t_lo, floor_k, n=n, vmax=vmax, k_max=k_max)
+    return gop_chain(base, masks, pix)
 
 
 def next_bucket(x: int, minimum: int = 1024) -> int:

@@ -230,12 +230,14 @@ class ImprovedVideoCompressor:
             prefetch = os.environ.get("NBF_PREFETCH", "0") == "1"
         self.prefetch = bool(prefetch)
         # Multi-chip: devices=None (single chip), "auto" (all available
-        # chips), an int (that many chips), or a jax.sharding.Mesh with
-        # axes 'dp'[, 'sp'].  Frames shard over dp, blocks within a frame
-        # over sp; the emitted stream is identical either way.
+        # chips, frame parallelism), an int (that many chips), a
+        # (dp, sp) tuple (sp shards the block axis WITHIN oversized
+        # frames), or a jax.sharding.Mesh with axes 'dp'[, 'sp'].  The
+        # emitted stream is identical for every choice.
         self.mesh = _resolve_mesh(devices)
         self._blocked_enc = blocked_pipeline.BlockedEncoder(mesh=self.mesh)
         self._blocked_dec = blocked_pipeline.BlockedDecoder(mesh=self.mesh)
+        self._gop_progs: dict = {}  # dp-sharded BFV2 programs, per shape
         # Bloom-mode keyframes use a faster DEFLATE level (any level
         # decodes identically; level 9 stays for reference-byte-parity
         # BFVC keyframe mode).
@@ -309,18 +311,7 @@ class ImprovedVideoCompressor:
 
         # Segment plan first, so chunk uploads can run one step ahead of
         # processing (the host->device link dominates end-to-end time).
-        segments = []
-        pos = 0
-        while pos < total:
-            if pos % self.keyframe_interval == 0:
-                segments.append(("key", pos, pos + 1))
-                pos += 1
-                continue
-            next_key = ((pos // self.keyframe_interval) + 1
-                        ) * self.keyframe_interval
-            run_end = min(total, next_key, pos + _CHUNK)
-            segments.append(("run", pos, run_end))
-            pos = run_end
+        segments = _plan_segments(total, self.keyframe_interval)
 
         def padded_frames(start, end):
             fr = darrs[start:end]
@@ -359,7 +350,8 @@ class ImprovedVideoCompressor:
             if self.prefetch:
                 for j in range(i + 1, len(segments)):
                     if segments[j][0] == "run":
-                        pending[j] = stack_for(segments[j])
+                        if j not in pending:   # don't re-upload a chunk
+                            pending[j] = stack_for(segments[j])
                         break
 
             before = len(payloads)
@@ -388,18 +380,13 @@ class ImprovedVideoCompressor:
         tables = get_hash_tables(n, "video")
         l_pad = bloom_core.bitmap_pad(n)
 
-        segments = []
-        pos = 0
-        while pos < total:
-            if pos % self.keyframe_interval == 0:
-                segments.append(("key", pos, pos + 1))
-                pos += 1
-                continue
-            next_key = ((pos // self.keyframe_interval) + 1
-                        ) * self.keyframe_interval
-            run_end = min(total, next_key, pos + _CHUNK)
-            segments.append(("run", pos, run_end))
-            pos = run_end
+        segments = _plan_segments(total, self.keyframe_interval)
+
+        # dp mesh: pad the device batch to a dp multiple and run the GOP
+        # programs frame-sharded (parallel/batch.py); the emitted records
+        # are byte-identical to the single-device path.
+        dp = int(self.mesh.shape["dp"]) if self.mesh is not None else 1
+        bpad = -(-_CHUNK // dp) * dp
 
         for kind, start, end in segments:
             if kind == "key":
@@ -409,16 +396,28 @@ class ImprovedVideoCompressor:
                 keyframes += 1
                 continue
             real = end - start
-            chunk = arrs[start:end] + [arrs[end - 1]] * (_CHUNK - real)
-            stacked = jnp.asarray(np.stack([arrs[start - 1]] + chunk))
-            masks_d, packed_d, counts_d = gop_mod.gop_masks(stacked)
+            chunk = arrs[start:end] + [arrs[end - 1]] * (bpad - real)
+            if self.mesh is not None:
+                from new_bloom_filter_repo_tpu.parallel import batch as pbatch
+                prev_np = np.stack([arrs[start - 1]] + chunk[:-1])
+                curr_d = jnp.asarray(np.stack(chunk))
+                mkey = ("masks", curr_d.shape[1:])
+                if mkey not in self._gop_progs:
+                    self._gop_progs[mkey] = pbatch.make_gop_masks_dp(
+                        self.mesh)
+                masks_d, packed_d, counts_d = self._gop_progs[mkey](
+                    jnp.asarray(prev_np), curr_d)
+            else:
+                stacked = jnp.asarray(np.stack([arrs[start - 1]] + chunk))
+                curr_d = stacked[1:]
+                masks_d, packed_d, counts_d = gop_mod.gop_masks(stacked)
             counts = jax.device_get(counts_d)
 
-            ks = np.zeros(_CHUNK, np.float64)
-            l_arr = np.ones(_CHUNK, np.uint32)
-            thi = np.zeros(_CHUNK, np.uint32)
-            tlo = np.zeros(_CHUNK, np.uint32)
-            fk = np.zeros(_CHUNK, np.int32)
+            ks = np.zeros(bpad, np.float64)
+            l_arr = np.ones(bpad, np.uint32)
+            thi = np.zeros(bpad, np.uint32)
+            tlo = np.zeros(bpad, np.uint32)
+            fk = np.zeros(bpad, np.int32)
             bloom_js = []
             for j in range(real):
                 p = int(counts[j]) / n
@@ -439,10 +438,23 @@ class ImprovedVideoCompressor:
             vmax = min(gop_mod.next_bucket(int(counts[:real].max())
                                            if real else 1),
                        bitpack.padded_length(n))
-            pb_d, pw_d, wcnt_d, vals_d = gop_mod.gop_encode(
-                masks_d, stacked[1:], tables.h1, tables.h2, tables.act,
-                jnp.asarray(l_arr), jnp.asarray(thi), jnp.asarray(tlo),
-                jnp.asarray(fk), l_pad=l_pad, vmax=vmax)
+            if self.mesh is not None:
+                ekey = ("enc", n, l_pad, vmax)
+                if ekey not in self._gop_progs:
+                    from new_bloom_filter_repo_tpu.parallel import (
+                        batch as pbatch)
+                    self._gop_progs[ekey] = pbatch.make_gop_encode_dp(
+                        self.mesh, l_pad=l_pad, vmax=vmax)
+                pb_d, pw_d, wcnt_d, vals_d = self._gop_progs[ekey](
+                    masks_d, curr_d, tables.h1, tables.h2, tables.act,
+                    jnp.asarray(l_arr), jnp.asarray(thi),
+                    jnp.asarray(tlo), jnp.asarray(fk))
+            else:
+                pb_d, pw_d, wcnt_d, vals_d = gop_mod.gop_encode(
+                    masks_d, curr_d, tables.h1, tables.h2, tables.act,
+                    jnp.asarray(l_arr), jnp.asarray(thi),
+                    jnp.asarray(tlo), jnp.asarray(fk),
+                    l_pad=l_pad, vmax=vmax)
             pb, pw, wcnt, vals, packed = jax.device_get(
                 (pb_d, pw_d, wcnt_d, vals_d, packed_d))
 
@@ -555,6 +567,13 @@ class ImprovedVideoCompressor:
         keyframes = 0
         native_size = 0
         for plane in ("y_plane", "u_plane", "v_plane"):
+            for i in infos:
+                dt = np.asarray(i[plane]).dtype
+                if dt != np.uint8:
+                    raise ValueError(
+                        f"planar profile requires uint8 planes, got {dt} "
+                        f"for {plane}; use profile='blocked' (byte-domain "
+                        f"inter coding) for high-bit-depth frames")
             seq = [np.ascontiguousarray(i[plane], dtype=np.uint8)
                    for i in infos]
             native_size += sum(p.nbytes for p in seq)
@@ -708,12 +727,26 @@ class ImprovedVideoCompressor:
             for frame in decoded:
                 prev = frame
                 if prev_info is not None:
-                    # YUV444 planes mirror the channels exactly
+                    # Rebuild planes at the NATIVE geometry the previous
+                    # record carried: for subsampled formats (flag-3
+                    # keyframes store e.g. I420 planes) the 444 channels
+                    # are chroma replications (videoio.read_raw_yuv /
+                    # read_y4m upconvert with np.repeat), so a strided
+                    # take is their exact inverse — keeping every frame's
+                    # plane geometry consistent for .yuv/.y4m export.
+                    fh, fw = frame.shape[:2]
+
+                    def native(ch, key):
+                        ph, pw = np.asarray(prev_info[key]).shape[:2]
+                        sy = max(1, fh // max(1, ph))
+                        sx = max(1, fw // max(1, pw))
+                        return frame[::sy, ::sx, ch].copy()
+
                     prev_info = {
                         "format": prev_info.get("format", "YUV444"),
                         "y_plane": frame[:, :, 0].copy(),
-                        "u_plane": frame[:, :, 1].copy(),
-                        "v_plane": frame[:, :, 2].copy(),
+                        "u_plane": native(1, "u_plane"),
+                        "v_plane": native(2, "v_plane"),
                     }
                     frames.append(YUVFrame(prev, _copy_info(prev_info)))
                 else:
@@ -759,7 +792,10 @@ class ImprovedVideoCompressor:
         padded to the fixed _CHUNK batch so one compiled program per
         geometry serves every run."""
         b = len(run)
-        bp = _CHUNK  # padded batch; extra rows are no-op empty frames
+        dp = int(self.mesh.shape["dp"]) if self.mesh is not None else 1
+        # padded batch; extra rows are no-op empty frames (dp mesh: the
+        # batch also pads to a dp multiple so frames shard evenly)
+        bp = -(-_CHUNK // dp) * dp
         h, w = base.shape[:2]
         n = h * w
         n8 = bitpack.padded_length(n)
@@ -806,12 +842,26 @@ class ImprovedVideoCompressor:
             if v is not None and v.size:
                 vals[j, : v.size // c] = v.reshape(-1, c)
 
-        frames_d = gop_mod.gop_decode(
-            jnp.asarray(base), jnp.asarray(pbm), jnp.asarray(pwit),
-            jnp.asarray(vals), jnp.asarray(flags),
-            tables.h1, tables.h2, tables.act,
-            jnp.asarray(l_arr), jnp.asarray(thi), jnp.asarray(tlo),
-            jnp.asarray(fk), n=n, vmax=vmax)
+        if self.mesh is not None:
+            dkey = ("dec", n, n8, vmax)
+            if dkey not in self._gop_progs:
+                from new_bloom_filter_repo_tpu.parallel import (
+                    batch as pbatch)
+                self._gop_progs[dkey] = pbatch.make_gop_decode_fields_dp(
+                    self.mesh, n=n, vmax=vmax)
+            masks_d, pix_d = self._gop_progs[dkey](
+                jnp.asarray(pbm), jnp.asarray(pwit), jnp.asarray(vals),
+                jnp.asarray(flags), tables.h1, tables.h2, tables.act,
+                jnp.asarray(l_arr), jnp.asarray(thi), jnp.asarray(tlo),
+                jnp.asarray(fk))
+            frames_d = gop_mod.gop_chain(jnp.asarray(base), masks_d, pix_d)
+        else:
+            frames_d = gop_mod.gop_decode(
+                jnp.asarray(base), jnp.asarray(pbm), jnp.asarray(pwit),
+                jnp.asarray(vals), jnp.asarray(flags),
+                tables.h1, tables.h2, tables.act,
+                jnp.asarray(l_arr), jnp.asarray(thi), jnp.asarray(tlo),
+                jnp.asarray(fk), n=n, vmax=vmax)
         out = np.asarray(jax.device_get(frames_d))
         return [out[j] for j in range(b)]
 
@@ -1017,6 +1067,24 @@ class ImprovedVideoCompressor:
         return frames
 
 
+def _plan_segments(total: int, keyframe_interval: int):
+    """Chunking plan shared by every batched encoder: scheduled keyframes
+    at every ``keyframe_interval`` frames, runs of inter frames between
+    them capped at the device chunk size."""
+    segments = []
+    pos = 0
+    while pos < total:
+        if pos % keyframe_interval == 0:
+            segments.append(("key", pos, pos + 1))
+            pos += 1
+            continue
+        next_key = ((pos // keyframe_interval) + 1) * keyframe_interval
+        run_end = min(total, next_key, pos + _CHUNK)
+        segments.append(("run", pos, run_end))
+        pos = run_end
+    return segments
+
+
 def _resolve_mesh(devices):
     """Turn the public ``devices`` parameter into a Mesh (or None)."""
     if devices is None:
@@ -1031,8 +1099,13 @@ def _resolve_mesh(devices):
         return auto_mesh()
     if isinstance(devices, int):
         return auto_mesh(devices) if devices > 1 else None
-    raise ValueError(f"devices must be None, 'auto', an int, or a Mesh; "
-                     f"got {devices!r}")
+    if isinstance(devices, (tuple, list)) and len(devices) == 2:
+        dp, sp = int(devices[0]), int(devices[1])
+        # (dp, sp): reserve an sp axis so oversized (4K/8K) frames shard
+        # their block axis within a frame as well as across frames.
+        return auto_mesh(dp * sp, sp=sp) if dp * sp > 1 else None
+    raise ValueError(f"devices must be None, 'auto', an int, a (dp, sp) "
+                     f"tuple, or a Mesh; got {devices!r}")
 
 
 def _copy_info(info: Optional[dict]) -> Optional[dict]:

@@ -441,9 +441,10 @@ def _bytes_to_witwords(by):
             | (b[..., 2] << 8) | b[..., 3]).astype(_I32)
 
 
-@functools.partial(jax.jit, static_argnames=("k_lanes", "vh", "nw"))
+@functools.partial(jax.jit,
+                   static_argnames=("k_lanes", "vh", "nw", "interpret"))
 def blocked_encode(bits, a, b, act, vals, m, floor_k, *, k_lanes: int,
-                   vh: int, nw: int = NW):
+                   vh: int, nw: int = NW, interpret: bool = None):
     """Blocked Bloom encode over a batch of frames.
 
     Args:
@@ -487,7 +488,7 @@ def blocked_encode(bits, a, b, act, vals, m, floor_k, *, k_lanes: int,
             jax.ShapeDtypeStruct((f_, nb, IPB), jnp.uint8),
             jax.ShapeDtypeStruct((f_, nb, IPB), _I32),
         ],
-        interpret=_interpret(),
+        interpret=_interpret() if interpret is None else interpret,
     )(m, floor_k, bits, a, b, act, vals.astype(_I32))
     words = _words32_to_bits(words32)
     wit = _witwords_to_bytes(witw[:, :, 31::32])
@@ -501,9 +502,11 @@ def _i32(x):
     return jax.lax.bitcast_convert_type(x, _I32)
 
 
-@functools.partial(jax.jit, static_argnames=("k_lanes", "vh", "nw"))
+@functools.partial(jax.jit,
+                   static_argnames=("k_lanes", "vh", "nw", "interpret"))
 def blocked_encode_h(bits, h1, h2, act_hi, act_lo, vals, m, thi, tlo,
-                     floor_k, *, k_lanes: int, vh: int, nw: int = NW):
+                     floor_k, *, k_lanes: int, vh: int, nw: int = NW,
+                     interpret: bool = None):
     """blocked_encode with position/activation math fused in-kernel.
 
     Takes the per-geometry hash tables (h1/h2 (NB,IPB) i32 24-bit,
@@ -539,7 +542,7 @@ def blocked_encode_h(bits, h1, h2, act_hi, act_lo, vals, m, thi, tlo,
             jax.ShapeDtypeStruct((f_, nb, IPB), jnp.uint8),
             jax.ShapeDtypeStruct((f_, nb, IPB), _I32),
         ],
-        interpret=_interpret(),
+        interpret=_interpret() if interpret is None else interpret,
     )(m, floor_k, _i32(thi), _i32(tlo), bits, h1, h2,
       _i32(act_hi), _i32(act_lo), vals.astype(_I32))
     words = _words32_to_bits(words32)
@@ -550,9 +553,11 @@ def blocked_encode_h(bits, h1, h2, act_hi, act_lo, vals, m, thi, tlo,
     return words, wit, wcnt, vseg, vcnt
 
 
-@functools.partial(jax.jit, static_argnames=("k_lanes", "nw"))
+@functools.partial(jax.jit,
+                   static_argnames=("k_lanes", "nw", "interpret"))
 def blocked_membership_h(words, h1, h2, act_hi, act_lo, m, thi, tlo,
-                         floor_k, flags, *, k_lanes: int, nw: int = NW):
+                         floor_k, flags, *, k_lanes: int, nw: int = NW,
+                         interpret: bool = None):
     """blocked_membership with in-kernel position/activation math (see
     blocked_encode_h)."""
     f_, nb, _ = words.shape
@@ -574,16 +579,17 @@ def blocked_membership_h(words, h1, h2, act_hi, act_lo, m, thi, tlo,
         ],
         out_specs=pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
         out_shape=jax.ShapeDtypeStruct((f_, nb, IPB), jnp.uint8),
-        interpret=_interpret(),
+        interpret=_interpret() if interpret is None else interpret,
     )(m, floor_k, _i32(thi), _i32(tlo), flags, _bits_to_words32(words),
       h1, h2, _i32(act_hi), _i32(act_lo))
     wcnt = jnp.sum(passes.astype(_I32), axis=2)
     return passes, wcnt
 
 
-@functools.partial(jax.jit, static_argnames=("k_lanes", "nw"))
+@functools.partial(jax.jit,
+                   static_argnames=("k_lanes", "nw", "interpret"))
 def blocked_membership(words, a, b, act, m, floor_k, flags, *, k_lanes: int,
-                       nw: int = NW):
+                       nw: int = NW, interpret: bool = None):
     """Membership pass for decode.
 
     words: (F, NB, MMAX) u8 sub-filter bits; flags: (F,) i32 — 1 for
@@ -607,14 +613,15 @@ def blocked_membership(words, a, b, act, m, floor_k, flags, *, k_lanes: int,
         ],
         out_specs=pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
         out_shape=jax.ShapeDtypeStruct((f_, nb, IPB), jnp.uint8),
-        interpret=_interpret(),
+        interpret=_interpret() if interpret is None else interpret,
     )(m, floor_k, flags, _bits_to_words32(words), a, b, act)
     wcnt = jnp.sum(passes.astype(_I32), axis=2)
     return passes, wcnt
 
 
-@functools.partial(jax.jit, static_argnames=("vh",))
-def blocked_expand(passes, wit, raw_mask, flags, vseg, *, vh: int):
+@functools.partial(jax.jit, static_argnames=("vh", "interpret"))
+def blocked_expand(passes, wit, raw_mask, flags, vseg, *, vh: int,
+                   interpret: bool = None):
     """Witness + value expansion for decode.
 
     passes: (F,NB,IPB) u8 from blocked_membership; wit: (F,NB,128) u8
@@ -644,13 +651,13 @@ def blocked_expand(passes, wit, raw_mask, flags, vseg, *, vh: int):
             jax.ShapeDtypeStruct((f_, nb, IPB), jnp.uint8),
             jax.ShapeDtypeStruct((f_, nb, IPB), _I32),
         ],
-        interpret=_interpret(),
+        interpret=_interpret() if interpret is None else interpret,
     )(flags, passes, _bytes_to_witwords(wit), raw_mask, vpad)
 
 
-@functools.partial(jax.jit, static_argnames=("vh",))
+@functools.partial(jax.jit, static_argnames=("vh", "interpret"))
 def blocked_expand_chain(passes, wit, raw_mask, flags, vseg, base_packed,
-                         *, vh: int):
+                         *, vh: int, interpret: bool = None):
     """Fused decode stage 2: witness/value expansion + frame chaining.
 
     Same record semantics as :func:`blocked_expand` followed by the
@@ -679,6 +686,6 @@ def blocked_expand_chain(passes, wit, raw_mask, flags, vseg, base_packed,
         out_specs=pl.BlockSpec((1, tg, IPB), lambda g, f: (f, g, 0)),
         out_shape=jax.ShapeDtypeStruct((f_, nb, IPB), _I32),
         scratch_shapes=[pltpu.VMEM((tg, IPB), _I32)],
-        interpret=_interpret(),
+        interpret=_interpret() if interpret is None else interpret,
     )(flags, passes, _bytes_to_witwords(wit), raw_mask,
       vseg.astype(_I32), base_packed)

@@ -146,6 +146,68 @@ def make_sharded_decode(mesh: Mesh, n: int, l_pad: int,
     return decode
 
 
+def make_gop_masks_dp(mesh: Mesh):
+    """Frame-sharded GOP diff masks: (prev, curr) frame pairs shard over
+    'dp' (both operands carry the shift, so no boundary exchange).
+
+    Returns fn(prev (B,h,w[,c]) u8, curr (B,h,w[,c]) u8)
+      -> (masks (B,n8) u8, packed (B,n8/8) u8, counts (B,) i32);
+    B must divide mesh.shape['dp']."""
+    from new_bloom_filter_repo_tpu.models import gop as gop_mod
+    sharded = jax.shard_map(
+        gop_mod.gop_masks_pairs, mesh=mesh,
+        in_specs=(P("dp"), P("dp")),
+        out_specs=(P("dp"), P("dp"), P("dp")),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_gop_encode_dp(mesh: Mesh, *, l_pad: int, vmax: int,
+                       k_max: int = MAX_LANES):
+    """Frame-sharded GOP Bloom encode over 'dp' (the BFV2/reference
+    record layout): frames, masks and per-frame scalars shard their
+    leading axis; the hash tables replicate.  Same signature/returns as
+    models.gop.gop_encode."""
+    from new_bloom_filter_repo_tpu.models import gop as gop_mod
+
+    def body(masks, frames_curr, h1, h2, act, l, t_hi, t_lo, fk):
+        return gop_mod.gop_encode(masks, frames_curr, h1, h2, act,
+                                  l, t_hi, t_lo, fk,
+                                  l_pad=l_pad, vmax=vmax, k_max=k_max)
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P(), P(), P(),
+                  P("dp"), P("dp"), P("dp"), P("dp")),
+        out_specs=(P("dp"),) * 4,
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_gop_decode_fields_dp(mesh: Mesh, *, n: int, vmax: int,
+                              k_max: int = MAX_LANES):
+    """Frame-sharded decode fields for BFV2 records: membership, witness
+    expansion and value gather shard over 'dp'; only the (cheap,
+    sequential) gop_chain runs unsharded afterwards."""
+    from new_bloom_filter_repo_tpu.models import gop as gop_mod
+
+    def body(pb, pw, vals, flags, h1, h2, act, l, t_hi, t_lo, fk):
+        return gop_mod.gop_decode_fields(pb, pw, vals, flags, h1, h2, act,
+                                         l, t_hi, t_lo, fk,
+                                         n=n, vmax=vmax, k_max=k_max)
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P(), P(), P(),
+                  P("dp"), P("dp"), P("dp"), P("dp")),
+        out_specs=(P("dp"), P("dp")),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def shard_batch_arrays(mesh: Mesh, bits, tables, scalars):
     """Device-put batch inputs with their canonical shardings."""
     put = jax.device_put

@@ -26,8 +26,16 @@ from jax.sharding import Mesh, PartitionSpec as P
 from new_bloom_filter_repo_tpu.ops.pallas import blocked as bk
 
 
-def _encode_fn(*, k_lanes, vh, nw):
-    kwargs = {"k_lanes": k_lanes, "vh": vh}
+def _mesh_interpret(mesh: Mesh) -> bool:
+    """Pallas interpret mode must follow the MESH devices, not the
+    process default backend: a virtual-CPU mesh on a TPU-attached host
+    (the 1-chip dev-rig fallback) would otherwise lower Mosaic TPU
+    kernels for CPU devices and fail to compile."""
+    return mesh.devices.flat[0].platform != "tpu"
+
+
+def _encode_fn(*, k_lanes, vh, nw, interpret):
+    kwargs = {"k_lanes": k_lanes, "vh": vh, "interpret": interpret}
     if nw is not None:
         kwargs["nw"] = nw
     return partial(bk.blocked_encode, **kwargs)
@@ -41,7 +49,8 @@ def make_blocked_encode_dp(mesh: Mesh, *, k_lanes: int, vh: int,
     leading frame axis of every argument must divide mesh.shape['dp'].
     """
     sharded = jax.shard_map(
-        _encode_fn(k_lanes=k_lanes, vh=vh, nw=nw), mesh=mesh,
+        _encode_fn(k_lanes=k_lanes, vh=vh, nw=nw,
+                   interpret=_mesh_interpret(mesh)), mesh=mesh,
         in_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
                   P("dp"), P("dp")),
         out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
@@ -56,7 +65,8 @@ def make_blocked_encode_dpsp(mesh: Mesh, *, k_lanes: int, vh: int,
     axis ('sp') — within-frame sharding for oversized frames.  The
     block-axis dims of every argument must divide mesh.shape['sp']."""
     sharded = jax.shard_map(
-        _encode_fn(k_lanes=k_lanes, vh=vh, nw=nw), mesh=mesh,
+        _encode_fn(k_lanes=k_lanes, vh=vh, nw=nw,
+                   interpret=_mesh_interpret(mesh)), mesh=mesh,
         in_specs=(P("dp", "sp"), P("dp", "sp"), P("dp", "sp"),
                   P("dp", "sp"), P("dp", "sp"), P("dp"), P("dp")),
         out_specs=(P("dp", "sp"), P("dp", "sp"), P("dp", "sp"),
@@ -66,8 +76,8 @@ def make_blocked_encode_dpsp(mesh: Mesh, *, k_lanes: int, vh: int,
     return jax.jit(sharded)
 
 
-def _encode_h_fn(*, k_lanes, vh, nw):
-    kwargs = {"k_lanes": k_lanes, "vh": vh}
+def _encode_h_fn(*, k_lanes, vh, nw, interpret):
+    kwargs = {"k_lanes": k_lanes, "vh": vh, "interpret": interpret}
     if nw is not None:
         kwargs["nw"] = nw
     return partial(bk.blocked_encode_h, **kwargs)
@@ -80,7 +90,8 @@ def make_blocked_encode_h_dp(mesh: Mesh, *, k_lanes: int, vh: int,
     the activation compare run in-kernel (no materialized a/b/act).
     Argument order matches ops.pallas.blocked.blocked_encode_h."""
     sharded = jax.shard_map(
-        _encode_h_fn(k_lanes=k_lanes, vh=vh, nw=nw), mesh=mesh,
+        _encode_h_fn(k_lanes=k_lanes, vh=vh, nw=nw,
+                     interpret=_mesh_interpret(mesh)), mesh=mesh,
         in_specs=(P("dp"), P(), P(), P(), P(), P("dp"),
                   P("dp"), P("dp"), P("dp"), P("dp")),
         out_specs=(P("dp"),) * 5,
@@ -96,7 +107,8 @@ def make_blocked_encode_h_dpsp(mesh: Mesh, *, k_lanes: int, vh: int,
     arr = P("dp", "sp")
     tab = P("sp")
     sharded = jax.shard_map(
-        _encode_h_fn(k_lanes=k_lanes, vh=vh, nw=nw), mesh=mesh,
+        _encode_h_fn(k_lanes=k_lanes, vh=vh, nw=nw,
+                     interpret=_mesh_interpret(mesh)), mesh=mesh,
         in_specs=(arr, tab, tab, tab, tab, arr,
                   P("dp"), P("dp"), P("dp"), P("dp")),
         out_specs=(arr,) * 5,
@@ -105,8 +117,8 @@ def make_blocked_encode_h_dpsp(mesh: Mesh, *, k_lanes: int, vh: int,
     return jax.jit(sharded)
 
 
-def _membership_h_fn(*, k_lanes, nw):
-    kwargs = {"k_lanes": k_lanes}
+def _membership_h_fn(*, k_lanes, nw, interpret):
+    kwargs = {"k_lanes": k_lanes, "interpret": interpret}
     if nw is not None:
         kwargs["nw"] = nw
     return partial(bk.blocked_membership_h, **kwargs)
@@ -116,7 +128,8 @@ def make_blocked_membership_h_dp(mesh: Mesh, *, k_lanes: int,
                                  nw: int = None):
     """Frame-sharded hash-native membership pass."""
     sharded = jax.shard_map(
-        _membership_h_fn(k_lanes=k_lanes, nw=nw), mesh=mesh,
+        _membership_h_fn(k_lanes=k_lanes, nw=nw,
+                         interpret=_mesh_interpret(mesh)), mesh=mesh,
         in_specs=(P("dp"), P(), P(), P(), P(),
                   P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
         out_specs=(P("dp"), P("dp")),
@@ -131,7 +144,8 @@ def make_blocked_membership_h_dpsp(mesh: Mesh, *, k_lanes: int,
     arr = P("dp", "sp")
     tab = P("sp")
     sharded = jax.shard_map(
-        _membership_h_fn(k_lanes=k_lanes, nw=nw), mesh=mesh,
+        _membership_h_fn(k_lanes=k_lanes, nw=nw,
+                         interpret=_mesh_interpret(mesh)), mesh=mesh,
         in_specs=(arr, tab, tab, tab, tab,
                   P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
         out_specs=(arr, arr),
@@ -140,8 +154,8 @@ def make_blocked_membership_h_dpsp(mesh: Mesh, *, k_lanes: int,
     return jax.jit(sharded)
 
 
-def _decode_fn(*, k_lanes, vh, nw):
-    mkw = {"k_lanes": k_lanes}
+def _decode_fn(*, k_lanes, vh, nw, interpret):
+    mkw = {"k_lanes": k_lanes, "interpret": interpret}
     if nw is not None:
         mkw["nw"] = nw
 
@@ -149,7 +163,7 @@ def _decode_fn(*, k_lanes, vh, nw):
         passes, wcnt = bk.blocked_membership(
             words, a, b, act, m, fk, flags, **mkw)
         mask, vals = bk.blocked_expand(passes, wit, raw, flags, vseg,
-                                       vh=vh)
+                                       vh=vh, interpret=interpret)
         return passes, wcnt, mask, vals
 
     return fn
@@ -159,7 +173,8 @@ def make_blocked_decode_dp(mesh: Mesh, *, k_lanes: int, vh: int,
                            nw: int = None):
     """Jitted frame-sharded membership + expansion over 'dp'."""
     sharded = jax.shard_map(
-        _decode_fn(k_lanes=k_lanes, vh=vh, nw=nw), mesh=mesh,
+        _decode_fn(k_lanes=k_lanes, vh=vh, nw=nw,
+                   interpret=_mesh_interpret(mesh)), mesh=mesh,
         in_specs=(P("dp"),) * 10,
         out_specs=(P("dp"),) * 4,
         check_vma=False,
@@ -167,8 +182,8 @@ def make_blocked_decode_dp(mesh: Mesh, *, k_lanes: int, vh: int,
     return jax.jit(sharded)
 
 
-def _membership_fn(*, k_lanes, nw):
-    kwargs = {"k_lanes": k_lanes}
+def _membership_fn(*, k_lanes, nw, interpret):
+    kwargs = {"k_lanes": k_lanes, "interpret": interpret}
     if nw is not None:
         kwargs["nw"] = nw
     return partial(bk.blocked_membership, **kwargs)
@@ -179,7 +194,8 @@ def make_blocked_membership_dp(mesh: Mesh, *, k_lanes: int, nw: int = None):
     decoder needs wcnt on host between membership and expansion to
     slice the witness byte streams)."""
     sharded = jax.shard_map(
-        _membership_fn(k_lanes=k_lanes, nw=nw), mesh=mesh,
+        _membership_fn(k_lanes=k_lanes, nw=nw,
+                       interpret=_mesh_interpret(mesh)), mesh=mesh,
         in_specs=(P("dp"),) * 7,
         out_specs=(P("dp"), P("dp")),
         check_vma=False,
@@ -192,7 +208,8 @@ def make_blocked_membership_dpsp(mesh: Mesh, *, k_lanes: int,
     """Membership sharded over frames AND blocks."""
     arr = P("dp", "sp")
     sharded = jax.shard_map(
-        _membership_fn(k_lanes=k_lanes, nw=nw), mesh=mesh,
+        _membership_fn(k_lanes=k_lanes, nw=nw,
+                       interpret=_mesh_interpret(mesh)), mesh=mesh,
         in_specs=(arr, arr, arr, arr, P("dp"), P("dp"), P("dp")),
         out_specs=(arr, arr),
         check_vma=False,
@@ -203,7 +220,8 @@ def make_blocked_membership_dpsp(mesh: Mesh, *, k_lanes: int,
 def make_blocked_expand_dp(mesh: Mesh, *, vh: int):
     """Frame-sharded witness/value expansion (decode stage 2)."""
     sharded = jax.shard_map(
-        partial(bk.blocked_expand, vh=vh), mesh=mesh,
+        partial(bk.blocked_expand, vh=vh,
+                interpret=_mesh_interpret(mesh)), mesh=mesh,
         in_specs=(P("dp"),) * 5,
         out_specs=(P("dp"), P("dp")),
         check_vma=False,
@@ -215,7 +233,8 @@ def make_blocked_expand_dpsp(mesh: Mesh, *, vh: int):
     """Expansion sharded over frames AND blocks."""
     arr = P("dp", "sp")
     sharded = jax.shard_map(
-        partial(bk.blocked_expand, vh=vh), mesh=mesh,
+        partial(bk.blocked_expand, vh=vh,
+                interpret=_mesh_interpret(mesh)), mesh=mesh,
         in_specs=(arr, arr, arr, P("dp"), arr),
         out_specs=(arr, arr),
         check_vma=False,
@@ -231,7 +250,8 @@ def make_blocked_decode_dpsp(mesh: Mesh, *, k_lanes: int, vh: int,
     flags) replicate over 'sp'; every array with a block axis shards it.
     Zero collectives (blocks are independent)."""
     sharded = jax.shard_map(
-        _decode_fn(k_lanes=k_lanes, vh=vh, nw=nw), mesh=mesh,
+        _decode_fn(k_lanes=k_lanes, vh=vh, nw=nw,
+                   interpret=_mesh_interpret(mesh)), mesh=mesh,
         in_specs=(P("dp", "sp"), P("dp", "sp"), P("dp", "sp"),
                   P("dp", "sp"), P("dp"), P("dp"), P("dp"),
                   P("dp", "sp"), P("dp", "sp"), P("dp", "sp")),

@@ -331,6 +331,31 @@ class TestMultiChip:
         assert ImprovedVideoCompressor(devices=1).mesh is None
         assert ImprovedVideoCompressor(devices=None).mesh is None
 
+    def test_devices_tuple_reserves_sp_axis(self):
+        comp = ImprovedVideoCompressor(devices=(4, 2))
+        assert dict(comp.mesh.shape) == {"dp": 4, "sp": 2}
+        assert ImprovedVideoCompressor(devices=(1, 1)).mesh is None
+
+    def test_bfv2_profile_devices_bitstream_identical(self, tmp_path):
+        """profile='bfv2' also honors devices=: gop masks/encode/decode
+        run frame-sharded with a byte-identical stream."""
+        frames = self._clip()
+        p1 = str(tmp_path / "single.bfvc")
+        p8 = str(tmp_path / "dp8.bfvc")
+        ImprovedVideoCompressor(verbose=False, profile="bfv2",
+                                keyframe_interval=8).compress_video(
+                                    frames, p1)
+        comp8 = ImprovedVideoCompressor(verbose=False, profile="bfv2",
+                                        keyframe_interval=8, devices=8)
+        comp8.compress_video(frames, p8)
+        with open(p1, "rb") as f1, open(p8, "rb") as f8:
+            assert f1.read() == f8.read()
+        rec = comp8.decompress_video(p8)
+        assert verify_lossless(frames, rec)["lossless"]
+        # the sharded decode programs were actually used
+        assert any(k[0] == "enc" for k in comp8._gop_progs)
+        assert any(k[0] == "dec" for k in comp8._gop_progs)
+
 
 class TestPlanarProfile:
     """profile="planar": native-subsampling plane coding with raw-byte
@@ -379,6 +404,32 @@ class TestPlanarProfile:
                     np.asarray(f.yuv_info[pl]), np.asarray(r.yuv_info[pl]))
             assert r.yuv_info["u_plane"].shape == (24, 32)
 
+    def test_blocked_profile_i420_export_geometry(self, tmp_path):
+        """The BLOCKED profile on I420 input must export consistent
+        native-geometry planes for every frame (regression: inter frames
+        used to rebuild full-res planes after a flag-3 keyframe, writing
+        a silently corrupt .yuv/.y4m)."""
+        src = self._write_i420(tmp_path / "clip.yuv", n=8)
+        comp = ImprovedVideoCompressor(verbose=False, profile="blocked",
+                                       keyframe_interval=4)
+        frames = comp.extract_frames_from_video(src, width=64, height=48,
+                                                format="I420")
+        out = str(tmp_path / "clip.bfvc")
+        comp.compress_video(frames, out, input_color_space="YUV")
+        rec_yuv = str(tmp_path / "rec.yuv")
+        rec = comp.decompress_video(out, rec_yuv)
+        # every decoded frame carries native-geometry planes, byte-exact
+        for f, r in zip(frames, rec):
+            for pl, shape in (("y_plane", (48, 64)), ("u_plane", (24, 32)),
+                              ("v_plane", (24, 32))):
+                got = np.asarray(r.yuv_info[pl])
+                assert got.shape == shape, (pl, got.shape)
+                np.testing.assert_array_equal(
+                    np.asarray(f.yuv_info[pl]), got)
+        # the raw export reproduces the input bytes exactly
+        with open(src, "rb") as a, open(rec_yuv, "rb") as b:
+            assert a.read() == b.read()
+
     def test_planar_beats_444_on_i420(self, tmp_path):
         """Coding half the samples must beat coding the upconversion."""
         src = self._write_i420(tmp_path / "clip.yuv", n=12)
@@ -391,6 +442,25 @@ class TestPlanarProfile:
         r_full = full.compress_video(
             frames, str(tmp_path / "f.bfvc"), input_color_space="YUV")
         assert (r_planar["compressed_size"] < r_full["compressed_size"])
+
+    def test_planar_rejects_non_uint8_planes(self):
+        """Non-uint8 planes must raise, not silently truncate (10-bit
+        video would otherwise corrupt at compress time)."""
+        from new_bloom_filter_repo_tpu.utils.yuvframe import YUVFrame
+        rng = np.random.default_rng(3)
+        frames = []
+        for _ in range(3):
+            y = rng.integers(0, 1023, (16, 16), dtype=np.uint16)
+            u = rng.integers(0, 1023, (8, 8), dtype=np.uint16)
+            v = rng.integers(0, 1023, (8, 8), dtype=np.uint16)
+            y8 = (y >> 2).astype(np.uint8)
+            frames.append(YUVFrame(
+                np.stack([y8, y8, y8], axis=-1),
+                {"format": "I420", "y_plane": y, "u_plane": u,
+                 "v_plane": v}))
+        comp = ImprovedVideoCompressor(verbose=False, profile="planar")
+        with pytest.raises(ValueError, match="uint8"):
+            comp.compress_video(frames, input_color_space="YUV")
 
     def test_planar_cli_default_for_process_yuv(self, tmp_path):
         from new_bloom_filter_repo_tpu.cli import main as cli_main
