@@ -278,14 +278,29 @@ def _imin():
     return _I32(-2147483648)
 
 
+def _fast_mod(h, m):
+    """h mod m for 0 <= h < 2^24, 1 <= m <= MMAX, via f32 reciprocal.
+
+    Integer division is multi-cycle on the VPU (the plain `%` costs
+    ~23 ms per 120x1080p frames); a reciprocal multiply with two
+    exact-integer corrections is bit-identical: f32 holds h exactly
+    (< 2^24), the quotient estimate is off by at most 1, and the
+    remainder is corrected into [0, m) with integer ops."""
+    rm = 1.0 / m.astype(jnp.float32)
+    q = jnp.floor(h.astype(jnp.float32) * rm).astype(_I32)
+    r = h - q * m
+    r = jnp.where(r < 0, r + m, r)
+    return jnp.where(r >= m, r - m, r)
+
+
 def _hash_prelude(m, thi_x, tlo_x, h1, h2, ahi, alo):
     """In-kernel position + activation math from the per-geometry hash
     tables: a/b = h mod m, act = (u64 activation hash < threshold) via
     xor-bias unsigned compares on i32 bit patterns.  Removes the
     (F,NB,IPB)x3 materialized tables (~375 MB per 15x1080p chunk) the
     XLA prelude (_frame_mod_tables) writes and the kernels re-read."""
-    a = h1 % m
-    b = h2 % m
+    a = _fast_mod(h1, m)
+    b = _fast_mod(h2, m)
     hix = ahi ^ _imin()
     lox = alo ^ _imin()
     act = (hix < thi_x) | ((hix == thi_x) & (lox < tlo_x))
@@ -295,7 +310,11 @@ def _hash_prelude(m, thi_x, tlo_x, h1, h2, ahi, alo):
 def _encode_kernel_h(m_ref, fk_ref, thi_ref, tlo_ref, bits_ref, h1_ref,
                      h2_ref, ahi_ref, alo_ref, vals_ref, words_ref,
                      witw_ref, pass_ref, valc_ref, *, k_lanes, nw):
-    f = pl.program_id(0)
+    # grid is (block-group, frame) with the FRAME axis innermost so the
+    # per-geometry hash-table blocks stay resident across the whole frame
+    # loop (Mosaic skips re-fetch for unchanged block indices) — the
+    # f-outer order re-read ~4 GB of tables per 120x1080p batch.
+    f = pl.program_id(1)
     m = m_ref[f]
     a, b, act = _hash_prelude(m, thi_ref[f] ^ _imin(),
                               tlo_ref[f] ^ _imin(),
@@ -328,6 +347,10 @@ def _member_kernel(m_ref, fk_ref, flag_ref, words_ref, a_ref, b_ref,
 def _member_kernel_h(m_ref, fk_ref, thi_ref, tlo_ref, flag_ref,
                      words_ref, h1_ref, h2_ref, ahi_ref, alo_ref,
                      pass_ref, *, k_lanes, nw):
+    # grid stays (frame, block-group): unlike encode, the f-inner order
+    # measured ~2x SLOWER here (130 vs 68 ms / 120x1080p) — the words
+    # input dominates traffic and its f-strided fetch pattern defeats
+    # the pipeliner, while the table re-fetch it would save is smaller.
     f = pl.program_id(0)
     m = m_ref[f]
     a, b, act = _hash_prelude(m, thi_ref[f] ^ _imin(),
@@ -517,24 +540,24 @@ def blocked_encode_h(bits, h1, h2, act_hi, act_lo, vals, m, thi, tlo,
     f_, nb, _ = bits.shape
     tg = _tile_blocks(nb)
     kern = functools.partial(_encode_kernel_h, k_lanes=k_lanes, nw=nw)
-    table_spec = pl.BlockSpec((tg, IPB), lambda f, g: (g, 0))
+    table_spec = pl.BlockSpec((tg, IPB), lambda g, f: (g, 0))
     words32, witw, passes, valc = pl.pallas_call(
         kern,
-        grid=(f_, nb // tg),
+        grid=(nb // tg, f_),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # m (F,)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # floor_k (F,)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # thi (F,) i32 bits
             pl.BlockSpec(memory_space=pltpu.SMEM),   # tlo (F,) i32 bits
-            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),  # bits
+            pl.BlockSpec((1, tg, IPB), lambda g, f: (f, g, 0)),  # bits
             table_spec, table_spec, table_spec, table_spec,
-            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),  # vals
+            pl.BlockSpec((1, tg, IPB), lambda g, f: (f, g, 0)),  # vals
         ],
         out_specs=[
-            pl.BlockSpec((1, tg, nw), lambda f, g: (f, g, 0)),
-            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
-            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
-            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, tg, nw), lambda g, f: (f, g, 0)),
+            pl.BlockSpec((1, tg, IPB), lambda g, f: (f, g, 0)),
+            pl.BlockSpec((1, tg, IPB), lambda g, f: (f, g, 0)),
+            pl.BlockSpec((1, tg, IPB), lambda g, f: (f, g, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((f_, nb, nw), _I32),
