@@ -33,17 +33,46 @@ def make_mesh(dp: int = 1, sp: int = 1, devices=None) -> Mesh:
     return Mesh(arr, axis_names=("dp", "sp"))
 
 
+def _provision_virtual_cpus(n_devices: int) -> None:
+    """Arrange for >= n_devices virtual host (CPU) devices if possible.
+
+    ``xla_force_host_platform_device_count`` is read once, when the CPU
+    backend is first initialized — so this only helps if nothing has
+    touched any backend yet (the common case for CLI runs).  Harmless
+    when real devices turn out to be plentiful: it only widens the host
+    platform, which then simply goes unused."""
+    import os
+
+    from jax._src import xla_bridge
+
+    if xla_bridge.backends_are_initialized():
+        return
+    flag = f"--xla_force_host_platform_device_count={n_devices}"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                               " " + flag).strip()
+
+
 def auto_mesh(n_devices: int | None = None, sp: int = 1) -> Mesh:
     """Reasonable default: all devices on frame parallelism (frames are
     embarrassingly parallel); pass ``sp`` > 1 to reserve an index/block
     axis for within-frame sharding of oversized (4K/8K) frames."""
+    if n_devices:
+        _provision_virtual_cpus(n_devices)
     devices = jax.devices()
     if n_devices and len(devices) < n_devices:
         # 1-chip dev rigs: fall back to the (virtual) host platform so a
-        # requested mesh width can still be built and tested.
+        # requested mesh width can still be built and tested.  Pallas
+        # kernels follow the mesh into interpreter mode
+        # (parallel/blocked_batch._mesh_interpret).
         cpus = jax.devices("cpu")
         if len(cpus) >= n_devices:
             devices = cpus
+        else:
+            raise ValueError(
+                f"need {n_devices} devices, have {len(devices)} "
+                f"(and only {len(cpus)} host devices; set XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={n_devices} "
+                f"before the first jax call to emulate a mesh)")
     n = n_devices or len(devices)
     if n % sp != 0:
         raise ValueError(f"sp={sp} must divide device count {n}")
