@@ -97,6 +97,8 @@ def _device_codec_fps(frames):
     n = h * w
     tab = bp.blocked_tables(n)
     nb, npad = tab["nb"], tab["npad"]
+    nbk = tab["nbk"]                    # kernel block geometry (>= nb)
+    npadk = nbk * bk.IPB
 
     @functools.lru_cache(maxsize=8)
     def codec_prog(k_lanes, vh, nw):
@@ -116,8 +118,8 @@ def _device_codec_fps(frames):
             passes, _ = bk.blocked_membership_h(
                 words, tab["h1"], tab["h2"], tab["act_hi"], tab["act_lo"],
                 m, thi, tlo, fk, flags, k_lanes=k_lanes, nw=nw)
-            raw = jnp.zeros((f, nb, bk.IPB), jnp.uint8)
-            base_packed = bp._pack_base(stacked[0], npad=npad, nb=nb)
+            raw = jnp.zeros((f, nbk, bk.IPB), jnp.uint8)
+            base_packed = bp._pack_base(stacked[0], npad=npadk, nb=nbk)
             decoded = bk.blocked_expand_chain(passes, wit, raw, flags,
                                               vseg, base_packed, vh=vh)
             # phase A's packed pixels ARE the originals (24-bit packed,
@@ -129,7 +131,7 @@ def _device_codec_fps(frames):
 
     def run(stacked, defer=False):
         # dispatch 1: diff masks + counts (counts pulled, ~120 KB)
-        masks, counts_d, vals = bp._phase_a(stacked, npad=npad, nb=nb)
+        masks, counts_d, vals = bp._phase_a(stacked, npad=npadk, nb=nbk)
         counts = jax.device_get(counts_d)
         frame_counts = counts.sum(axis=1)
         m_arr = np.ones(f, np.int32)

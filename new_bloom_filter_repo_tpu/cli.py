@@ -112,8 +112,11 @@ def main(argv=None):
     pc.add_argument("--fps", type=float, default=None)
     pc.add_argument("--scale", type=float, default=1.0)
     pc.add_argument("--use-direct-yuv", action="store_true")
-    pc.add_argument("--color-space", default="BGR",
-                    choices=["BGR", "RGB", "YUV"])
+    pc.add_argument("--color-space", default=None,
+                    choices=["BGR", "RGB", "YUV"],
+                    help="Working color space (default: YUV for .y4m/.yuv "
+                         "inputs — lossless native-plane round trip — "
+                         "else BGR, matching the reference)")
     _add_codec_flags(pc)
 
     pd = sub.add_parser("decompress", help="Decompress a .bfvc file")
@@ -176,12 +179,17 @@ def main(argv=None):
         return 0
 
     if args.action == "compress":
+        color_space = args.color_space
+        if color_space is None:
+            low = args.input.lower()
+            color_space = ("YUV" if low.endswith((".y4m", ".yuv"))
+                           else "BGR")
         comp = _compressor(args, use_direct_yuv=args.use_direct_yuv)
         frames = comp.extract_frames_from_video(
             args.input, max_frames=args.max_frames, target_fps=args.fps,
-            scale_factor=args.scale, output_color_space=args.color_space)
+            scale_factor=args.scale, output_color_space=color_space)
         result = comp.compress_video(frames, args.output,
-                                     input_color_space=args.color_space)
+                                     input_color_space=color_space)
         _print_compress_summary(result)
         return 0
 

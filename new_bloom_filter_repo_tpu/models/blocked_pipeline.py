@@ -176,24 +176,41 @@ def npad_of(n: int) -> int:
     return ((n + SUPER - 1) // SUPER) * SUPER
 
 
+def nbk_of(nb: int) -> int:
+    """Kernel block count: the block axis the device stages run over.
+
+    Large batches round nb up to a multiple of 64 so the Pallas grid can
+    use 64-block tiles (see ops/pallas/blocked._tile_blocks) — the extra
+    all-zero blocks cost <1% traffic and are sliced off before any bytes
+    are packed, so emitted streams are bit-identical to nb-exact runs.
+    Small frames stay at nb: padding 8 blocks to 64 would multiply their
+    kernel work instead of amortizing overhead."""
+    return ((nb + 63) // 64) * 64 if nb >= 512 else nb
+
+
 @lru_cache(maxsize=8)
 def blocked_tables(n: int):
     """Per-geometry device tables for the blocked codec: low-24-bit h1/h2
-    slices reshaped (NB, IPB) plus the u64 activation hashes."""
+    slices reshaped (NBK, IPB) plus the u64 activation hashes."""
     npad = npad_of(n)
     nb = npad // bk.IPB
+    nbk = nbk_of(nb)
     t = get_hash_tables(npad, "video")
     mask24 = jnp.uint32(0xFFFFFF)
+    pad = nbk * bk.IPB - npad
 
     @jax.jit
     def prep(h1lo, h2lo, acthi, actlo):
-        h1 = (h1lo & mask24).astype(jnp.int32).reshape(nb, bk.IPB)
-        h2 = (h2lo & mask24).astype(jnp.int32).reshape(nb, bk.IPB)
-        return h1, h2, acthi.reshape(nb, bk.IPB), actlo.reshape(nb, bk.IPB)
+        def shape(x):
+            x = jnp.pad(x, (0, pad)) if pad else x
+            return x.reshape(nbk, bk.IPB)
+        h1 = shape((h1lo & mask24).astype(jnp.int32))
+        h2 = shape((h2lo & mask24).astype(jnp.int32))
+        return h1, h2, shape(acthi), shape(actlo)
 
     h1, h2, ahi, alo = jax.block_until_ready(
         prep(t.h1[1], t.h2[1], t.act[0], t.act[1]))
-    return {"nb": nb, "npad": npad, "h1": h1, "h2": h2,
+    return {"nb": nb, "npad": npad, "nbk": nbk, "h1": h1, "h2": h2,
             "act_hi": ahi, "act_lo": alo}
 
 
@@ -443,15 +460,18 @@ class BlockedEncoder:
         channels = 1 if base.ndim == 2 else shape[2]
         n = h * w
         tab = blocked_tables(n)
-        nb, npad = tab["nb"], tab["npad"]
+        nb, npad, nbk = tab["nb"], tab["npad"], tab["nbk"]
+        npadk = nbk * bk.IPB
 
         if stacked is None:
             stacked = self.stack_chunk(base, frames)
+        # device stages run on the kernel geometry (nbk >= nb, see
+        # nbk_of); every host byte below is sliced back to nb first.
         if self.dispatch is not None:
             masks, counts_d, vals = self.dispatch.phase_a(
-                stacked, npad=npad, nb=nb)
+                stacked, npad=npadk, nb=nbk)
         else:
-            masks, counts_d, vals = _phase_a(stacked, npad=npad, nb=nb)
+            masks, counts_d, vals = _phase_a(stacked, npad=npadk, nb=nbk)
         # Pull only the tiny counts; packed masks are computed and
         # fetched lazily per frame (pass-through/sparse records only) —
         # the device->host link, not compute, bounds this pipeline.
@@ -516,6 +536,10 @@ class BlockedEncoder:
                 jnp.asarray(tlo), jnp.asarray(fk_arr))
         words, wit, wcnt, vseg, vcnt = jax.device_get(
             (words_d, wit_d, wcnt_d, vseg_d, vcnt_d))
+        if nbk != nb:
+            words, wit, wcnt, vseg, vcnt = (
+                words[:, :nb], wit[:, :nb], wcnt[:, :nb], vseg[:, :nb],
+                vcnt[:, :nb])
 
         keyframes = 0
         zl = self.zlib_level
@@ -603,15 +627,19 @@ class BlockedDecoder:
         channels = 1 if base.ndim == 2 else shape[2]
         n = h * w
         tab = blocked_tables(n)
-        nb, npad = tab["nb"], tab["npad"]
+        nb, npad, nbk = tab["nb"], tab["npad"], tab["nbk"]
+        npadk = nbk * bk.IPB
 
-        words = np.zeros((f, nb, bk.MMAX), np.uint8)
+        # device-stage arrays are allocated at the kernel geometry
+        # (nbk >= nb, see nbk_of); only the first nb block rows are ever
+        # written from the parsed stream, the padded tail stays zero.
+        words = np.zeros((f, nbk, bk.MMAX), np.uint8)
         flags = np.zeros(f, np.int32)
         m_arr = np.ones(f, np.int32)
         fk_arr = np.zeros(f, np.int32)
         thi = np.zeros(f, np.uint32)
         tlo = np.zeros(f, np.uint32)
-        raw_mask = np.zeros((f, nb, bk.IPB), np.uint8)
+        raw_mask = np.zeros((f, nbk, bk.IPB), np.uint8)
         wit_streams: List[Optional[bytes]] = [None] * f
         value_streams: List[Optional[np.ndarray]] = [None] * f
 
@@ -630,7 +658,7 @@ class BlockedDecoder:
                 flags[j] = 1
                 mb = np.zeros(npad, np.uint8)
                 mb[indices] = 1
-                raw_mask[j] = mb.reshape(nb, bk.IPB)
+                raw_mask[j, :nb] = mb.reshape(nb, bk.IPB)
                 value_streams[j] = values
                 continue
             rec = fc.parse_interframe(payload, 1)
@@ -642,14 +670,14 @@ class BlockedDecoder:
                 bits = np.unpackbits(rec["bitmap_bytes"])[:n]
                 mb = np.zeros(npad, np.uint8)
                 mb[:n] = bits
-                raw_mask[j] = mb.reshape(nb, bk.IPB)
+                raw_mask[j, :nb] = mb.reshape(nb, bk.IPB)
                 continue
             if rtype != fc.BLOCKED:
                 raise ValueError("BFV2 bloom record routed to blocked decoder")
             m = rec["bitmap_bits"] // nb
             m_arr[j] = m
             bits = np.unpackbits(rec["bitmap_bytes"])[: rec["bitmap_bits"]]
-            words[j, :, :m] = bits.reshape(nb, m)
+            words[j, :nb, :m] = bits.reshape(nb, m)
             _, floor_k, (a_hi, a_lo) = _filter_scalars(float(rec["k"]))
             fk_arr[j] = floor_k
             thi[j] = a_hi
@@ -673,8 +701,8 @@ class BlockedDecoder:
 
         # Host: slice witness streams into per-block padded segments and
         # derive per-block change counts (popcount of witness bits).
-        wit = np.zeros((f, nb, bk.WIT_BYTES), np.uint8)
-        block_counts = np.zeros((f, nb), np.int32)
+        wit = np.zeros((f, nbk, bk.WIT_BYTES), np.uint8)
+        block_counts = np.zeros((f, nbk), np.int32)
         cols = np.arange(bk.WIT_BYTES)
         for j in range(f):
             if wit_streams[j] is None:
@@ -690,7 +718,7 @@ class BlockedDecoder:
             block_counts[j] = (bits[:, :bk.IPB] * valid).sum(axis=1)
 
         vh = _vh_bucket(int(block_counts.max()) if block_counts.size else 1)
-        vseg = np.zeros((f, nb, vh * 32), np.int32)
+        vseg = np.zeros((f, nbk, vh * 32), np.int32)
         vcols = np.arange(vh * 32)
         for j in range(f):
             vs = value_streams[j]
@@ -707,7 +735,7 @@ class BlockedDecoder:
             frames = jax.device_get(_chain_apply(
                 jnp.asarray(base), mask_d, vals_d, shape=tuple(shape)))
         else:
-            prog = _fused_expand_chain_prog(vh, tuple(shape), npad, nb)
+            prog = _fused_expand_chain_prog(vh, tuple(shape), npadk, nbk)
             frames = jax.device_get(prog(
                 passes_d, jnp.asarray(wit), jnp.asarray(raw_mask),
                 jnp.asarray(flags), jnp.asarray(vseg), jnp.asarray(base)))

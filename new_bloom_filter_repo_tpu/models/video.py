@@ -889,7 +889,10 @@ class ImprovedVideoCompressor:
             elif low.endswith(".y4m"):
                 infos = [yuv_info_of(f) for f in frames]
                 if any(i is None for i in infos):
-                    raise ValueError("y4m export requires YUV frames")
+                    raise ValueError(
+                        "y4m export requires YUV frames — compress with "
+                        "--color-space YUV (the default for .y4m/.yuv "
+                        "inputs) to round-trip back to Y4M")
                 fmt = infos[0].get("format", "444")
                 cs = {"I420": "420jpeg", "YV12": "420jpeg",
                       "YUV422": "422", "YUV444": "444"}.get(fmt, fmt)

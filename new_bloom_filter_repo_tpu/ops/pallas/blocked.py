@@ -61,11 +61,15 @@ def _tile_blocks(nb: int) -> int:
     """Tile height (blocks per grid step) for a batch with nb blocks.
 
     Grid-step fixed overhead (~2us/step measured on v5e) dominates the
-    lighter kernels at BG=8; doubling the tile height nearly halves it.
+    lighter kernels at BG=8; doubling the tile height nearly halves it
+    (tg sweep at 120x1080p: 16 -> 77 ms, 64 -> 63 ms for expand+chain).
     Outputs are bit-identical for any tile height (block rows are
     independent), so this is purely a dispatch-shape choice.  nb is
-    always a multiple of BG (geometry pads to SUPER = IPB*BG)."""
-    for tg in (16, BG):
+    always a multiple of BG (geometry pads to SUPER = IPB*BG); the
+    pipeline pads large batches to a multiple of 64 on the kernel block
+    axis (blocked_pipeline.blocked_tables ``nbk``) so the larger tiles
+    apply."""
+    for tg in (64, 32, 16, BG):
         if nb % tg == 0:
             return tg
     return BG

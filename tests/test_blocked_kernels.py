@@ -283,3 +283,45 @@ def test_hash_native_kernels_match_table_kernels():
                                     m, thi, tlo, fk, flags, k_lanes=3)
     for g, w in zip(got_m, want_m):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_kernel_geometry_padding_stream_parity(monkeypatch):
+    """nbk_of pads the kernel block axis for large frames; the emitted
+    byte stream must be identical to an nb-exact run and decode
+    lossless (models/blocked_pipeline.py nbk_of)."""
+    from new_bloom_filter_repo_tpu.models import blocked_pipeline as bp
+
+    h, w = 520, 1024                  # nb = 520 -> nbk = 576
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    frames = []
+    cur = base
+    for i in range(2):
+        nxt = cur.copy()
+        ys = rng.integers(0, h, 4000)
+        xs = rng.integers(0, w, 4000)
+        nxt[ys, xs] = rng.integers(0, 255, 4000, dtype=np.uint8)
+        frames.append(nxt)
+        cur = nxt
+
+    def run():
+        bp.blocked_tables.cache_clear()
+        enc = bp.BlockedEncoder()
+        payloads: list = []
+        enc.encode_chunk(base, frames, payloads,
+                         keyframe_fn=lambda j: b"")
+        out = bp.BlockedDecoder().decode_run(base, payloads)
+        return payloads, out
+
+    tab = bp.blocked_tables(h * w)
+    assert tab["nbk"] > tab["nb"]     # padding is actually exercised
+    pay_pad, out_pad = run()
+
+    monkeypatch.setattr(bp, "nbk_of", lambda nb: nb)
+    pay_exact, out_exact = run()
+    bp.blocked_tables.cache_clear()
+
+    assert pay_pad == pay_exact
+    for a, b_, c in zip(out_pad, out_exact, frames):
+        np.testing.assert_array_equal(a, b_)
+        np.testing.assert_array_equal(a, c)
