@@ -292,15 +292,25 @@ def test_kernel_geometry_padding_stream_parity(monkeypatch):
     from new_bloom_filter_repo_tpu.models import blocked_pipeline as bp
 
     h, w = 520, 1024                  # nb = 520 -> nbk = 576
+    n = h * w
     rng = np.random.default_rng(9)
     base = rng.integers(0, 255, (h, w), dtype=np.uint8)
     frames = []
     cur = base
-    for i in range(2):
+    # one frame per record type: blocked, sparse, empty, pass-through
+    for kind in ("blocked", "sparse", "empty", "pass"):
         nxt = cur.copy()
-        ys = rng.integers(0, h, 4000)
-        xs = rng.integers(0, w, 4000)
-        nxt[ys, xs] = rng.integers(0, 255, 4000, dtype=np.uint8)
+        if kind == "blocked":
+            ys = rng.integers(0, h, 4000)
+            xs = rng.integers(0, w, 4000)
+            nxt[ys, xs] = rng.integers(0, 255, 4000, dtype=np.uint8)
+        elif kind == "sparse":
+            nxt[3, 5] ^= 0xFF
+            nxt[100, 200] ^= 0x0F
+        elif kind == "pass":     # p >= P_STAR but below keyframe density
+            flat = nxt.reshape(-1)
+            idx = rng.choice(n, size=int(n * 0.40), replace=False)
+            flat[idx] = rng.integers(1, 255, idx.size, dtype=np.uint8)
         frames.append(nxt)
         cur = nxt
 
