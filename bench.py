@@ -96,7 +96,7 @@ def _device_codec_fps(frames):
     h, w, _ = base.shape
     n = h * w
     tab = bp.blocked_tables(n)
-    nb, npad = tab["nb"], tab["npad"]
+    nb = tab["nb"]                      # stream geometry (param math)
     nbk = tab["nbk"]                    # kernel block geometry (>= nb)
     npadk = nbk * bk.IPB
 

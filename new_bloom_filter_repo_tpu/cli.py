@@ -117,6 +117,13 @@ def main(argv=None):
                     help="Working color space (default: YUV for .y4m/.yuv "
                          "inputs — lossless native-plane round trip — "
                          "else BGR, matching the reference)")
+    pc.add_argument("--width", type=int, default=None,
+                    help="Frame width (required for raw .yuv input)")
+    pc.add_argument("--height", type=int, default=None,
+                    help="Frame height (required for raw .yuv input)")
+    pc.add_argument("--format", default="I420",
+                    choices=["I420", "YV12", "YUV422", "YUV444"],
+                    help="Raw .yuv plane layout")
     _add_codec_flags(pc)
 
     pd = sub.add_parser("decompress", help="Decompress a .bfvc file")
@@ -179,15 +186,15 @@ def main(argv=None):
         return 0
 
     if args.action == "compress":
-        color_space = args.color_space
-        if color_space is None:
-            low = args.input.lower()
-            color_space = ("YUV" if low.endswith((".y4m", ".yuv"))
-                           else "BGR")
+        from new_bloom_filter_repo_tpu.models.video import (
+            default_color_space,
+        )
+        color_space = args.color_space or default_color_space(args.input)
         comp = _compressor(args, use_direct_yuv=args.use_direct_yuv)
         frames = comp.extract_frames_from_video(
             args.input, max_frames=args.max_frames, target_fps=args.fps,
-            scale_factor=args.scale, output_color_space=color_space)
+            scale_factor=args.scale, output_color_space=color_space,
+            width=args.width, height=args.height, format=args.format)
         result = comp.compress_video(frames, args.output,
                                      input_color_space=color_space)
         _print_compress_summary(result)

@@ -72,6 +72,15 @@ def add_yuv_info_to_frame(frame) -> YUVFrame:
     return YUVFrame(np.asarray(frame))
 
 
+def default_color_space(video_path: str) -> str:
+    """Working color space when the caller doesn't specify one: YUV for
+    native-YUV containers (.y4m/.yuv) so compress -> decompress
+    reproduces the file bytes exactly, else the reference's BGR
+    (improved_video_compressor.py:583-669 always converts to BGR)."""
+    return ("YUV" if video_path.lower().endswith((".y4m", ".yuv"))
+            else "BGR")
+
+
 def verify_lossless(original_frames, decompressed_frames,
                     verbose: bool = False) -> Dict:
     """Bit-exact verification (reference: fixed_video_compressor.py:217-285).
@@ -933,7 +942,12 @@ class ImprovedVideoCompressor:
         out = []
         for frame in frames:
             arr = unwrap(frame)
-            if is_color and yuv_info_of(frame) is not None and self.use_direct_yuv:
+            if is_color and yuv_info_of(frame) is not None:
+                # YUV content is self-identifying (yuv_info); convert
+                # for the BGR writer regardless of the use_direct_yuv
+                # flag so YUV-compressed streams export with correct
+                # colors (reference keys the same conversion off the
+                # wrapper type, improved_video_compressor.py:552-560).
                 arr = np.asarray(color_ops.yuv_to_bgr(jnp.asarray(arr)))
             elif not is_color and arr.ndim == 2:
                 arr = np.repeat(arr[..., None], 3, axis=-1)
@@ -1002,16 +1016,22 @@ class ImprovedVideoCompressor:
     def extract_frames_from_video(self, video_path: str, max_frames: int = 0,
                                   target_fps: Optional[float] = None,
                                   scale_factor: float = 1.0,
-                                  output_color_space: str = "BGR",
+                                  output_color_space: Optional[str] = None,
                                   width: Optional[int] = None,
                                   height: Optional[int] = None,
                                   format: str = "I420",
                                   frame_step: int = 1) -> List[np.ndarray]:
         """Extract frames (reference: improved_video_compressor.py:583-669).
 
+        ``output_color_space=None`` picks :func:`default_color_space` for
+        the file: YUV for native-YUV containers (.y4m) — the lossless
+        native-plane path — else the reference's BGR.
+
         Also accepts raw .yuv files via width/height/format/frame_step —
         the signature the reference CLI passes but its implementation never
         accepted (broken process-yuv subcommand; SURVEY.md §2)."""
+        if output_color_space is None:
+            output_color_space = default_color_space(video_path)
         from new_bloom_filter_repo_tpu.ops import color as color_ops
         if video_path.lower().endswith(".exr") or (
                 os.path.isdir(video_path) and any(

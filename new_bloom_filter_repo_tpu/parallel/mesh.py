@@ -17,6 +17,8 @@ jax.distributed.
 
 from __future__ import annotations
 
+import re
+
 import jax
 import numpy as np
 from jax.sharding import Mesh
@@ -47,9 +49,16 @@ def _provision_virtual_cpus(n_devices: int) -> None:
 
     if xla_bridge.backends_are_initialized():
         return
+    cur = os.environ.get("XLA_FLAGS", "")
+    m = re.search(r"--xla_force_host_platform_device_count=(\d+)", cur)
+    if m:
+        if int(m.group(1)) >= n_devices:
+            return                      # user already asked for enough
+        # last occurrence wins in XLA's parser, so never append a
+        # smaller count after a larger user-set one
+        n_devices = max(n_devices, int(m.group(1)))
     flag = f"--xla_force_host_platform_device_count={n_devices}"
-    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
-                               " " + flag).strip()
+    os.environ["XLA_FLAGS"] = (cur + " " + flag).strip()
 
 
 def auto_mesh(n_devices: int | None = None, sp: int = 1) -> Mesh:
