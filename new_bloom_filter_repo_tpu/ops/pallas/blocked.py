@@ -51,6 +51,8 @@ NW = 12                 # u32 sub-filter words per block
 MMAX = NW * 32          # = 384: max per-block filter bits
 WIT_BYTES = IPB // 8    # per-block witness segment (128 B, byte-aligned)
 WW = IPB // 32          # witness u32 words per block (32)
+AUXW = 128              # encode aux output lanes (one native lane tile):
+                        # WW witness words + 2 counts + zero padding
 BG = 8                  # blocks per grid step
 
 _I32 = jnp.int32
@@ -243,8 +245,30 @@ def _pack_group32(bits_at_lanes, valid):
 # Kernels
 # ---------------------------------------------------------------------------
 
+def _fold_stride32(acc):
+    """Gather the packed words living at lanes 31 (mod 32) to lanes
+    0..31 — a STATIC monotone compaction: element k needs a left shift
+    of 31*(k+1), decomposed as one unconditional roll of 31 plus masked
+    rolls of 31*s for the set bits s of k.  The routing schedule is
+    collision-free and the arrival lanes at stage s have the closed
+    form {l : (l&31)&s != 0, (l&31)&(s-1) == 0, (l>>5) < s} — an
+    element k = h + r (h = k & ~(s-1), r = k & (s-1)) sits at lane
+    h + 32r after its stage-s move (both verified exhaustively against
+    a positional simulation).  6 rolls + 5 iota-mask selects — vs.
+    writing the full (tg, IPB) array to HBM and strided-gathering 1/32
+    of it back."""
+    lane = _lane_iota(acc.shape)
+    lo = lane & 31
+    acc = jnp.roll(acc, -31, axis=1)
+    for s in (16, 8, 4, 2, 1):
+        arrive = (((lo & s) != 0) & ((lo & (s - 1)) == 0)
+                  & ((lane >> 5) < s))
+        acc = jnp.where(arrive, jnp.roll(acc, -31 * s, axis=1), acc)
+    return acc                       # words at lanes 0..WW-1, full width
+
+
 def _encode_body(m, floor_k, bits, a, b, act, vals,
-                 words_ref, witw_ref, pass_ref, valc_ref, k_lanes, nw):
+                 words_ref, aux_ref, valc_ref, k_lanes, nw, vh):
     lane = _lane_iota(bits.shape)
     pos = _positions(a, b, m, k_lanes)
     words, his, weights = _insert_words(pos, bits, floor_k, act, nw)
@@ -252,28 +276,42 @@ def _encode_body(m, floor_k, bits, a, b, act, vals,
 
     passes = _membership_words(words, his, weights, floor_k, act,
                                k_lanes, nw)
-    pass_ref[0] = _to_u8(passes)
 
     # witness: compact the original bits of passing items, pack to words
     cpos = excl_prefix(passes.astype(_I32))
     (wbits,), wk = compact_butterfly([bits], passes, lane - cpos)
-    witw_ref[0] = _pack_group32(wbits, wk)
+    folded = _fold_stride32(_pack_group32(wbits, wk))     # (tg, WW)
 
     # values: compact packed pixels of changed items
     slot = excl_prefix(bits)
     (vc,), _ = compact_butterfly([vals], bits.astype(jnp.bool_),
                                  lane - slot)
-    valc_ref[0] = vc
+    valc_ref[0] = vc[:, : max(vh * 32, AUXW)]
+
+    # aux lanes 0..31: witness words; lane 32: witness count (total
+    # passes); lane 33: value count (total set bits); rest zero.
+    # Packing the tiny per-block scalars into spare lanes avoids a
+    # (tg, IPB)-wide passes output whose only consumer was a lane-sum.
+    # The totals live at lane IPB-1 of the inclusive prefixes; a roll
+    # lands them on their aux lane (lane-1 slices crash the Mosaic
+    # compiler, so everything stays full-width until the final
+    # 128-lane-aligned store).
+    wtot = jnp.roll(cpos + passes.astype(_I32), WW + 1, axis=1)
+    vtot = jnp.roll(slot + bits, WW + 2, axis=1)
+    aux = jnp.where(lane < WW, folded, 0)
+    aux = jnp.where(lane == WW, wtot, aux)
+    aux = jnp.where(lane == WW + 1, vtot, aux)
+    aux_ref[0] = aux[:, :AUXW]
 
 
 def _encode_kernel(m_ref, fk_ref, bits_ref, a_ref, b_ref, act_ref,
-                   vals_ref, words_ref, witw_ref, pass_ref, valc_ref,
-                   *, k_lanes, nw):
+                   vals_ref, words_ref, aux_ref, valc_ref,
+                   *, k_lanes, nw, vh):
     f = pl.program_id(0)
     _encode_body(m_ref[f], fk_ref[f], bits_ref[0].astype(_I32),
                  a_ref[0], b_ref[0], act_ref[0].astype(jnp.bool_),
-                 vals_ref[0], words_ref, witw_ref, pass_ref, valc_ref,
-                 k_lanes, nw)
+                 vals_ref[0], words_ref, aux_ref, valc_ref,
+                 k_lanes, nw, vh)
 
 
 def _imin():
@@ -313,7 +351,7 @@ def _hash_prelude(m, thi_x, tlo_x, h1, h2, ahi, alo):
 
 def _encode_kernel_h(m_ref, fk_ref, thi_ref, tlo_ref, bits_ref, h1_ref,
                      h2_ref, ahi_ref, alo_ref, vals_ref, words_ref,
-                     witw_ref, pass_ref, valc_ref, *, k_lanes, nw):
+                     aux_ref, valc_ref, *, k_lanes, nw, vh):
     # grid is (block-group, frame) with the FRAME axis innermost so the
     # per-geometry hash-table blocks stay resident across the whole frame
     # loop (Mosaic skips re-fetch for unchanged block indices) — the
@@ -325,8 +363,8 @@ def _encode_kernel_h(m_ref, fk_ref, thi_ref, tlo_ref, bits_ref, h1_ref,
                               h1_ref[...], h2_ref[...], ahi_ref[...],
                               alo_ref[...])
     _encode_body(m, fk_ref[f], bits_ref[0].astype(_I32), a, b, act,
-                 vals_ref[0], words_ref, witw_ref, pass_ref, valc_ref,
-                 k_lanes, nw)
+                 vals_ref[0], words_ref, aux_ref, valc_ref,
+                 k_lanes, nw, vh)
 
 
 def _member_body(m, floor_k, passthrough, words, a, b, act, pass_ref,
@@ -490,8 +528,9 @@ def blocked_encode(bits, a, b, act, vals, m, floor_k, *, k_lanes: int,
     """
     f_, nb, _ = bits.shape
     tg = _tile_blocks(nb)
-    kern = functools.partial(_encode_kernel, k_lanes=k_lanes, nw=nw)
-    words32, witw, passes, valc = pl.pallas_call(
+    kern = functools.partial(_encode_kernel, k_lanes=k_lanes, nw=nw,
+                             vh=vh)
+    words32, aux, valc = pl.pallas_call(
         kern,
         grid=(f_, nb // tg),
         in_specs=[
@@ -505,23 +544,30 @@ def blocked_encode(bits, a, b, act, vals, m, floor_k, *, k_lanes: int,
         ],
         out_specs=[
             pl.BlockSpec((1, tg, nw), lambda f, g: (f, g, 0)),
-            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
-            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
-            pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, tg, AUXW), lambda f, g: (f, g, 0)),
+            pl.BlockSpec((1, tg, max(vh * 32, AUXW)),
+                         lambda f, g: (f, g, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((f_, nb, nw), _I32),
-            jax.ShapeDtypeStruct((f_, nb, IPB), _I32),
-            jax.ShapeDtypeStruct((f_, nb, IPB), jnp.uint8),
-            jax.ShapeDtypeStruct((f_, nb, IPB), _I32),
+            jax.ShapeDtypeStruct((f_, nb, AUXW), _I32),
+            jax.ShapeDtypeStruct((f_, nb, max(vh * 32, AUXW)), _I32),
         ],
         interpret=_interpret() if interpret is None else interpret,
     )(m, floor_k, bits, a, b, act, vals.astype(_I32))
+    return _encode_post(words32, aux, valc, vh)
+
+
+def _encode_post(words32, aux, valc, vh):
+    """Unpack the encode kernel's compact outputs: word bits, witness
+    bytes (aux lanes 0..WW-1), per-block pass/value counts (aux lanes
+    WW and WW+1), value segments (stores are 128-lane-aligned, so small
+    vh buckets carry zero padding to slice off)."""
     words = _words32_to_bits(words32)
-    wit = _witwords_to_bytes(witw[:, :, 31::32])
-    wcnt = jnp.sum(passes.astype(_I32), axis=2)
-    vcnt = jnp.sum(bits.astype(_I32), axis=2)
-    vseg = valc[:, :, : vh * 32]
+    wit = _witwords_to_bytes(aux[:, :, :WW])
+    wcnt = aux[:, :, WW]
+    vcnt = aux[:, :, WW + 1]
+    vseg = valc[:, :, : vh * 32] if vh * 32 < AUXW else valc
     return words, wit, wcnt, vseg, vcnt
 
 
@@ -543,9 +589,10 @@ def blocked_encode_h(bits, h1, h2, act_hi, act_lo, vals, m, thi, tlo,
     identical to blocked_encode on _frame_mod_tables' tables."""
     f_, nb, _ = bits.shape
     tg = _tile_blocks(nb)
-    kern = functools.partial(_encode_kernel_h, k_lanes=k_lanes, nw=nw)
+    kern = functools.partial(_encode_kernel_h, k_lanes=k_lanes, nw=nw,
+                             vh=vh)
     table_spec = pl.BlockSpec((tg, IPB), lambda g, f: (g, 0))
-    words32, witw, passes, valc = pl.pallas_call(
+    words32, aux, valc = pl.pallas_call(
         kern,
         grid=(nb // tg, f_),
         in_specs=[
@@ -559,25 +606,19 @@ def blocked_encode_h(bits, h1, h2, act_hi, act_lo, vals, m, thi, tlo,
         ],
         out_specs=[
             pl.BlockSpec((1, tg, nw), lambda g, f: (f, g, 0)),
-            pl.BlockSpec((1, tg, IPB), lambda g, f: (f, g, 0)),
-            pl.BlockSpec((1, tg, IPB), lambda g, f: (f, g, 0)),
-            pl.BlockSpec((1, tg, IPB), lambda g, f: (f, g, 0)),
+            pl.BlockSpec((1, tg, AUXW), lambda g, f: (f, g, 0)),
+            pl.BlockSpec((1, tg, max(vh * 32, AUXW)),
+                         lambda g, f: (f, g, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((f_, nb, nw), _I32),
-            jax.ShapeDtypeStruct((f_, nb, IPB), _I32),
-            jax.ShapeDtypeStruct((f_, nb, IPB), jnp.uint8),
-            jax.ShapeDtypeStruct((f_, nb, IPB), _I32),
+            jax.ShapeDtypeStruct((f_, nb, AUXW), _I32),
+            jax.ShapeDtypeStruct((f_, nb, max(vh * 32, AUXW)), _I32),
         ],
         interpret=_interpret() if interpret is None else interpret,
     )(m, floor_k, _i32(thi), _i32(tlo), bits, h1, h2,
       _i32(act_hi), _i32(act_lo), vals.astype(_I32))
-    words = _words32_to_bits(words32)
-    wit = _witwords_to_bytes(witw[:, :, 31::32])
-    wcnt = jnp.sum(passes.astype(_I32), axis=2)
-    vcnt = jnp.sum(bits.astype(_I32), axis=2)
-    vseg = valc[:, :, : vh * 32]
-    return words, wit, wcnt, vseg, vcnt
+    return _encode_post(words32, aux, valc, vh)
 
 
 @functools.partial(jax.jit,
