@@ -320,13 +320,50 @@ def _frame_mod_tables(h1, h2, act_hi, act_lo, m_arr, t_hi, t_lo):
 # end-to-end codec fps (70 ms vs 129 ms per 15-frame 1080p chunk).
 
 @lru_cache(maxsize=32)
-def _fused_encode_prog(k_lanes: int, vh: int, nw: int):
+def _fused_encode_prog(k_lanes: int, vh: int, nw: int, channels: int):
     @jax.jit
     def prog(h1, h2, act_hi, act_lo, masks, vals, m, thi, tlo, fk):
-        return bk.blocked_encode_h(masks, h1, h2, act_hi, act_lo, vals,
-                                   m, thi, tlo, fk,
-                                   k_lanes=k_lanes, vh=vh, nw=nw)
+        words, wit, wcnt, vseg, vcnt = bk.blocked_encode_h(
+            masks, h1, h2, act_hi, act_lo, vals, m, thi, tlo, fk,
+            k_lanes=k_lanes, vh=vh, nw=nw)
+        return words, wit, wcnt, _pack_vseg_bytes(vseg, channels), vcnt
     return prog
+
+
+def _pack_vseg_bytes(vseg, channels: int):
+    """(F,NB,vh*32) i32 packed value slots -> (F,NB,vh*32*c) u8
+    pixel-major bytes — the exact byte stream the record assembler
+    needs, repacked ON DEVICE so the host link carries c bytes per
+    value slot instead of a 4-byte int."""
+    outs = [vseg & 0xFF]
+    if channels > 1:
+        outs.append((vseg >> 8) & 0xFF)
+    if channels > 2:
+        outs.append((vseg >> 16) & 0xFF)
+    st = jnp.stack(outs, axis=-1).astype(jnp.uint8)
+    return st.reshape(st.shape[0], st.shape[1], -1)
+
+
+def _unpack_vseg_bytes(vb, channels: int):
+    """Inverse of :func:`_pack_vseg_bytes` (decode-side upload form)."""
+    f_, nb_, w = vb.shape
+    v = vb.reshape(f_, nb_, w // channels, channels).astype(jnp.int32)
+    out = v[..., 0]
+    if channels > 1:
+        out = out | (v[..., 1] << 8)
+    if channels > 2:
+        out = out | (v[..., 2] << 16)
+    return out
+
+
+@partial(jax.jit, static_argnames=("channels",))
+def _pack_vseg_bytes_jit(vseg, *, channels: int):
+    return _pack_vseg_bytes(vseg, channels)
+
+
+@partial(jax.jit, static_argnames=("channels",))
+def _unpack_vseg_bytes_jit(vb, *, channels: int):
+    return _unpack_vseg_bytes(vb, channels)
 
 
 @lru_cache(maxsize=32)
@@ -365,13 +402,17 @@ def _unpack_frames(packed, *, shape):
 
 
 @lru_cache(maxsize=32)
-def _fused_expand_chain_prog(vh: int, shape: tuple, npad: int, nb: int):
+def _fused_expand_chain_prog(vh: int, shape: tuple, npad: int, nb: int,
+                             channels: int):
     """Decode stage 2 as ONE kernel: expansion fused with the frame
     chain (bk.blocked_expand_chain) — no (F,NB,IPB) value-pad pass, no
-    separate scan over (F, n) mask/value arrays."""
+    separate scan over (F, n) mask/value arrays.  ``vseg`` arrives as
+    uploaded pixel-major bytes (see decode_run) and is packed to ints
+    on device."""
     @jax.jit
-    def prog(passes, wit, raw, flags, vseg, base):
+    def prog(passes, wit, raw, flags, vseg_bytes, base):
         base_packed = _pack_base(base, npad=npad, nb=nb)
+        vseg = _unpack_vseg_bytes(vseg_bytes, channels)
         packed = bk.blocked_expand_chain(passes, wit, raw, flags, vseg,
                                          base_packed, vh=vh)
         return _unpack_frames(packed, shape=shape)
@@ -387,6 +428,32 @@ def _vh_bucket(max_count: int) -> int:
     return min(vh, 32)
 
 
+def _words32_bits_host(w32: np.ndarray, m: int) -> np.ndarray:
+    """(NB, nw) i32 packed sub-filter words -> (NB, m) u8 bits
+    (packbits bit order per word) — host-side expansion of the packed
+    form the encode kernel emits, so only 12 words per block cross the
+    device->host link instead of 384 bit bytes."""
+    u = w32.astype(np.uint32)
+    by = np.stack([(u >> 24) & 0xFF, (u >> 16) & 0xFF, (u >> 8) & 0xFF,
+                   u & 0xFF], axis=-1).astype(np.uint8)
+    return np.unpackbits(by.reshape(w32.shape[0], -1), axis=1)[:, :m]
+
+
+def _bits_words32_host(bits: np.ndarray) -> np.ndarray:
+    """(NB, m) u8 bits -> (NB, NW) i32 packed sub-filter words (zero
+    padded past m) — the decode-side inverse of
+    :func:`_words32_bits_host`."""
+    nb_, m = bits.shape
+    wbits = np.zeros((nb_, bk.MMAX), np.uint8)
+    wbits[:, :m] = bits
+    by = np.packbits(wbits, axis=1)
+    u = ((by[:, 0::4].astype(np.uint32) << 24)
+         | (by[:, 1::4].astype(np.uint32) << 16)
+         | (by[:, 2::4].astype(np.uint32) << 8)
+         | by[:, 3::4].astype(np.uint32))
+    return u.view(np.int32)
+
+
 def _strip_rows(arr2d: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Concatenate arr2d[i, :lengths[i]] without a Python loop.
 
@@ -400,30 +467,6 @@ def _strip_rows(arr2d: np.ndarray, lengths: np.ndarray) -> np.ndarray:
             arr2d.shape[0], arr2d.shape[1] * itemsize),
         (lengths * itemsize).astype(np.uint32))
     return flat.view(arr2d.dtype)
-
-
-def _values_to_bytes(vseg_row: np.ndarray, vcnt_row: np.ndarray,
-                     channels: int) -> np.ndarray:
-    """Per-block packed-24-bit value slots -> pixel-major byte stream."""
-    flat = _strip_rows(vseg_row, vcnt_row)  # (total,) i32 packed
-    out = np.empty((flat.size, channels), np.uint8)
-    out[:, 0] = flat & 0xFF
-    if channels > 1:
-        out[:, 1] = (flat >> 8) & 0xFF
-    if channels > 2:
-        out[:, 2] = (flat >> 16) & 0xFF
-    return out.reshape(-1)
-
-
-def _bytes_to_packed(values: np.ndarray, channels: int) -> np.ndarray:
-    """Pixel-major byte stream -> packed 24-bit ints."""
-    v = values.reshape(-1, channels).astype(np.int32)
-    out = v[:, 0]
-    if channels > 1:
-        out = out | (v[:, 1] << 8)
-    if channels > 2:
-        out = out | (v[:, 2] << 16)
-    return out
 
 
 class BlockedEncoder:
@@ -528,8 +571,9 @@ class BlockedEncoder:
                 masks, vals, tab, jnp.asarray(m_arr), jnp.asarray(thi),
                 jnp.asarray(tlo), jnp.asarray(fk_arr),
                 k_lanes=k_lanes, vh=vh, nw=nw)
+            vseg_d = _pack_vseg_bytes_jit(vseg_d, channels=channels)
         else:
-            prog = _fused_encode_prog(k_lanes, vh, nw)
+            prog = _fused_encode_prog(k_lanes, vh, nw, channels)
             words_d, wit_d, wcnt_d, vseg_d, vcnt_d = prog(
                 tab["h1"], tab["h2"], tab["act_hi"], tab["act_lo"],
                 masks, vals, jnp.asarray(m_arr), jnp.asarray(thi),
@@ -554,7 +598,9 @@ class BlockedEncoder:
                 continue
             cnt = int(frame_counts[j])
             p = cnt / n
-            values = _values_to_bytes(vseg[j], vcnt[j], channels)
+            # vseg rows are already pixel-major bytes (device repack);
+            # strip the per-block padding and the stream is done.
+            values = _strip_rows(vseg[j], vcnt[j] * channels)
             if kind == "sparse":
                 mask_bits = np.unpackbits(packed_row(j))[:n]
                 indices = np.flatnonzero(mask_bits)
@@ -568,7 +614,7 @@ class BlockedEncoder:
                 continue
             # blocked record
             m = int(m_arr[j])
-            sub = words[j][:, :m]                       # (NB, m) bits
+            sub = _words32_bits_host(words[j], m)       # (NB, m) bits
             bitmap_bytes = np.packbits(sub.reshape(-1)).tobytes()
             seg_lens = (wcnt[j] + 7) // 8
             wit_stream = _strip_rows(wit[j], seg_lens).tobytes()
@@ -633,7 +679,8 @@ class BlockedDecoder:
         # device-stage arrays are allocated at the kernel geometry
         # (nbk >= nb, see nbk_of); only the first nb block rows are ever
         # written from the parsed stream, the padded tail stays zero.
-        words = np.zeros((f, nbk, bk.MMAX), np.uint8)
+        words = np.zeros((f, nbk, bk.NW), np.int32)   # packed words
+        raw_used = False
         flags = np.zeros(f, np.int32)
         m_arr = np.ones(f, np.int32)
         fk_arr = np.zeros(f, np.int32)
@@ -659,6 +706,7 @@ class BlockedDecoder:
                 mb = np.zeros(npad, np.uint8)
                 mb[indices] = 1
                 raw_mask[j, :nb] = mb.reshape(nb, bk.IPB)
+                raw_used = True
                 value_streams[j] = values
                 continue
             rec = fc.parse_interframe(payload, 1)
@@ -671,13 +719,14 @@ class BlockedDecoder:
                 mb = np.zeros(npad, np.uint8)
                 mb[:n] = bits
                 raw_mask[j, :nb] = mb.reshape(nb, bk.IPB)
+                raw_used = True
                 continue
             if rtype != fc.BLOCKED:
                 raise ValueError("BFV2 bloom record routed to blocked decoder")
             m = rec["bitmap_bits"] // nb
             m_arr[j] = m
             bits = np.unpackbits(rec["bitmap_bytes"])[: rec["bitmap_bits"]]
-            words[j, :nb, :m] = bits.reshape(nb, m)
+            words[j, :nb] = _bits_words32_host(bits.reshape(nb, m))
             _, floor_k, (a_hi, a_lo) = _filter_scalars(float(rec["k"]))
             fk_arr[j] = floor_k
             thi[j] = a_hi
@@ -718,25 +767,35 @@ class BlockedDecoder:
             block_counts[j] = (bits[:, :bk.IPB] * valid).sum(axis=1)
 
         vh = _vh_bucket(int(block_counts.max()) if block_counts.size else 1)
-        vseg = np.zeros((f, nbk, vh * 32), np.int32)
-        vcols = np.arange(vh * 32)
+        # value segments travel as pixel-major BYTES (c bytes per slot
+        # instead of a 4-byte int) and are packed to 24-bit ints on
+        # device after the upload (_unpack_vseg_bytes).
+        vseg = np.zeros((f, nbk, vh * 32 * channels), np.uint8)
+        vcols = np.arange(vh * 32 * channels)
         for j in range(f):
             vs = value_streams[j]
             if vs is None or vs.size == 0:
                 continue
-            packed_vals = _bytes_to_packed(vs, channels)
-            sel = vcols[None, :] < block_counts[j][:, None]
-            vseg[j][sel] = packed_vals
+            sel = vcols[None, :] < (block_counts[j][:, None] * channels)
+            vseg[j][sel] = vs
 
+        # pass-through/sparse masks are rare; when none occurred the
+        # raw-mask array is all zero — create it ON DEVICE instead of
+        # shipping 0.25 GB/120x1080p of zeros across the host link.
+        raw_dev = (jnp.asarray(raw_mask) if raw_used
+                   else jnp.zeros((f, nbk, bk.IPB), jnp.uint8))
         if self.dispatch is not None:
+            vseg_d = _unpack_vseg_bytes_jit(jnp.asarray(vseg),
+                                            channels=channels)
             mask_d, vals_d = self.dispatch.expand(
-                passes_d, jnp.asarray(wit), jnp.asarray(raw_mask),
-                jnp.asarray(flags), jnp.asarray(vseg), vh=vh)
+                passes_d, jnp.asarray(wit), raw_dev,
+                jnp.asarray(flags), vseg_d, vh=vh)
             frames = jax.device_get(_chain_apply(
                 jnp.asarray(base), mask_d, vals_d, shape=tuple(shape)))
         else:
-            prog = _fused_expand_chain_prog(vh, tuple(shape), npadk, nbk)
+            prog = _fused_expand_chain_prog(vh, tuple(shape), npadk, nbk,
+                                            channels)
             frames = jax.device_get(prog(
-                passes_d, jnp.asarray(wit), jnp.asarray(raw_mask),
+                passes_d, jnp.asarray(wit), raw_dev,
                 jnp.asarray(flags), jnp.asarray(vseg), jnp.asarray(base)))
         return [np.asarray(frames[j]) for j in range(f)]

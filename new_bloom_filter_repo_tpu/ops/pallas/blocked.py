@@ -473,10 +473,13 @@ def _expand_kernel(flag_ref, pass_ref, witw_ref, raw_ref, vseg_ref,
 
 
 # ---------------------------------------------------------------------------
-# Wrappers (public API identical to v1: bit-level words, byte witnesses)
+# Wrappers.  Sub-filter words travel PACKED ((..., nw) i32) end to end:
+# the encode kernel emits them, the membership kernels consume them, and
+# hosts move 12 words instead of 384 expanded bit bytes per block in
+# both directions; bit expansion happens only where bytes are assembled.
 # ---------------------------------------------------------------------------
 
-def _words32_to_bits(words32):
+def words32_to_bits(words32):
     """(..., nw) i32 -> (..., nw*32) u8 (packbits bit order per word)."""
     shifts = 31 - jnp.arange(32, dtype=_I32)
     bits = (words32[..., None] >> shifts) & 1
@@ -484,12 +487,16 @@ def _words32_to_bits(words32):
                         + (words32.shape[-1] * 32,)).astype(jnp.uint8)
 
 
-def _bits_to_words32(bits):
+def bits_to_words32(bits):
     """(..., nw*32) u8 -> (..., nw) i32."""
     nw = bits.shape[-1] // 32
     b = bits.reshape(bits.shape[:-1] + (nw, 32)).astype(_I32)
     weights = jax.lax.shift_left(_I32(1), 31 - jnp.arange(32, dtype=_I32))
     return jnp.sum(b * weights, axis=-1).astype(_I32)
+
+
+_words32_to_bits = words32_to_bits        # internal aliases
+_bits_to_words32 = bits_to_words32
 
 
 def _witwords_to_bytes(witw):
@@ -523,7 +530,8 @@ def blocked_encode(bits, a, b, act, vals, m, floor_k, *, k_lanes: int,
       vh: static — value bucket rows; vh*32 slots/block must cover the
         largest per-block change count in the batch.
 
-    Returns (words (F,NB,nw*32) u8, wit (F,NB,128) u8, wcnt (F,NB) i32,
+    Returns (words (F,NB,nw) i32 PACKED sub-filter words,
+             wit (F,NB,128) u8, wcnt (F,NB) i32,
              vseg (F,NB,vh*32) i32, vcnt (F,NB) i32).
     """
     f_, nb, _ = bits.shape
@@ -559,16 +567,19 @@ def blocked_encode(bits, a, b, act, vals, m, floor_k, *, k_lanes: int,
 
 
 def _encode_post(words32, aux, valc, vh):
-    """Unpack the encode kernel's compact outputs: word bits, witness
-    bytes (aux lanes 0..WW-1), per-block pass/value counts (aux lanes
-    WW and WW+1), value segments (stores are 128-lane-aligned, so small
-    vh buckets carry zero padding to slice off)."""
-    words = _words32_to_bits(words32)
+    """Unpack the encode kernel's compact outputs: packed sub-filter
+    words, witness bytes (aux lanes 0..WW-1), per-block pass/value
+    counts (aux lanes WW and WW+1), value segments (stores are
+    128-lane-aligned, so small vh buckets carry zero padding to slice
+    off).  Words stay PACKED ((F,NB,nw) i32, packbits bit order per
+    word — see words32_to_bits): the membership kernels consume exactly
+    this form, and the host pulls 12 words instead of 384 expanded bit
+    bytes per block."""
     wit = _witwords_to_bytes(aux[:, :, :WW])
     wcnt = aux[:, :, WW]
     vcnt = aux[:, :, WW + 1]
     vseg = valc[:, :, : vh * 32] if vh * 32 < AUXW else valc
-    return words, wit, wcnt, vseg, vcnt
+    return words32, wit, wcnt, vseg, vcnt
 
 
 def _i32(x):
@@ -627,10 +638,11 @@ def blocked_membership_h(words, h1, h2, act_hi, act_lo, m, thi, tlo,
                          floor_k, flags, *, k_lanes: int, nw: int = NW,
                          interpret: bool = None):
     """blocked_membership with in-kernel position/activation math (see
-    blocked_encode_h)."""
+    blocked_encode_h).  words: (F,NB,>=nw) i32 PACKED sub-filter words
+    (the form blocked_encode_h returns)."""
     f_, nb, _ = words.shape
     tg = _tile_blocks(nb)
-    words = words[:, :, : nw * 32]
+    words = words[:, :, :nw]
     kern = functools.partial(_member_kernel_h, k_lanes=k_lanes, nw=nw)
     table_spec = pl.BlockSpec((tg, IPB), lambda f, g: (g, 0))
     passes = pl.pallas_call(
@@ -648,7 +660,7 @@ def blocked_membership_h(words, h1, h2, act_hi, act_lo, m, thi, tlo,
         out_specs=pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
         out_shape=jax.ShapeDtypeStruct((f_, nb, IPB), jnp.uint8),
         interpret=_interpret() if interpret is None else interpret,
-    )(m, floor_k, _i32(thi), _i32(tlo), flags, _bits_to_words32(words),
+    )(m, floor_k, _i32(thi), _i32(tlo), flags, words,
       h1, h2, _i32(act_hi), _i32(act_lo))
     wcnt = jnp.sum(passes.astype(_I32), axis=2)
     return passes, wcnt
@@ -660,12 +672,14 @@ def blocked_membership(words, a, b, act, m, floor_k, flags, *, k_lanes: int,
                        nw: int = NW, interpret: bool = None):
     """Membership pass for decode.
 
-    words: (F, NB, MMAX) u8 sub-filter bits; flags: (F,) i32 — 1 for
-    pass-through/empty records (mask used verbatim; passes forced to 0).
+    words: (F, NB, >=nw) i32 PACKED sub-filter words (packbits bit
+    order per word; see words32_to_bits / bits_to_words32 to convert);
+    flags: (F,) i32 — 1 for pass-through/empty records (mask used
+    verbatim; passes forced to 0).
     Returns (pass (F,NB,IPB) u8, wcnt (F,NB) i32)."""
     f_, nb, _ = words.shape
     tg = _tile_blocks(nb)
-    words = words[:, :, : nw * 32]
+    words = words[:, :, :nw]
     kern = functools.partial(_member_kernel, k_lanes=k_lanes, nw=nw)
     passes = pl.pallas_call(
         kern,
@@ -682,7 +696,7 @@ def blocked_membership(words, a, b, act, m, floor_k, flags, *, k_lanes: int,
         out_specs=pl.BlockSpec((1, tg, IPB), lambda f, g: (f, g, 0)),
         out_shape=jax.ShapeDtypeStruct((f_, nb, IPB), jnp.uint8),
         interpret=_interpret() if interpret is None else interpret,
-    )(m, floor_k, flags, _bits_to_words32(words), a, b, act)
+    )(m, floor_k, flags, words, a, b, act)
     wcnt = jnp.sum(passes.astype(_I32), axis=2)
     return passes, wcnt
 

@@ -61,9 +61,11 @@ class TestEncodeKernel:
     def test_words_and_passes(self):
         bits, a, b, act, vals, ms, fks = self.case
         words, wit, wcnt, vseg, vcnt = self.out
+        # encode emits PACKED words ((NB, nw) i32); expand for the oracle
+        word_bits = np.asarray(bk.words32_to_bits(jnp.asarray(words)))
         for f in range(bits.shape[0]):
             ow, op = oracle(bits[f], a[f], b[f], act[f], int(ms[f]), int(fks[f]))
-            np.testing.assert_array_equal(words[f], ow)
+            np.testing.assert_array_equal(word_bits[f], ow)
             np.testing.assert_array_equal(wcnt[f], op.sum(axis=1))
 
     def test_witness_segments(self):
@@ -114,7 +116,7 @@ class TestDecodeKernels:
     def test_passthrough_flag(self):
         bits, a, b, act, vals, ms, fks = make_case(F=1, seed=5)
         flags = np.ones(1, np.int32)
-        words = np.zeros((1, bits.shape[1], bk.MMAX), np.uint8)
+        words = np.zeros((1, bits.shape[1], bk.NW), np.int32)  # packed
         passes, wcnt = bk.blocked_membership(
             jnp.asarray(words), jnp.asarray(a), jnp.asarray(b),
             jnp.asarray(act), jnp.asarray(ms), jnp.asarray(fks),

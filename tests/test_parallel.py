@@ -270,7 +270,8 @@ def test_4k_frame_sp_sharded_roundtrip():
         np.testing.assert_array_equal(g, w)
 
     words, wit, wcnt, vseg, vcnt = [jnp.asarray(x) for x in got]
-    words_full = jnp.zeros((1, nb, bk.MMAX), jnp.uint8).at[
+    # packed (1, NB, nw) i32 words; pad the word axis up to NW
+    words_full = jnp.zeros((1, nb, bk.NW), jnp.int32).at[
         :, :, :words.shape[2]].set(words)
     passes, wcnt2 = dispatch.membership(
         words_full, tab, m_arr, thi, tlo, fk_arr, flags,
