@@ -9,9 +9,11 @@ from new_bloom_filter_repo_tpu.utils import container, videoio
 from new_bloom_filter_repo_tpu.utils.synthetic import generate_frames
 
 
-def make_stream(tmp_path, n=5):
-    frames = generate_frames(n, 48, 64, noise=2.0, seed=3)
-    comp = ImprovedVideoCompressor(verbose=False, keyframe_interval=3)
+def make_stream(tmp_path, n=5, **kw):
+    frames = generate_frames(n, 48, 64, noise=2.0, seed=3,
+                             color_space=kw.pop("color_space", "BGR"))
+    comp = ImprovedVideoCompressor(verbose=False, keyframe_interval=3,
+                                   **kw)
     p = str(tmp_path / "ok.bfvc")
     comp.compress_video(frames, p)
     with open(p, "rb") as f:
@@ -29,10 +31,15 @@ class TestCorruption:
             with pytest.raises(Exception):
                 comp.decompress_video(p)
 
-    def test_random_byte_corruption_never_hangs(self, tmp_path):
+    @pytest.mark.parametrize("profile,cs", [
+        ("blocked", "BGR"), ("bfv2", "BGR"), ("planar", "YUV")])
+    def test_random_byte_corruption_never_hangs(self, tmp_path, profile,
+                                                cs):
         """Flipping bytes either raises or yields frames — decode must
-        terminate and stay structurally sane."""
-        frames, blob = make_stream(tmp_path)
+        terminate and stay structurally sane, in every stream profile."""
+        frames, blob = make_stream(tmp_path, profile=profile,
+                                   color_space=cs,
+                                   use_direct_yuv=(cs == "YUV"))
         comp = ImprovedVideoCompressor(verbose=False)
         rng = np.random.default_rng(0)
         raised = survived = 0
