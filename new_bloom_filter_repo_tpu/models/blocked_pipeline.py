@@ -132,7 +132,7 @@ class _MeshDispatch:
                           tab["act_lo"])]
 
     def encode(self, masks, vals, tab, m, thi, tlo, fk, *,
-               k_lanes, vh, nw):
+               k_lanes, vh, nw, channels):
         f, nb = masks.shape[0], masks.shape[1]
         fpad, nbpad = self._pads(f, nb)
         masks = self._pad_blocks(masks, fpad, nbpad)
@@ -142,8 +142,19 @@ class _MeshDispatch:
         thi = self._pad_axis(thi, 0, fpad)
         tlo = self._pad_axis(tlo, 0, fpad)
         fk = self._pad_axis(fk, 0, fpad)
-        prog = self._prog("enc", k_lanes=k_lanes, vh=vh, nw=nw)
-        outs = prog(masks, *tables, vals, m, thi, tlo, fk)
+        ck = ("enc+pack", k_lanes, vh, nw, channels)
+        if ck not in self._progs:
+            inner = self._prog("enc", k_lanes=k_lanes, vh=vh, nw=nw)
+
+            # one program launch: sharded encode + vseg byte repack
+            @jax.jit
+            def run(masks, h1, h2, ahi, alo, vals, m, thi, tlo, fk):
+                w, wi, wc, vs, vc = inner(masks, h1, h2, ahi, alo, vals,
+                                          m, thi, tlo, fk)
+                return w, wi, wc, _pack_vseg_bytes(vs, channels), vc
+
+            self._progs[ck] = run
+        outs = self._progs[ck](masks, *tables, vals, m, thi, tlo, fk)
         return tuple(o[:f, :nb] for o in outs)
 
     def membership(self, words, tab, m, thi, tlo, fk, flags, *,
@@ -161,14 +172,26 @@ class _MeshDispatch:
         passes, wcnt = prog(words, *tables, m, thi, tlo, fk, flags)
         return passes[:f, :nb], wcnt[:f, :nb]
 
-    def expand(self, passes, wit, raw, flags, vseg, *, vh):
+    def expand(self, passes, wit, raw, flags, vseg_bytes, *, vh,
+               channels):
         f, nb = passes.shape[0], passes.shape[1]
         fpad, nbpad = self._pads(f, nb)
         args = [self._pad_blocks(x, fpad, nbpad)
-                for x in (passes, wit, raw, vseg)]
+                for x in (passes, wit, raw, vseg_bytes)]
         flags = self._pad_axis(flags, 0, fpad, value=1)
-        prog = self._prog("exp", vh=vh)
-        mask, vals = prog(args[0], args[1], args[2], flags, args[3])
+        ck = ("exp+unpack", vh, channels)
+        if ck not in self._progs:
+            inner = self._prog("exp", vh=vh)
+
+            # one program launch: vseg byte unpack + sharded expansion
+            @jax.jit
+            def run(passes, wit, raw, flags, vb):
+                return inner(passes, wit, raw, flags,
+                             _unpack_vseg_bytes(vb, channels))
+
+            self._progs[ck] = run
+        mask, vals = self._progs[ck](args[0], args[1], args[2], flags,
+                                     args[3])
         return mask[:f, :nb], vals[:f, :nb]
 
 
@@ -330,40 +353,42 @@ def _fused_encode_prog(k_lanes: int, vh: int, nw: int, channels: int):
     return prog
 
 
+def _split_bytes24(v, channels: int):
+    """24-bit packed ints -> list of c uint8 arrays (low byte first) —
+    the single definition of the pixel byte order every pack/unpack
+    path in this module shares."""
+    outs = [(v & 0xFF).astype(jnp.uint8)]
+    if channels > 1:
+        outs.append(((v >> 8) & 0xFF).astype(jnp.uint8))
+    if channels > 2:
+        outs.append(((v >> 16) & 0xFF).astype(jnp.uint8))
+    return outs
+
+
+def _join_bytes24(parts):
+    """Inverse of :func:`_split_bytes24`."""
+    out = parts[0].astype(jnp.int32)
+    if len(parts) > 1:
+        out = out | (parts[1].astype(jnp.int32) << 8)
+    if len(parts) > 2:
+        out = out | (parts[2].astype(jnp.int32) << 16)
+    return out
+
+
 def _pack_vseg_bytes(vseg, channels: int):
     """(F,NB,vh*32) i32 packed value slots -> (F,NB,vh*32*c) u8
     pixel-major bytes — the exact byte stream the record assembler
     needs, repacked ON DEVICE so the host link carries c bytes per
     value slot instead of a 4-byte int."""
-    outs = [vseg & 0xFF]
-    if channels > 1:
-        outs.append((vseg >> 8) & 0xFF)
-    if channels > 2:
-        outs.append((vseg >> 16) & 0xFF)
-    st = jnp.stack(outs, axis=-1).astype(jnp.uint8)
+    st = jnp.stack(_split_bytes24(vseg, channels), axis=-1)
     return st.reshape(st.shape[0], st.shape[1], -1)
 
 
 def _unpack_vseg_bytes(vb, channels: int):
     """Inverse of :func:`_pack_vseg_bytes` (decode-side upload form)."""
     f_, nb_, w = vb.shape
-    v = vb.reshape(f_, nb_, w // channels, channels).astype(jnp.int32)
-    out = v[..., 0]
-    if channels > 1:
-        out = out | (v[..., 1] << 8)
-    if channels > 2:
-        out = out | (v[..., 2] << 16)
-    return out
-
-
-@partial(jax.jit, static_argnames=("channels",))
-def _pack_vseg_bytes_jit(vseg, *, channels: int):
-    return _pack_vseg_bytes(vseg, channels)
-
-
-@partial(jax.jit, static_argnames=("channels",))
-def _unpack_vseg_bytes_jit(vb, *, channels: int):
-    return _unpack_vseg_bytes(vb, channels)
+    v = vb.reshape(f_, nb_, w // channels, channels)
+    return _join_bytes24([v[..., i] for i in range(channels)])
 
 
 @lru_cache(maxsize=32)
@@ -393,12 +418,7 @@ def _unpack_frames(packed, *, shape):
     c = 1 if len(shape) == 2 else shape[2]
     f = packed.shape[0]
     v = packed.reshape(f, -1)[:, : h * w]
-    outs = [(v & 0xFF).astype(jnp.uint8)]
-    if c > 1:
-        outs.append(((v >> 8) & 0xFF).astype(jnp.uint8))
-    if c > 2:
-        outs.append(((v >> 16) & 0xFF).astype(jnp.uint8))
-    return jnp.stack(outs, axis=-1).reshape((f,) + shape)
+    return jnp.stack(_split_bytes24(v, c), axis=-1).reshape((f,) + shape)
 
 
 @lru_cache(maxsize=32)
@@ -570,8 +590,7 @@ class BlockedEncoder:
             words_d, wit_d, wcnt_d, vseg_d, vcnt_d = self.dispatch.encode(
                 masks, vals, tab, jnp.asarray(m_arr), jnp.asarray(thi),
                 jnp.asarray(tlo), jnp.asarray(fk_arr),
-                k_lanes=k_lanes, vh=vh, nw=nw)
-            vseg_d = _pack_vseg_bytes_jit(vseg_d, channels=channels)
+                k_lanes=k_lanes, vh=vh, nw=nw, channels=channels)
         else:
             prog = _fused_encode_prog(k_lanes, vh, nw, channels)
             words_d, wit_d, wcnt_d, vseg_d, vcnt_d = prog(
@@ -637,12 +656,7 @@ def _chain_apply(base, masks, vals, *, shape):
     base_flat = base.reshape(-1, c) if len(shape) == 3 else base.reshape(-1, 1)
 
     def unpack(v):
-        outs = [v & 0xFF]
-        if c > 1:
-            outs.append((v >> 8) & 0xFF)
-        if c > 2:
-            outs.append((v >> 16) & 0xFF)
-        return jnp.stack(outs, axis=-1).astype(jnp.uint8)
+        return jnp.stack(_split_bytes24(v, c), axis=-1)
 
     def step(prev, x):
         mask, val = x
@@ -785,11 +799,10 @@ class BlockedDecoder:
         raw_dev = (jnp.asarray(raw_mask) if raw_used
                    else jnp.zeros((f, nbk, bk.IPB), jnp.uint8))
         if self.dispatch is not None:
-            vseg_d = _unpack_vseg_bytes_jit(jnp.asarray(vseg),
-                                            channels=channels)
             mask_d, vals_d = self.dispatch.expand(
                 passes_d, jnp.asarray(wit), raw_dev,
-                jnp.asarray(flags), vseg_d, vh=vh)
+                jnp.asarray(flags), jnp.asarray(vseg), vh=vh,
+                channels=channels)
             frames = jax.device_get(_chain_apply(
                 jnp.asarray(base), mask_d, vals_d, shape=tuple(shape)))
         else:

@@ -261,11 +261,13 @@ def test_4k_frame_sp_sharded_roundtrip():
 
     want = [np.asarray(x) for x in bk.blocked_encode(
         bits, a, b, act, vals, m_arr, fk_arr, k_lanes=2, vh=4)]
+    # the dispatch returns vseg as device-repacked pixel-major bytes
+    want[3] = np.asarray(bp._pack_vseg_bytes(jnp.asarray(want[3]), 3))
 
     dispatch = bp._MeshDispatch(cpu_mesh(1, 8))
     got = [np.asarray(x) for x in dispatch.encode(
         bits, vals, tab, m_arr, thi, tlo, fk_arr,
-        k_lanes=2, vh=4, nw=None)]
+        k_lanes=2, vh=4, nw=None, channels=3)]
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w)
 
@@ -277,7 +279,8 @@ def test_4k_frame_sp_sharded_roundtrip():
         words_full, tab, m_arr, thi, tlo, fk_arr, flags,
         k_lanes=2, nw=None)
     raw = jnp.zeros((1, nb, bk.IPB), jnp.uint8)
-    mask, out_vals = dispatch.expand(passes, wit, raw, flags, vseg, vh=4)
+    mask, out_vals = dispatch.expand(passes, wit, raw, flags, vseg,
+                                     vh=4, channels=3)
     np.testing.assert_array_equal(np.asarray(wcnt2), np.asarray(wcnt))
     np.testing.assert_array_equal(np.asarray(mask),
                                   np.asarray(bits))
