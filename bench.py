@@ -11,7 +11,8 @@ parameter math (p, k, l, m — the reference float64 formulas) runs on
 host from the pulled per-block counts every iteration, exactly as the
 production pipeline does.
 
-This dev rig reaches the chip through a ~34 MB/s tunnel (12.4 MB per
+This dev rig reaches the chip through an asymmetric tunnel (~1.4 GB/s
+host->device but only ~10-25 MB/s device->host; 12.4 MB per
 1080p frame, both directions), which caps any host-roundtrip pipeline at
 ~1.4 fps regardless of codec speed; production hosts attach TPUs over
 PCIe/ICI at GB/s.  The end-to-end public-API figure (compress_video ->
@@ -228,7 +229,7 @@ def main():
         "compression_ratio": round(ratio, 4),
         "space_savings_pct": round(savings * 100, 2),
         # End-to-end through the public API (.bfvc on disk, host verify).
-        # Bounded by this rig's ~34 MB/s host<->device tunnel (12.4 MB
+        # Bounded by this rig's ~10-25 MB/s device->host direction (12.4 MB
         # per frame each way => ~1.4 fps ceiling), not by the codec.
         "transfer_bound_e2e_fps": round(e2e_fps, 3),
         "e2e_encode_s": round(t_enc, 3),
