@@ -267,6 +267,15 @@ def _fold_stride32(acc):
     return acc                       # words at lanes 0..WW-1, full width
 
 
+# NOTE: an in-kernel inverse fold ("unfold": packed words fanned back to
+# per-lane group words via 6 static rolls + a 5-stage group broadcast)
+# was implemented and measured for a packed pass-mask interchange
+# between membership and expansion; it cost ~15 ms/120x1080p — more
+# than the u8 traffic it saved — and was removed.  The fold schedule's
+# inverse has the closed-form arrival lanes
+# {l : (l>>5)&s != 0, l>>5 < 2s, (l&31)&(2s-1) == 0} if ever needed.
+
+
 def _encode_body(m, floor_k, bits, a, b, act, vals,
                  words_ref, aux_ref, valc_ref, k_lanes, nw, vh):
     lane = _lane_iota(bits.shape)
@@ -375,6 +384,10 @@ def _member_body(m, floor_k, passthrough, words, a, b, act, pass_ref,
     passes = _membership_words(words, his, weights, floor_k, act,
                                k_lanes, nw)
     passes = passes & (passthrough == 0)
+    # NOTE: a packed (32-word) pass output was tried and reverted — the
+    # in-kernel unfold on the expand side cost ~15 ms/120x1080p, more
+    # than the 242 MB of u8 traffic it saved (~8 ms); the plain byte
+    # mask is the measured optimum.
     pass_ref[0] = _to_u8(passes)
 
 
@@ -750,24 +763,33 @@ def blocked_expand_chain(passes, wit, raw_mask, flags, vseg, base_packed,
     vseg: (F,NB,vh*32) i32 value segments; base_packed: (NB,IPB) i32 —
     24-bit packed pixels of the reconstruction base.
     Returns packed reconstructed frames (F, NB, IPB) i32.
+
+    ``flags`` rides scalar prefetch so the raw-mask index map can route
+    un-flagged frames to block row 0: with the frame axis innermost,
+    consecutive same-index fetches are skipped, and the (F,NB,IPB) raw
+    array costs HBM traffic only for frames that actually use it.
     """
     f_, nb, _ = passes.shape
     tg = _tile_blocks(nb)
     kern = functools.partial(_expand_chain_kernel, vh=vh)
-    return pl.pallas_call(
-        kern,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(nb // tg, f_),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),            # flags
-            pl.BlockSpec((1, tg, IPB), lambda g, f: (f, g, 0)),
-            pl.BlockSpec((1, tg, WW), lambda g, f: (f, g, 0)),
-            pl.BlockSpec((1, tg, IPB), lambda g, f: (f, g, 0)),
-            pl.BlockSpec((1, tg, vh * 32), lambda g, f: (f, g, 0)),
-            pl.BlockSpec((tg, IPB), lambda g, f: (g, 0)),     # base
+            pl.BlockSpec((1, tg, IPB), lambda g, f, flg: (f, g, 0)),
+            pl.BlockSpec((1, tg, WW), lambda g, f, flg: (f, g, 0)),
+            pl.BlockSpec((1, tg, IPB),
+                         lambda g, f, flg: (flg[f] * f, g, 0)),   # raw
+            pl.BlockSpec((1, tg, vh * 32), lambda g, f, flg: (f, g, 0)),
+            pl.BlockSpec((tg, IPB), lambda g, f, flg: (g, 0)),   # base
         ],
-        out_specs=pl.BlockSpec((1, tg, IPB), lambda g, f: (f, g, 0)),
-        out_shape=jax.ShapeDtypeStruct((f_, nb, IPB), _I32),
+        out_specs=pl.BlockSpec((1, tg, IPB), lambda g, f, flg: (f, g, 0)),
         scratch_shapes=[pltpu.VMEM((tg, IPB), _I32)],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((f_, nb, IPB), _I32),
         interpret=_interpret() if interpret is None else interpret,
     )(flags, passes, _bytes_to_witwords(wit), raw_mask,
       vseg.astype(_I32), base_packed)
