@@ -26,6 +26,11 @@ from new_bloom_filter_repo_tpu.models.video import (
 )
 
 
+def _default_chunk() -> int:
+    from new_bloom_filter_repo_tpu.models import video as _v
+    return _v._CHUNK
+
+
 def _add_codec_flags(p, include_batch=True):
     p.add_argument("--noise-tolerance", type=float, default=10.0,
                    help="Noise tolerance level (near-lossless mode)")
@@ -38,10 +43,13 @@ def _add_codec_flags(p, include_batch=True):
     p.add_argument("--bloom-modifier", type=float, default=1.0,
                    help="Modifier for Bloom filter threshold")
     if include_batch:
-        p.add_argument("--batch-size", type=int, default=30,
-                       help="Frames per processing batch")
+        p.add_argument("--batch-size", type=int, default=None,
+                       help="Inter frames per device dispatch (the "
+                            "compiled chunk; default: NBF_CHUNK env or "
+                            f"{_default_chunk()})")
         p.add_argument("--threads", type=int, default=None,
-                       help="Host worker threads")
+                       help="Native DEFLATE pool size for the host "
+                            "entropy stage (default: all cores)")
     p.add_argument("--mode", choices=["bloom", "keyframe"], default="bloom",
                    help="bloom: keyframes + Bloom inter frames (BFV2); "
                         "keyframe: reference-compatible BFVC")
@@ -77,7 +85,7 @@ def _compressor(args, use_direct_yuv=False, default_profile="blocked"):
         min_diff_threshold=getattr(args, "min_diff", 3.0),
         max_diff_threshold=getattr(args, "max_diff", 30.0),
         bloom_threshold_modifier=getattr(args, "bloom_modifier", 1.0),
-        batch_size=getattr(args, "batch_size", 30),
+        batch_size=getattr(args, "batch_size", None),
         num_threads=getattr(args, "threads", None),
         use_direct_yuv=use_direct_yuv or getattr(args, "use_direct_yuv",
                                                  False),

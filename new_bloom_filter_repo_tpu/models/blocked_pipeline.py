@@ -21,6 +21,7 @@ Record selection per frame:
 from __future__ import annotations
 
 import math
+import os
 from functools import lru_cache, partial
 from typing import List, Optional, Tuple
 
@@ -272,6 +273,126 @@ def _phase_a_pair(prev, curr, *, npad: int, nb: int):
     return masks, counts, packed_curr.reshape(f, nb, bk.IPB)
 
 
+# ---------------------------------------------------------------------------
+# Global-motion estimation (VERDICT r2 #2): a per-frame (dy, dx) shift
+# searched on the device collapses camera-pan content from dense-mask
+# keyframe fallback to near-static cost.  np.roll (wrap-around)
+# semantics on (H, W); the wrapped edge strip self-codes as ordinary
+# changed pixels.  The reference has no motion handling at all — its
+# diff is strictly co-located (improved_video_compressor.py:801).
+
+MOTION_RADIUS = 7      # search window: shifts in [-R, R]^2
+MOTION_STRIDE = 4      # subsampled count grid (n/16 samples)
+MOTION_ACCEPT = 0.7    # accept best shift iff count <= 0.7 * count(0,0)
+MOTION_MIN_C0 = 64     # ... and the zero-shift count is worth beating
+
+
+def _roll2d(img, dy, dx):
+    """np.roll(img, (dy, dx), axis=(0, 1)) with traced shifts."""
+    h, w = img.shape[-2], img.shape[-1]
+    ys = (jnp.arange(h) - dy) % h
+    xs = (jnp.arange(w) - dx) % w
+    return img[..., ys, :][..., :, xs]
+
+
+@partial(jax.jit, static_argnames=())
+def _motion_counts(stacked):
+    """Subsampled mismatch counts over the shift window.
+
+    stacked: (F+1, h, w[, c]) uint8.  Returns (F, (2R+1)^2) i32 — the
+    number of differing subsampled pixels for every candidate shift of
+    the previous frame, candidate index (dy+R)*(2R+1)+(dx+R)."""
+    fp1 = stacked.shape[0]
+    h, w = stacked.shape[1], stacked.shape[2]
+    arr = stacked if stacked.ndim == 4 else stacked[..., None]
+    packed = _pack_pixels(
+        arr.reshape(fp1, h * w, arr.shape[-1])).reshape(fp1, h, w)
+    prev, curr = packed[:-1], packed[1:]
+    ys = jnp.arange(0, h, MOTION_STRIDE)
+    xs = jnp.arange(0, w, MOTION_STRIDE)
+    cs = curr[:, ys[:, None], xs[None, :]]
+
+    def count(dy, dx):
+        py = (ys - dy) % h
+        px = (xs - dx) % w
+        ps = prev[:, py[:, None], px[None, :]]
+        return jnp.sum((ps != cs).astype(jnp.int32), axis=(1, 2))
+
+    d = jnp.arange(-MOTION_RADIUS, MOTION_RADIUS + 1)
+    dyg, dxg = jnp.meshgrid(d, d, indexing="ij")
+    counts = jax.vmap(count)(dyg.ravel(), dxg.ravel())   # (C, F)
+    return counts.T
+
+
+def choose_shifts(counts: np.ndarray) -> np.ndarray:
+    """Host shift decision from :func:`_motion_counts` output.
+
+    Deterministic: first argmin in (dy, dx) lexicographic order; the
+    zero shift wins unless the best candidate beats it by the
+    MOTION_ACCEPT margin (a conservative gate — a wrong pick only costs
+    ratio, never losslessness, but zero shifts keep static content's
+    streams byte-identical to motion-off encodes)."""
+    f = counts.shape[0]
+    side = 2 * MOTION_RADIUS + 1
+    zero_idx = MOTION_RADIUS * side + MOTION_RADIUS
+    shifts = np.zeros((f, 2), np.int32)
+    best = np.argmin(counts, axis=1)
+    c0 = counts[:, zero_idx]
+    cb = counts[np.arange(f), best]
+    take = (c0 >= MOTION_MIN_C0) & (cb <= MOTION_ACCEPT * c0)
+    shifts[take, 0] = best[take] // side - MOTION_RADIUS
+    shifts[take, 1] = best[take] % side - MOTION_RADIUS
+    return shifts
+
+
+@partial(jax.jit, static_argnames=("npad", "nb"))
+def _phase_a_motion(stacked, shifts, *, npad: int, nb: int):
+    """:func:`_phase_a` with per-frame global-motion shifts: the diff
+    runs against roll(prev, (dy, dx)) instead of prev.  shifts (F, 2)
+    i32; zero rows reproduce _phase_a's masks exactly."""
+    fp1 = stacked.shape[0]
+    h, w = stacked.shape[1], stacked.shape[2]
+    n = h * w
+    arr = stacked if stacked.ndim == 4 else stacked[..., None]
+    packed = _pack_pixels(
+        arr.reshape(fp1, n, arr.shape[-1])).reshape(fp1, h, w)
+    rolled_prev = jax.vmap(_roll2d)(packed[:-1], shifts[:, 0],
+                                    shifts[:, 1])
+    f = fp1 - 1
+    neq = (packed[1:] != rolled_prev).reshape(f, n)
+    vals = packed[1:].reshape(f, n)
+    pad = npad - n
+    if pad:
+        neq = jnp.pad(neq, ((0, 0), (0, pad)))
+        vals = jnp.pad(vals, ((0, 0), (0, pad)))
+    masks = neq.astype(jnp.uint8).reshape(f, nb, bk.IPB)
+    counts = jnp.sum(masks.astype(jnp.int32), axis=2)
+    return masks, counts, vals.reshape(f, nb, bk.IPB)
+
+
+@partial(jax.jit, static_argnames=("npad",))
+def _phase_a_packed_motion(stacked, shifts, *, npad: int):
+    """packbits(motion diff mask) — the :func:`_phase_a_packed` variant
+    for chunks carrying nonzero shifts."""
+    fp1 = stacked.shape[0]
+    h, w = stacked.shape[1], stacked.shape[2]
+    n = h * w
+    arr = stacked if stacked.ndim == 4 else stacked[..., None]
+    packed = _pack_pixels(
+        arr.reshape(fp1, n, arr.shape[-1])).reshape(fp1, h, w)
+    rolled_prev = jax.vmap(_roll2d)(packed[:-1], shifts[:, 0],
+                                    shifts[:, 1])
+    f = fp1 - 1
+    flat = (packed[1:] != rolled_prev).reshape(f, n)
+    pad = npad - n
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, pad)))
+    byts = flat.reshape(f, npad // 8, 8).astype(jnp.uint8)
+    return ((byts[..., 0] << 7) | (byts[..., 1] << 6) | (byts[..., 2] << 5)
+            | (byts[..., 3] << 4) | (byts[..., 4] << 3) | (byts[..., 5] << 2)
+            | (byts[..., 6] << 1) | byts[..., 7])
+
+
 @partial(jax.jit, static_argnames=("npad", "nb"))
 def _phase_a(stacked, *, npad: int, nb: int):
     """Masks + per-block counts + packed pixels for a chunk.
@@ -497,8 +618,14 @@ class BlockedEncoder:
     emitted byte stream is identical with or without a mesh.
     """
 
-    def __init__(self, zlib_level: int = 6, mesh=None):
+    def __init__(self, zlib_level: int = 6, mesh=None,
+                 num_threads: int = 0, motion: bool = True):
         self.zlib_level = zlib_level
+        self.num_threads = int(num_threads or 0)
+        # Global-motion search (type-6 wrapped records).  Any decoder
+        # of this format reads both; NBF_MOTION=0 / motion=False pins
+        # the co-located diff (byte-identical to older encodes).
+        self.motion = motion and os.environ.get("NBF_MOTION", "1") == "1"
         self.dispatch = (_MeshDispatch(mesh)
                          if mesh is not None and mesh.size > 1 else None)
 
@@ -528,9 +655,23 @@ class BlockedEncoder:
 
         if stacked is None:
             stacked = self.stack_chunk(base, frames)
+
+        # Global-motion search: tiny (F, 225) counts come back from the
+        # device, the shift decision is host-side and deterministic.
+        shifts = np.zeros((f, 2), np.int32)
+        if (self.motion and h >= 4 * MOTION_RADIUS
+                and w >= 4 * MOTION_RADIUS):
+            shifts = choose_shifts(
+                np.asarray(jax.device_get(_motion_counts(stacked))))
+        any_motion = bool(shifts.any())
+
         # device stages run on the kernel geometry (nbk >= nb, see
         # nbk_of); every host byte below is sliced back to nb first.
-        if self.dispatch is not None:
+        if any_motion:
+            shifts_d = jnp.asarray(shifts)
+            masks, counts_d, vals = _phase_a_motion(
+                stacked, shifts_d, npad=npadk, nb=nbk)
+        elif self.dispatch is not None:
             masks, counts_d, vals = self.dispatch.phase_a(
                 stacked, npad=npadk, nb=nbk)
         else:
@@ -544,8 +685,11 @@ class BlockedEncoder:
         def packed_row(j):
             if j not in packed_cache:
                 if "packed" not in packed_cache:
-                    packed_cache["packed"] = _phase_a_packed(stacked,
-                                                             npad=npad)
+                    packed_cache["packed"] = (
+                        _phase_a_packed_motion(stacked, shifts_d,
+                                               npad=npad)
+                        if any_motion
+                        else _phase_a_packed(stacked, npad=npad))
                 packed_cache[j] = np.asarray(packed_cache["packed"][j])
             return packed_cache[j]
 
@@ -584,7 +728,7 @@ class BlockedEncoder:
             tlo[j] = a_lo
 
         vh = _vh_bucket(max_block)
-        k_lanes = int(fk_arr.max())
+        k_lanes = bk.k_bucket(int(fk_arr.max()))
         nw = bk.nw_bucket(int(m_arr.max()))
         if self.dispatch is not None:
             words_d, wit_d, wcnt_d, vseg_d, vcnt_d = self.dispatch.encode(
@@ -606,10 +750,74 @@ class BlockedEncoder:
 
         keyframes = 0
         zl = self.zlib_level
+
+        # ---- host section gathering -----------------------------------
+        # Every DEFLATE-able section (value streams, blocked bitmaps,
+        # witness streams, pass-through masks) is collected first and
+        # compressed in ONE native threaded batch (utils/native.py,
+        # num_threads plumbed from the public API) instead of per-record
+        # zlib calls — the host entropy stage is this pipeline's hot
+        # loop once device compute is fast (VERDICT r2 #1/#3).
+        sections: List[bytes] = []
+        vz_idx = [-1] * f
+        bz_idx = [-1] * f
+        wz_idx = [-1] * f
+        val_bytes: List[bytes] = [b""] * f
+        bm_bytes: List[Optional[bytes]] = [None] * f
+        wit_bytes: List[Optional[bytes]] = [None] * f
+
+        def _add(buf: bytes) -> int:
+            sections.append(buf)
+            return len(sections) - 1
+
+        for j in range(f):
+            kind = kinds[j]
+            if kind in ("empty", "key", "sparse"):
+                continue
+            # vseg rows are already pixel-major bytes (device repack);
+            # strip the per-block padding and the stream is done.
+            val_bytes[j] = _strip_rows(vseg[j],
+                                       vcnt[j] * channels).tobytes()
+            vz_idx[j] = _add(val_bytes[j])
+            if kind == "pass":
+                bm_bytes[j] = packed_row(j)[: (n + 7) // 8].tobytes()
+                bz_idx[j] = _add(bm_bytes[j])
+            elif kind == "blocked":
+                m = int(m_arr[j])
+                sub = _words32_bits_host(words[j], m)   # (NB, m) bits
+                bm_bytes[j] = np.packbits(sub.reshape(-1)).tobytes()
+                bz_idx[j] = _add(bm_bytes[j])
+                seg_lens = (wcnt[j] + 7) // 8
+                wit_bytes[j] = _strip_rows(wit[j], seg_lens).tobytes()
+                wz_idx[j] = _add(wit_bytes[j])
+
+        zsecs = (native.deflate_frames(sections, level=zl,
+                                       threads=self.num_threads)
+                 if sections else [])
+
+        def _sec(raw: Optional[bytes], zi: int):
+            """Per-section coding choice: DEFLATE when it actually
+            shrinks (4 extra header bytes carry the raw length)."""
+            if raw is None:
+                return (0, b"", 0)
+            z = zsecs[zi]
+            if len(z) + 4 < len(raw):
+                return (1, z, len(raw))
+            return (0, raw, 0)
+
+        # ---- record assembly ------------------------------------------
+        def emit(j: int, rec: bytes):
+            """Append ``rec``, motion-wrapped when frame j carries a
+            nonzero shift (keyframes never wrap — they reset)."""
+            dy, dx = int(shifts[j, 0]), int(shifts[j, 1])
+            if dy or dx:
+                rec = fc.wrap_motion(dy, dx, rec)
+            payload_sink.append(rec)
+
         for j in range(f):
             kind = kinds[j]
             if kind == "empty":
-                payload_sink.append(fc.encode_empty_frame())
+                emit(j, fc.encode_empty_frame())
                 continue
             if kind == "key":
                 payload_sink.append(keyframe_fn(j))
@@ -617,30 +825,41 @@ class BlockedEncoder:
                 continue
             cnt = int(frame_counts[j])
             p = cnt / n
-            # vseg rows are already pixel-major bytes (device repack);
-            # strip the per-block padding and the stream is done.
-            values = _strip_rows(vseg[j], vcnt[j] * channels)
             if kind == "sparse":
+                values = _strip_rows(vseg[j], vcnt[j] * channels)
                 mask_bits = np.unpackbits(packed_row(j))[:n]
                 indices = np.flatnonzero(mask_bits)
-                payload_sink.append(fc.encode_sparse_frame(
+                emit(j, fc.encode_sparse_frame(
                     n, indices, values, zlib_level=zl))
                 continue
+            values_z = zsecs[vz_idx[j]]
+            vcount = len(val_bytes[j])
             if kind == "pass":
-                payload_sink.append(fc.build_interframe_record(
-                    p, n, ks[j], packed_row(j)[: (n + 7) // 8].tobytes(),
-                    n, b"", 0, values, zlib_level=zl))
+                bsec = _sec(bm_bytes[j], bz_idx[j])
+                if bsec[0]:
+                    emit(j, fc.build_blocked_z_record(
+                        p, n, ks[j], n, 0, bsec, (0, b"", 0),
+                        values_z, vcount))
+                else:
+                    emit(j, fc.build_interframe_record(
+                        p, n, ks[j], bm_bytes[j], n, b"", 0,
+                        values_z=values_z, values_count=vcount))
                 continue
-            # blocked record
+            # blocked record: per-section entropy choice; all-raw falls
+            # back to the type-3 layout (decodes in older readers).
             m = int(m_arr[j])
-            sub = _words32_bits_host(words[j], m)       # (NB, m) bits
-            bitmap_bytes = np.packbits(sub.reshape(-1)).tobytes()
-            seg_lens = (wcnt[j] + 7) // 8
-            wit_stream = _strip_rows(wit[j], seg_lens).tobytes()
-            payload_sink.append(fc.build_interframe_record(
-                p, n, ks[j], bitmap_bytes, m * nb,
-                wit_stream, int(wcnt[j].sum()), values,
-                zlib_level=zl, rtype=fc.BLOCKED))
+            bsec = _sec(bm_bytes[j], bz_idx[j])
+            wsec = _sec(wit_bytes[j], wz_idx[j])
+            wbits = int(wcnt[j].sum())
+            if bsec[0] or wsec[0]:
+                emit(j, fc.build_blocked_z_record(
+                    p, n, ks[j], m * nb, wbits, bsec, wsec,
+                    values_z, vcount))
+            else:
+                emit(j, fc.build_interframe_record(
+                    p, n, ks[j], bm_bytes[j], m * nb,
+                    wit_bytes[j], wbits, values_z=values_z,
+                    values_count=vcount, rtype=fc.BLOCKED))
         return keyframes
 
 
@@ -666,6 +885,44 @@ def _chain_apply(base, masks, vals, *, shape):
 
     _, frames = jax.lax.scan(step, base_flat, (m2, v2))
     return frames.reshape((f,) + shape)
+
+
+@partial(jax.jit, static_argnames=("shape",))
+def _chain_apply_motion(base, masks, vals, shifts, *, shape):
+    """:func:`_chain_apply` with per-frame global-motion rolls (type-6
+    records): frame_j = where(mask_j, vals_j, roll(frame_{j-1},
+    shifts[j])) on 24-bit packed pixels."""
+    h, w = shape[:2]
+    n = h * w
+    f = masks.shape[0]
+    m2 = masks.reshape(f, -1)[:, :n].reshape(f, h, w)
+    v2 = vals.reshape(f, -1)[:, :n].reshape(f, h, w)
+    arr = base if base.ndim == 3 else base[..., None]
+    base_packed = _pack_pixels(
+        arr.reshape(1, n, arr.shape[-1]))[0].reshape(h, w)
+
+    def step(prev, x):
+        mask, val, s = x
+        rolled = _roll2d(prev, s[0], s[1])
+        frame = jnp.where(mask > 0, val, rolled)
+        return frame, frame
+
+    _, packed = jax.lax.scan(step, base_packed, (m2, v2, shifts))
+    return _unpack_frames(packed, shape=shape)
+
+
+@lru_cache(maxsize=32)
+def _fused_expand_motion_prog(vh: int, shape: tuple, channels: int):
+    """Decode stage 2 for runs with nonzero motion: Pallas expansion
+    (no in-kernel chain — the roll is a cross-block permutation) plus
+    an XLA scan chain with per-frame rolls, one program launch."""
+    @jax.jit
+    def prog(passes, wit, raw, flags, vseg_bytes, base, shifts):
+        vseg = _unpack_vseg_bytes(vseg_bytes, channels)
+        mask, vals = bk.blocked_expand(passes, wit, raw, flags, vseg,
+                                       vh=vh)
+        return _chain_apply_motion(base, mask, vals, shifts, shape=shape)
+    return prog
 
 
 class BlockedDecoder:
@@ -704,13 +961,20 @@ class BlockedDecoder:
         wit_streams: List[Optional[bytes]] = [None] * f
         value_streams: List[Optional[np.ndarray]] = [None] * f
 
+        shifts = np.zeros((f, 2), np.int32)
         for j, payload in enumerate(payloads):
             rtype = fc.record_type(payload)
+            off = 0
+            if rtype == fc.MOTION:
+                dy, dx, off = fc.parse_motion(payload)
+                shifts[j] = (dy, dx)
+                rtype = payload[off]
             if rtype == fc.EMPTY:
                 flags[j] = 1
                 continue
             if rtype == fc.SPARSE:
-                rec_n, indices, values = fc.parse_sparse_frame(payload, 1)
+                rec_n, indices, values = fc.parse_sparse_frame(
+                    payload, off + 1)
                 if rec_n != n:
                     raise ValueError(
                         "sparse record length mismatch with geometry")
@@ -723,7 +987,9 @@ class BlockedDecoder:
                 raw_used = True
                 value_streams[j] = values
                 continue
-            rec = fc.parse_interframe(payload, 1)
+            rec = (fc.parse_blocked_z(payload, off + 1)
+                   if rtype == fc.BLOCKED_Z
+                   else fc.parse_interframe(payload, off + 1))
             if rec["n"] != n:
                 raise ValueError("record length mismatch with geometry")
             value_streams[j] = rec["values"]
@@ -735,9 +1001,20 @@ class BlockedDecoder:
                 raw_mask[j, :nb] = mb.reshape(nb, bk.IPB)
                 raw_used = True
                 continue
-            if rtype != fc.BLOCKED:
+            if rtype not in (fc.BLOCKED, fc.BLOCKED_Z):
                 raise ValueError("BFV2 bloom record routed to blocked decoder")
             m = rec["bitmap_bits"] // nb
+            # The kernel's reciprocal-multiply mod (ops/pallas/blocked.
+            # _fast_mod) is verified bit-exact for m >= MIN_M (and the
+            # encoder emits sparse records below MIN_M, and clamps to
+            # MMAX above); reject out-of-range m from third-party or
+            # corrupt streams instead of decoding them wrong.
+            if (m < MIN_M or m > bk.MMAX
+                    or rec["bitmap_bits"] != m * nb):
+                raise ValueError(
+                    f"blocked record sub-filter width {m} outside "
+                    f"[{MIN_M}, {bk.MMAX}] (bitmap_bits="
+                    f"{rec['bitmap_bits']}, blocks={nb})")
             m_arr[j] = m
             bits = np.unpackbits(rec["bitmap_bytes"])[: rec["bitmap_bits"]]
             words[j, :nb] = _bits_words32_host(bits.reshape(nb, m))
@@ -747,7 +1024,7 @@ class BlockedDecoder:
             tlo[j] = a_lo
             wit_streams[j] = rec["witness_bytes"].tobytes()
 
-        k_lanes = int(fk_arr.max())
+        k_lanes = bk.k_bucket(int(fk_arr.max()))
         nw = bk.nw_bucket(int(m_arr.max()))
         if self.dispatch is not None:
             passes_d, wcnt_d = self.dispatch.membership(
@@ -798,13 +1075,26 @@ class BlockedDecoder:
         # shipping 0.25 GB/120x1080p of zeros across the host link.
         raw_dev = (jnp.asarray(raw_mask) if raw_used
                    else jnp.zeros((f, nbk, bk.IPB), jnp.uint8))
+        any_motion = bool(shifts.any())
         if self.dispatch is not None:
             mask_d, vals_d = self.dispatch.expand(
                 passes_d, jnp.asarray(wit), raw_dev,
                 jnp.asarray(flags), jnp.asarray(vseg), vh=vh,
                 channels=channels)
-            frames = jax.device_get(_chain_apply(
-                jnp.asarray(base), mask_d, vals_d, shape=tuple(shape)))
+            if any_motion:
+                frames = jax.device_get(_chain_apply_motion(
+                    jnp.asarray(base), mask_d, vals_d,
+                    jnp.asarray(shifts), shape=tuple(shape)))
+            else:
+                frames = jax.device_get(_chain_apply(
+                    jnp.asarray(base), mask_d, vals_d,
+                    shape=tuple(shape)))
+        elif any_motion:
+            prog = _fused_expand_motion_prog(vh, tuple(shape), channels)
+            frames = jax.device_get(prog(
+                passes_d, jnp.asarray(wit), raw_dev,
+                jnp.asarray(flags), jnp.asarray(vseg), jnp.asarray(base),
+                jnp.asarray(shifts)))
         else:
             prog = _fused_expand_chain_prog(vh, tuple(shape), npadk, nbk,
                                             channels)

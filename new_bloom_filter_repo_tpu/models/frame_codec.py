@@ -47,10 +47,23 @@ INTERFRAME = 0
 #     streams (native 4:2:0/4:2:2 geometry — half the samples of the
 #     reference's 444 upconversion) instead of per-frame records; the
 #     header is followed by each plane's record sequence in order.
+# 6 — global-motion wrapper: <h dy, <h dx (np.roll shifts applied to the
+#     previous frame before diffing) followed by any inter-style inner
+#     record (0/2/3/4/7).  Decode reconstructs against roll(prev).
+#     Collapses camera-pan content from dense-mask fallback to
+#     near-static cost; the reference has no motion handling at all.
+# 7 — blocked record with entropy-coded sections: the type-3 layout but
+#     the bitmap and witness streams each carry a coding flag and may be
+#     DEFLATE'd (the reference layout mandates raw packbits only for its
+#     own type 0, improved_video_compressor.py:930-959; types 3/4/5/7
+#     are this framework's extensions and free to compress — the
+#     witness stream is strongly biased toward 1-bits).
 EMPTY = 2
 BLOCKED = 3
 SPARSE = 4
 PLANAR = 5
+MOTION = 6
+BLOCKED_Z = 7
 
 _HDR_III = struct.Struct("<III")
 _U32 = struct.Struct("<I")
@@ -322,12 +335,18 @@ def parse_sparse_frame(data: bytes, offset: int = 0):
 def build_interframe_record(p: float, n: int, k: float,
                             bitmap_bytes: bytes, bitmap_bits: int,
                             witness_bytes: bytes, witness_bits: int,
-                            values: np.ndarray, typed: bool = True,
+                            values: np.ndarray = None, typed: bool = True,
                             zlib_level: int = 9,
-                            rtype: int = INTERFRAME) -> bytes:
+                            rtype: int = INTERFRAME,
+                            values_z: bytes = None,
+                            values_count: int = 0) -> bytes:
     """Assemble the inter-frame diff payload from already-computed parts
     (byte layout: improved_video_compressor.py:930-959; ``rtype``
-    selects the type byte: INTERFRAME or BLOCKED)."""
+    selects the type byte: INTERFRAME or BLOCKED).
+
+    Pass either ``values`` (raw, compressed here) or ``values_z`` +
+    ``values_count`` (already DEFLATE'd by the native threaded batch
+    stage — byte-identical to in-line zlib at the same level)."""
     buf = io.BytesIO()
     if typed:
         buf.write(_U8.pack(rtype))
@@ -340,11 +359,13 @@ def build_interframe_record(p: float, n: int, k: float,
     buf.write(bitmap_bytes)
     buf.write(_U32.pack(len(witness_bytes)))
     buf.write(witness_bytes)
-    values = np.asarray(values, dtype=np.uint8).ravel()
-    vz = zlib.compress(values.tobytes(), level=zlib_level)
-    buf.write(_U32.pack(len(vz)))
-    buf.write(_U32.pack(len(values)))
-    buf.write(vz)
+    if values_z is None:
+        values = np.asarray(values, dtype=np.uint8).ravel()
+        values_z = zlib.compress(values.tobytes(), level=zlib_level)
+        values_count = values.size
+    buf.write(_U32.pack(len(values_z)))
+    buf.write(_U32.pack(values_count))
+    buf.write(values_z)
     return buf.getvalue()
 
 
@@ -369,6 +390,91 @@ def encode_interframe(mask: np.ndarray, values: np.ndarray,
     return build_interframe_record(
         p, n, k, bitmap_bytes, len(bitmap), witness_bytes, len(witness),
         values, typed=typed, zlib_level=zlib_level)
+
+
+def build_blocked_z_record(p: float, n: int, k: float,
+                           bitmap_bits: int, witness_bits: int,
+                           bitmap_sec: tuple, witness_sec: tuple,
+                           values_z: bytes, values_count: int) -> bytes:
+    """Assemble a type-7 blocked record from pre-coded sections.
+
+    ``bitmap_sec`` / ``witness_sec`` are (coding, stored_bytes, raw_len)
+    tuples with coding 0 = raw, 1 = DEFLATE; ``values_z`` is the already
+    zlib'd value stream (the value section was always compressed — this
+    form lets the encoder batch all DEFLATE work through the native
+    threaded stage instead of per-record zlib calls).
+
+    Layout: <B 7, <f p, <I n, <f k, <I bitmap_bits, <I witness_bits,
+    section(bitmap), section(witness), <I vz_len, <I value_count, vz;
+    section := <B coding, <I stored_len, [<I raw_len if coding], bytes.
+    """
+    buf = io.BytesIO()
+    buf.write(_U8.pack(BLOCKED_Z))
+    buf.write(_F32.pack(p))
+    buf.write(_U32.pack(n))
+    buf.write(_F32.pack(k))
+    buf.write(_U32.pack(bitmap_bits))
+    buf.write(_U32.pack(witness_bits))
+    for coding, stored, raw_len in (bitmap_sec, witness_sec):
+        buf.write(_U8.pack(coding))
+        buf.write(_U32.pack(len(stored)))
+        if coding:
+            buf.write(_U32.pack(raw_len))
+        buf.write(stored)
+    buf.write(_U32.pack(len(values_z)))
+    buf.write(_U32.pack(values_count))
+    buf.write(values_z)
+    return buf.getvalue()
+
+
+def _read_section(buf) -> np.ndarray:
+    coding = _U8.unpack(buf.read(1))[0]
+    stored_len = _U32.unpack(buf.read(4))[0]
+    if coding == 0:
+        return np.frombuffer(buf.read(stored_len), dtype=np.uint8)
+    if coding != 1:
+        raise ValueError(f"unknown section coding {coding}")
+    raw_len = _U32.unpack(buf.read(4))[0]
+    raw = zlib.decompress(buf.read(stored_len))
+    if len(raw) != raw_len:
+        raise ValueError("section raw length mismatch")
+    return np.frombuffer(raw, dtype=np.uint8)
+
+
+def parse_blocked_z(data: bytes, offset: int = 0) -> dict:
+    """Parse a type-7 record (after the type byte) into the same dict
+    shape :func:`parse_interframe` returns (sections decompressed)."""
+    buf = io.BytesIO(data)
+    buf.seek(offset)
+    out = {}
+    out["p"] = _F32.unpack(buf.read(4))[0]
+    out["n"] = _U32.unpack(buf.read(4))[0]
+    out["k"] = _F32.unpack(buf.read(4))[0]
+    out["bitmap_bits"] = _U32.unpack(buf.read(4))[0]
+    out["witness_bits"] = _U32.unpack(buf.read(4))[0]
+    out["bitmap_bytes"] = _read_section(buf)
+    out["witness_bytes"] = _read_section(buf)
+    vz_len = _U32.unpack(buf.read(4))[0]
+    out["values_count"] = _U32.unpack(buf.read(4))[0]
+    out["values"] = np.frombuffer(
+        zlib.decompress(buf.read(vz_len)),
+        dtype=np.uint8)[: out["values_count"]]
+    return out
+
+
+def wrap_motion(dy: int, dx: int, inner: bytes) -> bytes:
+    """Wrap an inter-style record with a global-motion header (type 6).
+
+    The decoder rolls the previous reconstruction by (dy, dx) —
+    np.roll wrap-around semantics on the (H, W) axes — before applying
+    the inner record's mask/values."""
+    return _U8.pack(MOTION) + struct.pack("<hh", dy, dx) + inner
+
+
+def parse_motion(data: bytes):
+    """Returns (dy, dx, inner_offset) of a type-6 record."""
+    dy, dx = struct.unpack_from("<hh", data, 1)
+    return dy, dx, 5
 
 
 def parse_interframe(data: bytes, offset: int = 0) -> dict:

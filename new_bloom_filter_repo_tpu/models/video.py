@@ -107,16 +107,21 @@ def verify_lossless(original_frames, decompressed_frames,
                 and od.tobytes() == dd.tobytes()):
             exact += 1
             frame_diffs.append(0.0)
+            continue
+        if od.shape != dd.shape:
+            fd = float("inf")
         else:
+            # float64 keeps the diff report faithful for wide dtypes
+            # (uint32/float64 frames would round in a float32 cast).
             with np.errstate(invalid="ignore"):
-                fd = float(np.nanmean(np.abs(od.astype(np.float32)
-                                             - dd.astype(np.float32))))
+                fd = float(np.nanmean(np.abs(od.astype(np.float64)
+                                             - dd.astype(np.float64))))
             if np.isnan(fd):
                 fd = float("inf")
-            frame_diffs.append(fd)
-            diff_frames.append(i)
-            if fd > max_diff:
-                max_diff, max_diff_frame = fd, i
+        frame_diffs.append(fd)
+        diff_frames.append(i)
+        if fd > max_diff:
+            max_diff, max_diff_frame = fd, i
     is_lossless = exact == len(original_frames)
     result = {
         "lossless": is_lossless,
@@ -139,10 +144,15 @@ def verify_lossless(original_frames, decompressed_frames,
 
 class FixedVideoCompressor:
     """Keyframe-only lossless codec, byte-compatible with the reference's
-    live path (fixed_video_compressor.py:15-334)."""
+    live path (fixed_video_compressor.py:15-334).
 
-    def __init__(self, verbose: bool = True):
+    ``num_threads`` sizes the native threaded-DEFLATE pool the batched
+    entropy stage runs on (0/None = all host cores)."""
+
+    def __init__(self, verbose: bool = True,
+                 num_threads: Optional[int] = None):
         self.verbose = verbose
+        self.num_threads = int(num_threads or 0)
 
     def compress_frame(self, frame) -> bytes:
         return fc.encode_keyframe(unwrap(frame), yuv_info_of(frame),
@@ -161,7 +171,8 @@ class FixedVideoCompressor:
         # to the per-frame path; the entropy stage is the hot loop here).
         return fc.encode_keyframes_batch(
             [unwrap(f) for f in frames],
-            [yuv_info_of(f) for f in frames], typed=False)
+            [yuv_info_of(f) for f in frames], typed=False,
+            threads=self.num_threads)
 
     def decompress_video(self, compressed_frames) -> List[np.ndarray]:
         if self.verbose:
@@ -191,7 +202,7 @@ class ImprovedVideoCompressor:
                  min_diff_threshold: float = 3.0,
                  max_diff_threshold: float = 30.0,
                  bloom_threshold_modifier: float = 1.0,
-                 batch_size: int = 30,
+                 batch_size: Optional[int] = None,
                  num_threads: Optional[int] = None,
                  use_direct_yuv: bool = False,
                  verbose: bool = False,
@@ -199,14 +210,27 @@ class ImprovedVideoCompressor:
                  exact: bool = True,
                  profile: str = "blocked",
                  devices=None,
-                 prefetch: Optional[bool] = None):
+                 prefetch: Optional[bool] = None,
+                 motion: bool = True):
         self.noise_tolerance = noise_tolerance
         self.keyframe_interval = max(1, int(keyframe_interval))
         self.min_diff_threshold = min_diff_threshold
         self.max_diff_threshold = max_diff_threshold
         self.bloom_threshold_modifier = bloom_threshold_modifier
-        self.batch_size = batch_size
-        self.num_threads = num_threads
+        # batch_size is the DEVICE CHUNK: how many inter frames each
+        # compiled program processes per dispatch (None -> the NBF_CHUNK
+        # env default).  The reference stores batch_size and never uses
+        # it (improved_video_compressor.py:318-327, SURVEY.md §2); here
+        # it is the real device batching knob.  Any value decodes any
+        # stream — chunking is not bitstream-observable.
+        self._chunk = _CHUNK if batch_size is None else int(batch_size)
+        if self._chunk < 1:
+            raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+        self.batch_size = self._chunk
+        # num_threads sizes the host entropy stage's native DEFLATE pool
+        # (0/None = all cores) — the reference advertises threads but
+        # never creates a pool (improved_video_compressor.py:36,714-717).
+        self.num_threads = int(num_threads or 0)
         self.use_direct_yuv = use_direct_yuv
         self.verbose = verbose
         if mode not in ("bloom", "keyframe"):
@@ -225,7 +249,8 @@ class ImprovedVideoCompressor:
         # use_direct_yuv but still stores 444) — plane-exact round trip,
         # honest ratios against the raw file size.
         self.profile = profile
-        self.compressor = FixedVideoCompressor(verbose=verbose)
+        self.compressor = FixedVideoCompressor(verbose=verbose,
+                                               num_threads=num_threads)
         self.bloom_compressor = BloomFilterCompressor(verbose=False,
                                                       seed_set="video")
         # Pipeline stage overlap: upload chunk i+1 while chunk i computes
@@ -244,7 +269,12 @@ class ImprovedVideoCompressor:
         # frames), or a jax.sharding.Mesh with axes 'dp'[, 'sp'].  The
         # emitted stream is identical for every choice.
         self.mesh = _resolve_mesh(devices)
-        self._blocked_enc = blocked_pipeline.BlockedEncoder(mesh=self.mesh)
+        # Global-motion search (blocked profile): per-frame (dy, dx)
+        # roll of the diff base, type-6 wrapped records.  motion=False
+        # (or NBF_MOTION=0) pins the reference's co-located diff.
+        self.motion = motion
+        self._blocked_enc = blocked_pipeline.BlockedEncoder(
+            mesh=self.mesh, num_threads=self.num_threads, motion=motion)
         self._blocked_dec = blocked_pipeline.BlockedDecoder(mesh=self.mesh)
         self._gop_progs: dict = {}  # dp-sharded BFV2 programs, per shape
         # Bloom-mode keyframes use a faster DEFLATE level (any level
@@ -320,11 +350,12 @@ class ImprovedVideoCompressor:
 
         # Segment plan first, so chunk uploads can run one step ahead of
         # processing (the host->device link dominates end-to-end time).
-        segments = _plan_segments(total, self.keyframe_interval)
+        segments = _plan_segments(total, self.keyframe_interval,
+                                  self._chunk)
 
         def padded_frames(start, end):
             fr = darrs[start:end]
-            return fr + [fr[-1]] * (_CHUNK - len(fr))
+            return fr + [fr[-1]] * (self._chunk - len(fr))
 
         # Pipeline overlap (self.prefetch): issue chunk i+1's async
         # device upload before chunk i's compute/pulls so the two link
@@ -389,13 +420,14 @@ class ImprovedVideoCompressor:
         tables = get_hash_tables(n, "video")
         l_pad = bloom_core.bitmap_pad(n)
 
-        segments = _plan_segments(total, self.keyframe_interval)
+        segments = _plan_segments(total, self.keyframe_interval,
+                                  self._chunk)
 
         # dp mesh: pad the device batch to a dp multiple and run the GOP
         # programs frame-sharded (parallel/batch.py); the emitted records
         # are byte-identical to the single-device path.
         dp = int(self.mesh.shape["dp"]) if self.mesh is not None else 1
-        bpad = -(-_CHUNK // dp) * dp
+        bpad = -(-self._chunk // dp) * dp
 
         for kind, start, end in segments:
             if kind == "key":
@@ -711,17 +743,16 @@ class ImprovedVideoCompressor:
                               if prev_info is not None else prev)
                 i += 1
                 continue
-            if rtype not in (fc.INTERFRAME, fc.EMPTY, fc.BLOCKED,
-                             fc.SPARSE):
+            inter_types = (fc.INTERFRAME, fc.EMPTY, fc.BLOCKED,
+                           fc.SPARSE, fc.BLOCKED_Z, fc.MOTION)
+            if rtype not in inter_types:
                 raise ValueError(f"Unknown frame type: {rtype}")
             if prev is None:
                 raise ValueError("inter-frame record before any keyframe")
             j = i
             while (j < len(payloads)
-                   and j - i < _CHUNK
-                   and fc.record_type(payloads[j]) in (fc.INTERFRAME,
-                                                       fc.EMPTY, fc.BLOCKED,
-                                                       fc.SPARSE)):
+                   and j - i < self._chunk
+                   and fc.record_type(payloads[j]) in inter_types):
                 j += 1
             byte_domain = (prev.dtype != np.uint8
                            or (prev.ndim == 3 and prev.shape[2] > 3))
@@ -788,7 +819,7 @@ class ImprovedVideoCompressor:
                 frames = self._decode_seg_legacy(base, seg)
             else:
                 real = len(seg)
-                seg = seg + [fc.encode_empty_frame()] * (_CHUNK - real)
+                seg = seg + [fc.encode_empty_frame()] * (self._chunk - real)
                 frames = self._blocked_dec.decode_run(base, seg)[:real]
             out.extend(frames)
             base = frames[-1]
@@ -804,7 +835,7 @@ class ImprovedVideoCompressor:
         dp = int(self.mesh.shape["dp"]) if self.mesh is not None else 1
         # padded batch; extra rows are no-op empty frames (dp mesh: the
         # batch also pads to a dp multiple so frames shard evenly)
-        bp = -(-_CHUNK // dp) * dp
+        bp = -(-self._chunk // dp) * dp
         h, w = base.shape[:2]
         n = h * w
         n8 = bitpack.padded_length(n)
@@ -1090,7 +1121,8 @@ class ImprovedVideoCompressor:
         return frames
 
 
-def _plan_segments(total: int, keyframe_interval: int):
+def _plan_segments(total: int, keyframe_interval: int,
+                   chunk: int = _CHUNK):
     """Chunking plan shared by every batched encoder: scheduled keyframes
     at every ``keyframe_interval`` frames, runs of inter frames between
     them capped at the device chunk size."""
@@ -1102,7 +1134,7 @@ def _plan_segments(total: int, keyframe_interval: int):
             pos += 1
             continue
         next_key = ((pos // keyframe_interval) + 1) * keyframe_interval
-        run_end = min(total, next_key, pos + _CHUNK)
+        run_end = min(total, next_key, pos + chunk)
         segments.append(("run", pos, run_end))
         pos = run_end
     return segments

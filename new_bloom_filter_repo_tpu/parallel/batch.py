@@ -152,7 +152,8 @@ def make_gop_masks_dp(mesh: Mesh):
 
     Returns fn(prev (B,h,w[,c]) u8, curr (B,h,w[,c]) u8)
       -> (masks (B,n8) u8, packed (B,n8/8) u8, counts (B,) i32);
-    B must divide mesh.shape['dp']."""
+    mesh.shape['dp'] must divide B (shard_map shards the leading axis
+    evenly across dp)."""
     from new_bloom_filter_repo_tpu.models import gop as gop_mod
     sharded = jax.shard_map(
         gop_mod.gop_masks_pairs, mesh=mesh,

@@ -42,13 +42,21 @@ def _provision_virtual_cpus(n_devices: int) -> None:
     backend is first initialized — so this only helps if nothing has
     touched any backend yet (the common case for CLI runs).  Harmless
     when real devices turn out to be plentiful: it only widens the host
-    platform, which then simply goes unused."""
+    platform, which then simply goes unused.
+
+    NOTE: this mutates the process-global XLA_FLAGS env var as a side
+    effect (see auto_mesh).  When the embedding process has explicitly
+    pinned a non-CPU platform via JAX_PLATFORMS, real accelerators are
+    expected and the widening is skipped."""
     import os
 
     from jax._src import xla_bridge
 
     if xla_bridge.backends_are_initialized():
         return
+    platforms = os.environ.get("JAX_PLATFORMS", "")
+    if platforms and "cpu" not in platforms.lower():
+        return  # accelerator platform pinned; don't touch host config
     cur = os.environ.get("XLA_FLAGS", "")
     m = re.search(r"--xla_force_host_platform_device_count=(\d+)", cur)
     if m:
@@ -61,10 +69,54 @@ def _provision_virtual_cpus(n_devices: int) -> None:
     os.environ["XLA_FLAGS"] = (cur + " " + flag).strip()
 
 
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> dict:
+    """Multi-host (DCN) initialization for multi-slice frame sharding.
+
+    Thin wrapper over ``jax.distributed.initialize`` (SURVEY.md §2 comm
+    row: ICI within a slice via shard_map collectives, DCN across hosts
+    via jax.distributed).  On TPU pods the arguments are discovered from
+    the environment; pass them explicitly for CPU/GPU multi-process
+    runs.  After initialization, ``jax.devices()`` spans every host's
+    chips, so ``auto_mesh()`` / ``make_mesh()`` build global meshes and
+    the codec's dp/sp sharding rides DCN between hosts transparently —
+    per-frame records stay host-independent because the emitted stream
+    is canonical per geometry (models/blocked_pipeline.py).
+
+    Idempotent: repeat calls return the existing runtime state.
+    Returns {"process_id", "num_processes", "local_devices",
+    "global_devices"}.
+    """
+    from jax._src.distributed import global_state as _dist_state
+    if _dist_state.client is None:
+        kwargs = {}
+        if coordinator_address is not None:
+            kwargs["coordinator_address"] = coordinator_address
+        if num_processes is not None:
+            kwargs["num_processes"] = num_processes
+        if process_id is not None:
+            kwargs["process_id"] = process_id
+        jax.distributed.initialize(**kwargs)
+    return {
+        "process_id": jax.process_index(),
+        "num_processes": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "global_devices": len(jax.devices()),
+    }
+
+
 def auto_mesh(n_devices: int | None = None, sp: int = 1) -> Mesh:
     """Reasonable default: all devices on frame parallelism (frames are
     embarrassingly parallel); pass ``sp`` > 1 to reserve an index/block
-    axis for within-frame sharding of oversized (4K/8K) frames."""
+    axis for within-frame sharding of oversized (4K/8K) frames.
+
+    When ``n_devices`` exceeds the attached device count and no backend
+    has initialized yet, this widens the host (CPU) platform by
+    appending ``--xla_force_host_platform_device_count`` to the
+    process-global XLA_FLAGS env var — a persistent side effect for
+    every later backend init in this process (skipped when JAX_PLATFORMS
+    pins a non-CPU platform; see _provision_virtual_cpus)."""
     if n_devices:
         _provision_virtual_cpus(n_devices)
     devices = jax.devices()

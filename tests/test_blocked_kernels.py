@@ -135,6 +135,7 @@ class TestDecodeKernels:
             np.asarray(out_vals), np.where(bits.astype(bool), vals, 0))
 
 
+@pytest.mark.slow
 class TestExpandChainFused:
     def test_matches_unfused_expand_plus_chain(self):
         """blocked_expand_chain == blocked_expand followed by the frame
@@ -243,6 +244,7 @@ def test_butterfly_roundtrip_properties():
             np.testing.assert_array_equal(back[r][kept[r].astype(bool)], want)
 
 
+@pytest.mark.slow
 def test_hash_native_kernels_match_table_kernels():
     """blocked_encode_h / blocked_membership_h (in-kernel mod +
     activation compare) are bit-identical to the table-fed kernels on
@@ -287,6 +289,7 @@ def test_hash_native_kernels_match_table_kernels():
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
+@pytest.mark.slow
 def test_kernel_geometry_padding_stream_parity(monkeypatch):
     """nbk_of pads the kernel block axis for large frames; the emitted
     byte stream must be identical to an nb-exact run and decode

@@ -137,3 +137,52 @@ def test_optimal_compression_params():
     assert optimal_compression_params(n, P_STAR) == (0, 0)
     assert optimal_compression_params(n, 0.4) == (0, 0)
     assert optimal_compression_params(n, 0.00005) == (0, 0)
+
+
+@pytest.mark.slow
+def test_fpr_theoretical_vs_empirical_reference_scale():
+    """The reference's full-scale statistical gate: 10 trials x 100k
+    random-string probes per filter, empirical FPR vs the exact rational
+    formula (port of /root/reference/test_bloom_filters.py:139-201,
+    which prints but never asserts; here the tolerance is enforced)."""
+    m, n = 100, 10
+    k_star = RationalBloomFilter.get_optimal_hash_count(m, n)
+    k_std = StandardBloomFilter.get_optimal_hash_count(m, n)
+    frac = k_star - math.floor(k_star)
+    theo_std = (1 - np.exp(-k_std * n / m)) ** k_std
+    theo_rat_exact = ((1 - np.exp(-math.floor(k_star) * n / m))
+                      ** math.floor(k_star)
+                      * (1 - np.exp(-n / m)) ** frac)
+
+    rng = random.Random(42)
+    trials, probes = 10, 100_000
+    std_fprs, rat_fprs = [], []
+    for _ in range(trials):
+        std = StandardBloomFilter(m, k_std)
+        rat = RationalBloomFilter(m, k_star)
+        members = {f"member-{rng.getrandbits(64):016x}" for _ in range(n)}
+        for e in members:
+            std.add(e)
+            rat.add(e)
+        fp_std = fp_rat = 0
+        for j in range(probes):
+            probe = f"probe-{rng.getrandbits(64):016x}"
+            if probe in members:
+                continue
+            if std.contains(probe):
+                fp_std += 1
+            if rat.contains(probe):
+                fp_rat += 1
+        std_fprs.append(fp_std / probes)
+        rat_fprs.append(fp_rat / probes)
+
+    emp_std = float(np.mean(std_fprs))
+    emp_rat = float(np.mean(rat_fprs))
+    # 1M probes per filter family: sampling error ~1%; per-trial filter
+    # variance (n=10 insertions) dominates — 25% relative is a safe,
+    # regression-catching gate (a seed bug shifts FPR by 2-10x).
+    assert abs(emp_std - theo_std) / theo_std < 0.25, (emp_std, theo_std)
+    assert abs(emp_rat - theo_rat_exact) / theo_rat_exact < 0.25, (
+        emp_rat, theo_rat_exact)
+    # the rational filter's advantage over integer-k must materialize
+    assert emp_rat < emp_std

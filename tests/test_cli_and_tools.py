@@ -30,6 +30,7 @@ def make_y4m(path, n=6, w=64, h=48):
 
 
 class TestCLI:
+    @pytest.mark.slow
     def test_synthetic_subcommand(self, tmp_path, capsys):
         rc = cli.main(["synthetic", str(tmp_path), "--frames", "6",
                        "--width", "64", "--height", "48",
@@ -39,6 +40,7 @@ class TestCLI:
         assert "Lossless: True" in out
         assert os.path.exists(str(tmp_path / "synthetic_compressed.bfvc"))
 
+    @pytest.mark.slow
     def test_compress_decompress_y4m(self, tmp_path, capsys):
         y4m = str(tmp_path / "in.y4m")
         make_y4m(y4m)

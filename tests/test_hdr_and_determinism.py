@@ -141,6 +141,7 @@ class TestByteDomainInterCoding:
             assert a.tobytes() == b.tobytes()
         return res, types
 
+    @pytest.mark.slow
     def test_float32_hdr_clip_inter_codes(self, tmp_path):
         rng = np.random.default_rng(0)
         base = rng.random((24, 64, 3), dtype=np.float32) * 100
@@ -170,6 +171,7 @@ class TestByteDomainInterCoding:
             frames.append(f)
         self._roundtrip(frames, tmp_path, "u16.bfvc")
 
+    @pytest.mark.slow
     def test_bgra_clip_inter_codes(self, tmp_path):
         rng = np.random.default_rng(2)
         base = rng.integers(0, 255, (24, 40, 4), dtype=np.uint8)

@@ -1,0 +1,262 @@
+"""Round-3 features: global-motion records (type 6), entropy-coded
+blocked records (type 7), and the num_threads/batch_size plumbing.
+
+Reference context: the reference's diff is strictly co-located
+(improved_video_compressor.py:801 — no motion handling of any kind) and
+its layout zlibs only the value stream (improved_video_compressor.py:956);
+types 6/7 are this framework's extensions (models/frame_codec.py).
+"""
+
+import os
+import tempfile
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from new_bloom_filter_repo_tpu.models import blocked_pipeline as bp
+from new_bloom_filter_repo_tpu.models import frame_codec as fc
+from new_bloom_filter_repo_tpu.models.video import (
+    ImprovedVideoCompressor,
+    verify_lossless,
+)
+from new_bloom_filter_repo_tpu.utils import container
+
+
+def _pan_frames(count=18, h=96, w=128, seed=3):
+    """Textured scene panning by (1, 3) px/frame via np.roll + sparse
+    sensor noise — the content class the motion search targets."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 240, (h, w), dtype=np.uint8)
+    # smooth the texture so zlib has structure to find
+    base = (base[:, :] // 3 + np.arange(w, dtype=np.uint8)[None, :] // 2)
+    frames = []
+    scene = base.astype(np.uint8)
+    for i in range(count):
+        scene = np.roll(np.roll(scene, 1, axis=0), 3, axis=1)
+        f = scene.copy()
+        spots = rng.random(f.shape) < 0.01
+        f[spots] = rng.integers(0, 255, int(spots.sum()))
+        frames.append(f)
+    return frames
+
+
+@pytest.fixture(scope="module")
+def pan_streams(tmp_path_factory):
+    """Encode the pan clip with and without motion; return
+    (frames, results, payload lists)."""
+    frames = _pan_frames()
+    out = {}
+    td = tmp_path_factory.mktemp("pan")
+    for motion in (False, True):
+        comp = ImprovedVideoCompressor(verbose=False, keyframe_interval=30,
+                                       motion=motion)
+        path = str(td / f"pan_{motion}.bfvc")
+        res = comp.compress_video(frames, path, input_color_space="BGR")
+        _, payloads = container.read_bfvc(path)
+        dec = comp.decompress_video(path)
+        out[motion] = (res, payloads, dec)
+    return frames, out
+
+
+class TestMotion:
+    def test_pan_lossless_and_smaller(self, pan_streams):
+        frames, out = pan_streams
+        for motion in (False, True):
+            res, _, dec = out[motion]
+            v = verify_lossless(frames, dec)
+            assert v["lossless"], f"motion={motion} not lossless"
+        # the motion encode must collapse the pan (VERDICT r2 #2)
+        assert (out[True][0]["compression_ratio"]
+                < 0.5 * out[False][0]["compression_ratio"])
+
+    def test_motion_emits_type6_records(self, pan_streams):
+        _, out = pan_streams
+        types_on = Counter(fc.record_type(p) for p in out[True][1])
+        types_off = Counter(fc.record_type(p) for p in out[False][1])
+        assert types_on[fc.MOTION] > 10
+        assert fc.MOTION not in types_off
+
+    def test_motion_header_roundtrip(self):
+        inner = b"\x02"  # EMPTY record
+        rec = fc.wrap_motion(-3, 7, inner)
+        assert fc.record_type(rec) == fc.MOTION
+        dy, dx, off = fc.parse_motion(rec)
+        assert (dy, dx) == (-3, 7)
+        assert rec[off:] == inner
+
+    def test_motion_env_kill_switch(self, monkeypatch):
+        monkeypatch.setenv("NBF_MOTION", "0")
+        enc = bp.BlockedEncoder(motion=True)
+        assert not enc.motion
+
+    def test_choose_shifts_policy(self):
+        side = 2 * bp.MOTION_RADIUS + 1
+        zero = bp.MOTION_RADIUS * side + bp.MOTION_RADIUS
+        counts = np.full((3, side * side), 1000, np.int64)
+        # frame 0: candidate (2, -1) clearly wins
+        win = (bp.MOTION_RADIUS + 2) * side + (bp.MOTION_RADIUS - 1)
+        counts[0, win] = 100
+        # frame 1: best barely beats zero — margin gate keeps (0, 0)
+        counts[1, zero] = 500
+        counts[1, win] = 450
+        # frame 2: tiny zero count — not worth shifting
+        counts[2, :] = 10
+        counts[2, win] = 0
+        shifts = bp.choose_shifts(counts)
+        assert shifts[0].tolist() == [2, -1]
+        assert shifts[1].tolist() == [0, 0]
+        assert shifts[2].tolist() == [0, 0]
+
+    def test_static_content_stream_identical_with_motion_enabled(self):
+        """Zero shifts must reproduce the motion-off byte stream."""
+        rng = np.random.default_rng(5)
+        base = rng.integers(0, 255, (64, 96, 3), np.uint8)
+        frames = []
+        for t in range(10):
+            f = base.copy()
+            f[10:20, 10 + t:20 + t] = t * 11
+            frames.append(f)
+        streams = []
+        for motion in (False, True):
+            comp = ImprovedVideoCompressor(verbose=False, motion=motion)
+            with tempfile.TemporaryDirectory() as td:
+                p = os.path.join(td, "s.bfvc")
+                comp.compress_video(frames, p, input_color_space="BGR")
+                streams.append(open(p, "rb").read())
+        assert streams[0] == streams[1]
+
+
+class TestBlockedZ:
+    def test_type7_records_emitted_and_decode(self, pan_streams):
+        frames, out = pan_streams
+        inner_types = Counter()
+        for p in out[True][1]:
+            t = fc.record_type(p)
+            if t == fc.MOTION:
+                _, _, off = fc.parse_motion(p)
+                t = p[off]
+            inner_types[t] += 1
+        assert inner_types[fc.BLOCKED_Z] > 0
+
+    def test_type7_and_type3_decode_identically(self, pan_streams, tmp_path):
+        """Rewrite every type-7 record as raw type-3 (the pre-entropy
+        layout) and check both streams reconstruct the same frames —
+        the cross-version decode guarantee (VERDICT r2 #3)."""
+        frames, out = pan_streams
+        payloads = out[True][1]
+        legacy = []
+        for p in payloads:
+            prefix = b""
+            t = fc.record_type(p)
+            off = 0
+            if t == fc.MOTION:
+                dy, dx, off = fc.parse_motion(p)
+                prefix = p[:off]
+                t = p[off]
+            if t != fc.BLOCKED_Z:
+                legacy.append(p)
+                continue
+            rec = fc.parse_blocked_z(p, off + 1)
+            rebuilt = fc.build_interframe_record(
+                rec["p"], rec["n"], rec["k"],
+                rec["bitmap_bytes"].tobytes(), rec["bitmap_bits"],
+                rec["witness_bytes"].tobytes(), rec["witness_bits"],
+                rec["values"],
+                rtype=fc.BLOCKED if rec["witness_bits"] else fc.INTERFRAME)
+            legacy.append(prefix + rebuilt)
+        p3 = str(tmp_path / "legacy.bfvc")
+        container.write_bfvc(p3, legacy, container.MAGIC_BLOOM)
+        comp = ImprovedVideoCompressor(verbose=False)
+        dec = comp.decompress_video(p3)
+        v = verify_lossless(frames, dec)
+        assert v["lossless"]
+
+    def test_section_parse_rejects_unknown_coding(self):
+        rec = fc.build_blocked_z_record(
+            0.1, 1024, 3.0, 1024, 0, (0, b"\x00" * 128, 0), (0, b"", 0),
+            b"x", 1)
+        bad = bytearray(rec)
+        bad[21] = 9  # bitmap section coding byte (1 type + 5*4 header)
+        with pytest.raises(ValueError):
+            fc.parse_blocked_z(bytes(bad), 1)
+
+
+class TestPlumbing:
+    def test_num_threads_reaches_native_deflate(self, monkeypatch):
+        from new_bloom_filter_repo_tpu.utils import native
+        seen = {}
+        real = native.deflate_frames
+
+        def spy(buffers, level=6, threads=0):
+            seen["threads"] = threads
+            return real(buffers, level=level, threads=threads)
+
+        monkeypatch.setattr(native, "deflate_frames", spy)
+        monkeypatch.setattr(bp.native, "deflate_frames", spy)
+        frames = _pan_frames(count=6, h=64, w=64)
+        comp = ImprovedVideoCompressor(verbose=False, num_threads=3)
+        comp.compress_video(frames, None, input_color_space="BGR")
+        assert seen.get("threads") == 3
+
+    def test_batch_size_is_the_device_chunk(self):
+        comp = ImprovedVideoCompressor(verbose=False, batch_size=7)
+        assert comp.batch_size == 7 and comp._chunk == 7
+        with pytest.raises(ValueError):
+            ImprovedVideoCompressor(batch_size=0)
+
+    def test_cross_batch_size_decode(self, tmp_path):
+        frames = _pan_frames(count=12, h=64, w=64)
+        p = str(tmp_path / "c.bfvc")
+        ImprovedVideoCompressor(verbose=False, batch_size=5).compress_video(
+            frames, p, input_color_space="BGR")
+        dec = ImprovedVideoCompressor(
+            verbose=False, batch_size=9).decompress_video(p)
+        assert verify_lossless(frames, dec)["lossless"]
+
+
+class TestGuards:
+    def test_membership_rejects_expanded_u8_words(self):
+        import jax.numpy as jnp
+        from new_bloom_filter_repo_tpu.ops.pallas import blocked as bk
+        u8 = jnp.zeros((1, 8, bk.MMAX), jnp.uint8)
+        with pytest.raises(TypeError):
+            bk.blocked_membership(
+                u8, jnp.zeros((1, 8, bk.IPB), jnp.int32),
+                jnp.zeros((1, 8, bk.IPB), jnp.int32),
+                jnp.zeros((1, 8, bk.IPB), jnp.uint8),
+                jnp.ones(1, jnp.int32), jnp.ones(1, jnp.int32),
+                jnp.zeros(1, jnp.int32), k_lanes=2)
+
+    def test_decoder_rejects_small_m(self, tmp_path):
+        """A third-party stream with m < MIN_M must fail loudly, not
+        decode wrong (_fast_mod's precondition; ADVICE r2)."""
+        h = w = 64
+        frames = _pan_frames(count=3, h=h, w=w)
+        key = fc.encode_keyframe(frames[0], None, typed=True)
+        n = h * w
+        tab = bp.blocked_tables(n)
+        nb = tab["nb"]
+        m = 8  # < MIN_M
+        bitmap = b"\x00" * ((m * nb + 7) // 8)
+        bad = fc.build_interframe_record(
+            0.01, n, 3.0, bitmap, m * nb, b"\x01", 5,
+            np.zeros(4, np.uint8), rtype=fc.BLOCKED)
+        p = str(tmp_path / "bad.bfvc")
+        container.write_bfvc(p, [key, bad], container.MAGIC_BLOOM)
+        with pytest.raises(ValueError, match="sub-filter width"):
+            ImprovedVideoCompressor(verbose=False).decompress_video(p)
+
+    def test_verify_lossless_shape_mismatch_reports_inf(self):
+        a = [np.zeros((4, 4), np.uint8)]
+        b = [np.zeros((4, 5), np.uint8)]
+        v = verify_lossless(a, b)
+        assert not v["lossless"]
+        assert v["max_difference"] == float("inf")
+
+    def test_verify_lossless_wide_dtype_report_exact(self):
+        # float64 diff report must not round through float32
+        a = [np.array([[1e9 + 1]], np.float64)]
+        b = [np.array([[1e9]], np.float64)]
+        v = verify_lossless(a, b)
+        assert v["max_difference"] == 1.0

@@ -114,6 +114,7 @@ def test_sharded_matches_host_codec_bitstream():
             np.asarray(witness[i])[: int(counts[i])], wit)
 
 
+@pytest.mark.slow
 def test_blocked_dp_sharding_matches_single_device():
     """Frame-sharded blocked encode over dp equals the unsharded kernels
     (the flagship BFV3 multi-chip path)."""
@@ -142,6 +143,7 @@ def test_blocked_dp_sharding_matches_single_device():
         np.testing.assert_array_equal(g, w)
 
 
+@pytest.mark.slow
 def test_blocked_dp_decode_roundtrip():
     from new_bloom_filter_repo_tpu.ops.pallas import blocked as bk
     from new_bloom_filter_repo_tpu.parallel import blocked_batch
@@ -169,6 +171,7 @@ def test_blocked_dp_decode_roundtrip():
     np.testing.assert_array_equal(np.asarray(wcnt2), np.asarray(wcnt))
 
 
+@pytest.mark.slow
 def test_blocked_dpsp_sharding_matches_single_device():
     """Frame AND block-axis sharded blocked encode equals unsharded —
     within-frame scaling with zero collectives."""
@@ -194,6 +197,7 @@ def test_blocked_dpsp_sharding_matches_single_device():
         np.testing.assert_array_equal(g, w)
 
 
+@pytest.mark.slow
 def test_blocked_dpsp_decode_matches_single_device():
     """Block-axis sharded membership+expansion equals unsharded — the
     decode mirror of the dpsp encode (4K/8K frames decode sharded too)."""
@@ -233,6 +237,7 @@ def test_blocked_dpsp_decode_matches_single_device():
     np.testing.assert_array_equal(np.asarray(mask), bits)
 
 
+@pytest.mark.slow
 def test_4k_frame_sp_sharded_roundtrip():
     """One real 3840x2160 frame encoded AND decoded with the block axis
     sharded over sp, bit-identical to the unsharded kernels (the product
@@ -284,3 +289,50 @@ def test_4k_frame_sp_sharded_roundtrip():
     np.testing.assert_array_equal(np.asarray(wcnt2), np.asarray(wcnt))
     np.testing.assert_array_equal(np.asarray(mask),
                                   np.asarray(bits))
+
+
+class TestMultiHost:
+    """DCN scaffolding (SURVEY.md §2 comm row).
+
+    A single-machine CI rig cannot run a real multi-host ring; these
+    check the wrapper's single-process behavior and skip the
+    cross-host assertions (run them on a pod: one process per host,
+    initialize_distributed(), then any dp mesh test)."""
+
+    def test_initialize_distributed_single_process(self):
+        # jax.distributed.initialize must run before any backend
+        # initialization, so drive the wrapper in a fresh interpreter
+        # (with the rig's TPU auto-attach hook disabled).
+        import os
+        import subprocess
+        import sys
+        port = 20000 + (os.getpid() % 10000)
+        code = (
+            "import os; os.environ['JAX_PLATFORMS']='cpu';"
+            "from new_bloom_filter_repo_tpu.parallel import mesh;"
+            "info = mesh.initialize_distributed("
+            f"    coordinator_address='localhost:{port}',"
+            "    num_processes=1, process_id=0);"
+            "assert info['process_id'] == 0, info;"
+            "assert info['num_processes'] == 1, info;"
+            "assert info['global_devices'] >= info['local_devices'] >= 1;"
+            "info2 = mesh.initialize_distributed();"  # idempotent
+            "assert info2['num_processes'] == 1;"
+            "print('MULTIHOST_OK')"
+        )
+        # minimal hermetic env: no TPU auto-attach hook, no inherited
+        # JAX/XLA state — the subprocess sees a stock CPU-only jax
+        env = {"PATH": os.environ.get("PATH", "/usr/bin:/bin"),
+               "HOME": os.environ.get("HOME", "/root"),
+               "PYTHONPATH": "/root/repo"}
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=300,
+                             cwd="/root/repo", env=env)
+        assert "MULTIHOST_OK" in out.stdout, (out.stdout, out.stderr)
+
+    @pytest.mark.skip(reason="requires >= 2 hosts (DCN); run on a pod "
+                             "with one process per host")
+    def test_cross_host_dp_mesh_bitstream_identical(self):
+        """On a pod: global dp mesh across hosts must emit the same
+        bytes as single-host encode (the canonical-geometry guarantee
+        extends over DCN unchanged)."""

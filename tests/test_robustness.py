@@ -21,6 +21,7 @@ def make_stream(tmp_path, n=5, **kw):
 
 
 class TestCorruption:
+    @pytest.mark.slow
     def test_truncations_raise(self, tmp_path):
         _, blob = make_stream(tmp_path)
         comp = ImprovedVideoCompressor(verbose=False)
@@ -33,6 +34,7 @@ class TestCorruption:
 
     @pytest.mark.parametrize("profile,cs", [
         ("blocked", "BGR"), ("bfv2", "BGR"), ("planar", "YUV")])
+    @pytest.mark.slow
     def test_random_byte_corruption_never_hangs(self, tmp_path, profile,
                                                 cs):
         """Flipping bytes either raises or yields frames — decode must
@@ -64,7 +66,7 @@ class TestCorruption:
     def test_unknown_record_type_raises(self, tmp_path):
         comp = ImprovedVideoCompressor(verbose=False)
         p = str(tmp_path / "u.bfvc")
-        container.write_bfvc(p, [b"\x07weird"], container.MAGIC_BLOOM)
+        container.write_bfvc(p, [b"\x09weird"], container.MAGIC_BLOOM)
         with pytest.raises(ValueError, match="Unknown frame type"):
             comp.decompress_video(p)
 

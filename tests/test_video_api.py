@@ -217,7 +217,7 @@ class TestProfiles:
         _, payloads = container.read_bfvc(out)
         types = set(fc.record_type(p) for p in payloads[1:])
         assert types <= {fc.BLOCKED, fc.SPARSE, fc.EMPTY, fc.INTERFRAME,
-                         fc.KEYFRAME}
+                         fc.KEYFRAME, fc.BLOCKED_Z, fc.MOTION}
 
     def test_cross_profile_decode(self, tmp_path):
         """A bfv2-profile file and a blocked-profile file of the same clip
@@ -290,6 +290,7 @@ class TestFourChannel:
             comp.decompress_video("/definitely/not/here.bfvc")
 
 
+@pytest.mark.slow
 class TestMultiChip:
     """Multi-chip through the PUBLIC API: devices= shards frames over dp
     (and blocks over sp) with a bitstream identical to single-device."""
@@ -381,6 +382,7 @@ class TestPlanarProfile:
                 f.write(v.tobytes())
         return str(path)
 
+    @pytest.mark.slow
     def test_process_yuv_raw_byte_roundtrip(self, tmp_path):
         src = self._write_i420(tmp_path / "clip.yuv")
         comp = ImprovedVideoCompressor(verbose=False, profile="planar",
@@ -528,6 +530,7 @@ def test_prefetch_flag_identical_output(tmp_path):
         assert fa.read() == fb.read()
 
 
+@pytest.mark.slow
 def test_planar_profile_with_devices_mesh(tmp_path):
     """planar profile and devices= sharding compose: byte-identical
     stream, plane-exact decode."""
@@ -626,6 +629,7 @@ def test_bfv2_batched_scene_cut_fallback(tmp_path):
     assert verify_lossless(frames, rec)["lossless"]
 
 
+@pytest.mark.slow
 def test_chunk_size_cross_compat(tmp_path, monkeypatch):
     """A stream encoded with one device chunk size decodes with another
     (records are per-frame; NBF_CHUNK only shapes batching)."""
