@@ -186,6 +186,43 @@ def _device_codec_fps(frames):
     return round(f / dt, 2), lossless
 
 
+def _host_stage_seconds(frames):
+    """Per-frame host-stage cost of the PRODUCTION byte pipeline,
+    measured from the instrumented real code path (BlockedEncoder.
+    encode_chunk / BlockedDecoder.decode_run stage_times) on a
+    15-frame 1080p chunk: param math, section gathering (native bitmap
+    splice + witness/value strip), threaded DEFLATE, record assembly;
+    decode-side record parse (INFLATE + bitmap unpack) and witness/
+    value slicing.  Device dispatch and link transfers are tracked
+    separately — on production hosts the duplex PCIe link overlaps
+    them with compute; on this rig the tunnel bounds them and they are
+    reported as transfer_bound_e2e_fps."""
+    from new_bloom_filter_repo_tpu.models import blocked_pipeline as bp
+
+    base, chunk = frames[0], list(frames[1:16])
+    enc = bp.BlockedEncoder()
+    dec = bp.BlockedDecoder()
+    warm = []
+    enc.encode_chunk(base, chunk, warm)
+    dec.decode_run(base, warm)
+    reps = 2
+    st_enc, st_dec = {}, {}
+    for _ in range(reps):
+        payloads = []
+        enc.encode_chunk(base, chunk, payloads, stage_times=st_enc)
+        dec.decode_run(base, payloads, stage_times=st_dec)
+    fr = len(chunk) * reps
+    enc_host = (st_enc.get("enc_param_math", 0.0)
+                + st_enc.get("enc_host_sections", 0.0)
+                + st_enc.get("enc_deflate", 0.0)
+                + st_enc.get("enc_assembly", 0.0)) / fr
+    dec_host = (st_dec.get("dec_parse", 0.0)
+                + st_dec.get("dec_host_slices", 0.0)) / fr
+    detail = {k: round(v / fr * 1e3, 3)
+              for k, v in {**st_enc, **st_dec}.items()}
+    return enc_host, dec_host, detail
+
+
 def _e2e_fps(frames):
     """Public-pipeline figure: compress_video -> .bfvc ->
     decompress_video -> host verify.  Transfer-bound on this rig."""
@@ -218,6 +255,13 @@ def main():
     codec_fps, dev_lossless = _device_codec_fps(frames)
     e2e_fps, t_enc, t_dec, ratio, savings, e2e_lossless = _e2e_fps(
         frames[:E2E_FRAMES])
+    enc_host_s, dec_host_s, host_detail = _host_stage_seconds(
+        frames[:E2E_FRAMES])
+    host_s = enc_host_s + dec_host_s
+    # Production throughput producing/consuming actual .bfvc bytes on a
+    # duplex-PCIe host: device codec and host record pipeline run as
+    # overlapped pipeline stages, so the slower of the two bounds fps.
+    production_fps = 1.0 / max(1.0 / max(codec_fps, 1e-9), host_s)
     out = {
         "metric": "1080p_frames_per_sec_full_codec_per_chip",
         "value": codec_fps,
@@ -234,6 +278,12 @@ def main():
         "transfer_bound_e2e_fps": round(e2e_fps, 3),
         "e2e_encode_s": round(t_enc, 3),
         "e2e_decode_s": round(t_dec, 3),
+        # Host record pipeline (bytes in/out) measured from the real
+        # instrumented code path; production fps assumes device and
+        # host stages overlap (duplex-PCIe host), bounded by the slower.
+        "host_stage_fps": round(1.0 / host_s, 2) if host_s > 0 else None,
+        "production_pipeline_fps": round(production_fps, 2),
+        "host_stage_ms_per_frame": host_detail,
     }
     print(json.dumps(out))
 

@@ -31,12 +31,14 @@ def _ffmpeg() -> Optional[str]:
     return shutil.which("ffmpeg")
 
 
-def bench_bloom(path: str, max_frames: int, mode: str) -> Dict:
+def bench_bloom(path: str, max_frames: int, mode: str,
+                threads: int = 0) -> Dict:
     from new_bloom_filter_repo_tpu.models.video import ImprovedVideoCompressor
     import tempfile
 
     comp = ImprovedVideoCompressor(verbose=False, mode=mode,
-                                   use_direct_yuv=True)
+                                   use_direct_yuv=True,
+                                   num_threads=threads)
     frames = comp.extract_frames_from_video(path, max_frames=max_frames,
                                             output_color_space="YUV")
     with tempfile.TemporaryDirectory() as td:
@@ -57,7 +59,8 @@ def bench_bloom(path: str, max_frames: int, mode: str) -> Dict:
     }
 
 
-def bench_bloom_planar(path: str, max_frames: int) -> Dict:
+def bench_bloom_planar(path: str, max_frames: int,
+                       threads: int = 0) -> Dict:
     """The public planar profile: native Y/U/V plane coding.
 
     The reference upconverts 4:2:0 to 4:4:4 BGR and measures against the
@@ -71,7 +74,8 @@ def bench_bloom_planar(path: str, max_frames: int) -> Dict:
     import numpy as np
     from new_bloom_filter_repo_tpu.models.video import ImprovedVideoCompressor
 
-    comp = ImprovedVideoCompressor(verbose=False, profile="planar")
+    comp = ImprovedVideoCompressor(verbose=False, profile="planar",
+                                   num_threads=threads)
     frames = comp.extract_frames_from_video(path, max_frames=max_frames,
                                             output_color_space="YUV")
     with tempfile.TemporaryDirectory() as td:
@@ -152,6 +156,12 @@ def main(argv=None):
                          "--video-dir and benchmark it (offline stand-in "
                          "for the Xiph set)")
     ap.add_argument("--synthetic-frames", type=int, default=60)
+    ap.add_argument("--encode-budget-s-per-frame", type=float, default=3.0,
+                    help="Per-frame encode wall budget for the bloom "
+                         "paths; exceeding it marks the result "
+                         "budget_exceeded and prints a warning (guards "
+                         "against compile-storm regressions like the "
+                         "960 s noise_storm planar encode)")
     args = ap.parse_args(argv)
 
     if args.synthetic:
@@ -184,10 +194,12 @@ def main(argv=None):
                 continue
             print(f"{name} / {codec} ...", flush=True)
             if codec == "bloom-planar":
-                r = bench_bloom_planar(clip, args.max_frames)
+                r = bench_bloom_planar(clip, args.max_frames,
+                                       threads=args.threads)
             elif codec in ("bloom", "keyframe"):
                 mode = "bloom" if codec == "bloom" else "keyframe"
-                r = bench_bloom(clip, args.max_frames, mode)
+                r = bench_bloom(clip, args.max_frames, mode,
+                                threads=args.threads)
             elif codec in CODECS:
                 spec, ext = CODECS[codec]
                 r = bench_ffmpeg(clip, args.max_frames, spec, ext)
@@ -196,6 +208,14 @@ def main(argv=None):
                     continue
             else:
                 continue
+            if (codec.startswith("bloom") or codec == "keyframe") and \
+                    r["frames"]:
+                budget = args.encode_budget_s_per_frame * r["frames"]
+                if r["encode_s"] > budget:
+                    r["budget_exceeded"] = True
+                    print(f"  WARNING: encode took {r['encode_s']}s "
+                          f"(> budget {budget:.0f}s) — likely a "
+                          f"compile-storm regression", flush=True)
             results[name][codec] = r
             print(f"  ratio={r['ratio']:.4f} encode={r['encode_s']}s")
         with open(args.results, "w") as f:

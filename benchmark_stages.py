@@ -36,6 +36,12 @@ def main(argv=None):
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--host", action="store_true",
+                    help="Also time the HOST stages of the production "
+                         "byte pipeline (record assembly/parse) via the "
+                         "instrumented encode_chunk/decode_run on a "
+                         "15-frame chunk — includes device->host pulls, "
+                         "which are tunnel-bound on this rig")
     args = ap.parse_args(argv)
 
     import functools
@@ -121,6 +127,31 @@ def main(argv=None):
     base_packed = bp._pack_base(jax.device_put(base), npad=npadk, nb=nbk)
     timeit("expand+chain (fused)", expch, passes, wit, raw, flags, vseg,
            base_packed)
+
+    if args.host:
+        hb, hc = frames[0], [np.asarray(x) for x in frames[1:16]]
+        enc = bp.BlockedEncoder()
+        dec = bp.BlockedDecoder()
+        warm = []
+        enc.encode_chunk(hb, hc, warm)
+        dec.decode_run(hb, warm)
+        st_e, st_d = {}, {}
+        for _ in range(args.reps):
+            payloads = []
+            enc.encode_chunk(hb, hc, payloads, stage_times=st_e)
+            dec.decode_run(hb, payloads, stage_times=st_d)
+        fr = len(hc) * args.reps
+        print("-- production pipeline stages (ms/frame, 15-frame chunk) --",
+              flush=True)
+        for k, v in sorted({**st_e, **st_d}.items()):
+            print(f"{k:24s} {v / fr * 1e3:8.2f} ms/frame", flush=True)
+        host_s = sum(st_e.get(k, 0.0) for k in
+                     ("enc_param_math", "enc_host_sections",
+                      "enc_deflate", "enc_assembly"))
+        host_s += sum(st_d.get(k, 0.0) for k in
+                      ("dec_parse", "dec_host_slices"))
+        print(f"host-cpu total           {host_s / fr * 1e3:8.2f} ms/frame"
+              f"  ({fr / host_s:7.1f} fps host-bound)", flush=True)
     return 0
 
 

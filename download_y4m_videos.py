@@ -58,24 +58,51 @@ def main(argv=None):
 
     os.makedirs(args.output_dir, exist_ok=True)
     clips = CLIPS[: args.max_files]
+    # Attempt log: records every real-download try (success/failure +
+    # reason) so a zero-egress rig's synthetic fallbacks are visible,
+    # and the real clips can be fetched the moment egress exists —
+    # clips marked "synthetic" are re-attempted on the next non
+    # --synthetic run (the stand-in is replaced in place).
+    import json
+    import time as _time
+    log_path = os.path.join(args.output_dir, "download_attempts.json")
+    attempts = {}
+    if os.path.exists(log_path):
+        with open(log_path) as fh:
+            attempts = json.load(fh)
     for i, name in enumerate(clips):
         path = os.path.join(args.output_dir, f"{name}.y4m")
-        if os.path.exists(path):
+        prior = attempts.get(name, {})
+        if os.path.exists(path) and (args.synthetic
+                                     or prior.get("status") == "real"):
             print(f"exists: {path}")
             continue
         if args.synthetic:
             print(f"generating synthetic stand-in: {path}")
             synth_clip(path, frames=args.frames, seed=i)
+            attempts[name] = {"status": "synthetic",
+                              "time": _time.strftime("%Y-%m-%d %H:%M:%S")}
             continue
         url = BASE_URL + f"{name}.y4m"
         print(f"downloading {url} ...")
         try:
             import urllib.request
-            urllib.request.urlretrieve(url, path)
+            urllib.request.urlretrieve(url, path + ".part")
+            os.replace(path + ".part", path)
+            attempts[name] = {"status": "real", "url": url,
+                              "time": _time.strftime("%Y-%m-%d %H:%M:%S")}
         except Exception as exc:
             print(f"  download failed ({exc}); falling back to synthetic")
-            synth_clip(path, frames=args.frames, seed=i)
-    print(f"done: {len(clips)} clips in {args.output_dir}")
+            attempts[name] = {"status": "synthetic", "url": url,
+                              "error": f"{type(exc).__name__}: {exc}",
+                              "time": _time.strftime("%Y-%m-%d %H:%M:%S")}
+            if not os.path.exists(path):
+                synth_clip(path, frames=args.frames, seed=i)
+    with open(log_path, "w") as fh:
+        json.dump(attempts, fh, indent=1)
+    real = sum(1 for a in attempts.values() if a.get("status") == "real")
+    print(f"done: {len(clips)} clips in {args.output_dir} "
+          f"({real} real, attempt log: {log_path})")
     return 0
 
 

@@ -207,6 +207,202 @@ void nbf_pad_rows(const uint8_t* stream, uint64_t rows, uint64_t stride,
 }
 
 // ---------------------------------------------------------------------------
+// Sub-filter bitmap pack/unpack (the blocked record's bitmap section)
+// ---------------------------------------------------------------------------
+
+// (nb, nw) i32 packed sub-filter words — bit j of a block is bit
+// (31 - j%32) of word j/32 — spliced into the record's bitmap bytes:
+// the m-bit sub-filters concatenated across blocks, then packbits
+// (MSB-first).  Replaces the numpy unpackbits->packbits round trip
+// that dominated the encode-side host stage (models/blocked_pipeline.
+// _words32_bits_host + np.packbits).
+void nbf_pack_subfilters(const int32_t* words, uint64_t nb, int nw,
+                         int m, uint8_t* out) {
+  uint64_t total_bits = nb * (uint64_t)m;
+  memset(out, 0, (total_bits + 7) / 8);
+  uint64_t acc = 0;
+  int accbits = 0;
+  uint64_t opos = 0;
+  for (uint64_t b = 0; b < nb; ++b) {
+    const uint32_t* wp = (const uint32_t*)(words + b * (uint64_t)nw);
+    int rem = m;
+    for (int wi = 0; rem > 0; ++wi) {
+      int take = rem < 32 ? rem : 32;
+      uint64_t chunk = ((uint64_t)wp[wi]) >> (32 - take);
+      acc = (acc << take) | chunk;
+      accbits += take;
+      rem -= take;
+      while (accbits >= 8) {
+        out[opos++] = (uint8_t)(acc >> (accbits - 8));
+        accbits -= 8;
+      }
+    }
+  }
+  if (accbits > 0) out[opos] = (uint8_t)(acc << (8 - accbits));
+}
+
+// Inverse: bitmap bytes -> (nb, nw) i32 packed words (unwritten word
+// tail zeroed).
+void nbf_unpack_subfilters(const uint8_t* in, uint64_t nb, int m,
+                           int nw, int32_t* words) {
+  memset(words, 0, nb * (uint64_t)nw * 4);
+  uint64_t pos = 0;
+  for (uint64_t b = 0; b < nb; ++b) {
+    uint32_t* wp = (uint32_t*)(words + b * (uint64_t)nw);
+    int j = 0;
+    while (j < m) {
+      // splice up to 8 bits at a time from the byte stream
+      int take = m - j < 8 ? m - j : 8;
+      int avail = 8 - (int)(pos & 7);
+      if (take > avail) take = avail;
+      uint32_t bits = (uint32_t)(in[pos >> 3] >> (avail - take))
+                      & ((1u << take) - 1u);
+      int shift = 32 - (j & 31) - take;
+      if (shift >= 0) {
+        wp[j >> 5] |= bits << shift;
+      } else {
+        // the chunk straddles a word boundary
+        wp[j >> 5] |= bits >> (-shift);
+        wp[(j >> 5) + 1] |= bits << (32 + shift);
+      }
+      pos += take;
+      j += take;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Static binary rANS section coder
+// ---------------------------------------------------------------------------
+//
+// Order-0 rANS over BYTES of a packed bit stream whose bits are modeled
+// iid Bernoulli(p): byte frequencies are the product distribution
+// a^popcount(b) * (256-a)^(8-popcount(b)) with a = quantized p, built
+// with exact 64/128-bit integer arithmetic so encoder and decoder
+// reconstruct identical tables from the single stored byte `a` on any
+// platform (no libm).  Near-entropy on the codec's witness sections
+// (H(0.85) = 0.61 bits/bit vs DEFLATE's ~0.69) at memory-walk speed.
+
+static const uint32_t RANS_SCALE_BITS = 12;
+static const uint32_t RANS_M = 1u << RANS_SCALE_BITS;   // 4096
+static const uint32_t RANS_L = 1u << 23;                // renorm bound
+
+static void rans_build_table(int prob, uint16_t* freq, uint16_t* start,
+                             uint8_t* slot2sym) {
+  // prob in [1, 255]: P(bit = 1) ~= prob / 256
+  uint64_t a = (uint64_t)prob, b = 256 - (uint64_t)prob;
+  // w[s] = a^k * b^(8-k), sum over all 256 bytes = (a+b)^8 = 2^64
+  uint64_t apow[9], bpow[9];
+  apow[0] = bpow[0] = 1;
+  for (int i = 1; i <= 8; ++i) {
+    apow[i] = apow[i - 1] * a;
+    bpow[i] = bpow[i - 1] * b;
+  }
+  uint32_t f[256];
+  uint32_t sum = 0;
+  for (int s = 0; s < 256; ++s) {
+    int k = __builtin_popcount((unsigned)s);
+    unsigned __int128 w = (unsigned __int128)apow[k] * bpow[8 - k];
+    uint32_t fi = (uint32_t)((w * RANS_M) >> 64);
+    if (fi < 1) fi = 1;
+    f[s] = fi;
+    sum += fi;
+  }
+  // deterministic residual fix on the most frequent symbol
+  int maxs = 0;
+  for (int s = 1; s < 256; ++s) if (f[s] > f[maxs]) maxs = s;
+  int64_t diff = (int64_t)RANS_M - (int64_t)sum;
+  f[maxs] = (uint32_t)((int64_t)f[maxs] + diff);  // stays >= 1: maxs holds
+                                                  // the bulk of the mass
+  uint32_t c = 0;
+  for (int s = 0; s < 256; ++s) {
+    freq[s] = (uint16_t)f[s];
+    start[s] = (uint16_t)c;
+    for (uint32_t i = 0; i < f[s]; ++i) slot2sym[c + i] = (uint8_t)s;
+    c += f[s];
+  }
+}
+
+// Encode `len` bytes; returns compressed size, or 0 if it would not fit
+// in `cap` (caller falls back to another coding).
+uint64_t nbf_rans_encode(const uint8_t* in, uint64_t len, int prob,
+                         uint8_t* out, uint64_t cap) {
+  uint16_t freq[256], start[256];
+  static thread_local uint8_t slot2sym[RANS_M];
+  rans_build_table(prob, freq, start, slot2sym);
+  // emit backward into out[..cap); reverse symbol order
+  uint64_t pos = cap;
+  uint32_t x = RANS_L;
+  for (uint64_t i = len; i-- > 0;) {
+    uint8_t s = in[i];
+    uint32_t fr = freq[s];
+    uint32_t x_max = ((RANS_L >> RANS_SCALE_BITS) << 8) * fr;
+    while (x >= x_max) {
+      if (pos == 0) return 0;
+      out[--pos] = (uint8_t)(x & 0xFF);
+      x >>= 8;
+    }
+    x = ((x / fr) << RANS_SCALE_BITS) + (x % fr) + start[s];
+  }
+  if (pos < 4) return 0;
+  pos -= 4;
+  out[pos] = (uint8_t)(x & 0xFF);
+  out[pos + 1] = (uint8_t)((x >> 8) & 0xFF);
+  out[pos + 2] = (uint8_t)((x >> 16) & 0xFF);
+  out[pos + 3] = (uint8_t)((x >> 24) & 0xFF);
+  uint64_t outlen = cap - pos;
+  memmove(out, out + pos, outlen);
+  return outlen;
+}
+
+// Decode exactly raw_len bytes; returns 0 on success, nonzero on a
+// malformed stream.
+int nbf_rans_decode(const uint8_t* in, uint64_t inlen, int prob,
+                    uint8_t* out, uint64_t raw_len) {
+  if (inlen < 4) return 1;
+  uint16_t freq[256], start[256];
+  static thread_local uint8_t slot2sym[RANS_M];
+  rans_build_table(prob, freq, start, slot2sym);
+  uint64_t pos = 4;
+  uint32_t x = (uint32_t)in[0] | ((uint32_t)in[1] << 8)
+               | ((uint32_t)in[2] << 16) | ((uint32_t)in[3] << 24);
+  for (uint64_t i = 0; i < raw_len; ++i) {
+    uint32_t slot = x & (RANS_M - 1);
+    uint8_t s = slot2sym[slot];
+    out[i] = s;
+    x = freq[s] * (x >> RANS_SCALE_BITS) + slot - start[s];
+    while (x < RANS_L) {
+      // a well-formed stream ends with x == RANS_L after the last
+      // symbol, so this loop never starves on valid input
+      if (pos >= inlen) return 2;
+      x = (x << 8) | in[pos++];
+    }
+  }
+  return 0;
+}
+
+// Per-block popcount of the first wcnt[b] witness bits of each padded
+// row (rows x stride bytes) — the decode-side block change counts.
+void nbf_witness_popcounts(const uint8_t* wit, uint64_t rows,
+                           uint64_t stride, const int32_t* wcnt,
+                           int32_t* out) {
+  for (uint64_t b = 0; b < rows; ++b) {
+    int bits = wcnt[b];
+    if (bits <= 0) { out[b] = 0; continue; }
+    int nbytes = (bits + 7) / 8;
+    const uint8_t* row = wit + b * stride;
+    int c = 0;
+    for (int i = 0; i < nbytes; ++i) {
+      uint8_t v = row[i];
+      if (i == nbytes - 1 && (bits & 7))
+        v &= (uint8_t)(0xFF << (8 - (bits & 7)));
+      c += __builtin_popcount(v);
+    }
+    out[b] = c;
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Y4M header probe
 // ---------------------------------------------------------------------------
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import math
 import os
+import time
 from functools import lru_cache, partial
 from typing import List, Optional, Tuple
 
@@ -125,6 +126,55 @@ class _MeshDispatch:
                 out_specs=(P("dp"), P("dp"), P("dp")),
                 check_vma=False))
         masks, counts, vals = self._progs[ck](prev, curr)
+        return masks[:f], counts[:f], vals[:f]
+
+    def _pairs(self, stacked):
+        """(prev, curr) frame pairs padded to a dp multiple."""
+        f = stacked.shape[0] - 1
+        fpad = -(-f // self.dp) * self.dp
+        prev = stacked[:-1]
+        curr = stacked[1:]
+        if fpad != f:
+            rep = jnp.repeat(stacked[-1:], fpad - f, axis=0)
+            prev = jnp.concatenate([prev, rep], axis=0)
+            curr = jnp.concatenate([curr, rep], axis=0)
+        return prev, curr, f
+
+    def motion_counts(self, stacked):
+        """dp-sharded global-motion search (no collectives)."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        prev, curr, f = self._pairs(stacked)
+        ck = ("mot", stacked.shape[1:])
+        if ck not in self._progs:
+            self._progs[ck] = jax.jit(jax.shard_map(
+                _motion_counts_pair, mesh=self.mesh,
+                in_specs=(P("dp"), P("dp")), out_specs=P("dp"),
+                check_vma=False))
+        return self._progs[ck](prev, curr)[:f]
+
+    def phase_a_motion(self, stacked, shifts, *, npad: int, nb: int):
+        """dp-sharded motion diff stage (rows independent — zero
+        collectives, like :meth:`phase_a`)."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        prev, curr, f = self._pairs(stacked)
+        fpad = prev.shape[0]
+        if shifts.shape[0] != fpad:
+            shifts = jnp.concatenate(
+                [shifts, jnp.zeros((fpad - shifts.shape[0], 2),
+                                   shifts.dtype)], axis=0)
+        ck = ("pham", npad, nb)
+        if ck not in self._progs:
+            body = partial(_phase_a_motion_pair, npad=npad, nb=nb)
+            self._progs[ck] = jax.jit(jax.shard_map(
+                body, mesh=self.mesh,
+                in_specs=(P("dp"), P("dp"), P("dp")),
+                out_specs=(P("dp"), P("dp"), P("dp")),
+                check_vma=False))
+        masks, counts, vals = self._progs[ck](prev, curr, shifts)
         return masks[:f], counts[:f], vals[:f]
 
     def _pad_tables(self, tab, nbpad: int):
@@ -295,19 +345,17 @@ def _roll2d(img, dy, dx):
     return img[..., ys, :][..., :, xs]
 
 
-@partial(jax.jit, static_argnames=())
-def _motion_counts(stacked):
-    """Subsampled mismatch counts over the shift window.
-
-    stacked: (F+1, h, w[, c]) uint8.  Returns (F, (2R+1)^2) i32 — the
-    number of differing subsampled pixels for every candidate shift of
-    the previous frame, candidate index (dy+R)*(2R+1)+(dx+R)."""
-    fp1 = stacked.shape[0]
-    h, w = stacked.shape[1], stacked.shape[2]
-    arr = stacked if stacked.ndim == 4 else stacked[..., None]
-    packed = _pack_pixels(
-        arr.reshape(fp1, h * w, arr.shape[-1])).reshape(fp1, h, w)
-    prev, curr = packed[:-1], packed[1:]
+def _motion_counts_pair(prev_u8, curr_u8):
+    """Per-(prev, curr)-pair subsampled mismatch counts over the shift
+    window — the shared body of the single-device and dp-sharded motion
+    search.  prev_u8/curr_u8: (B, h, w[, c]) uint8; returns (B, C) i32,
+    candidate index (dy+R)*(2R+1)+(dx+R)."""
+    b = curr_u8.shape[0]
+    h, w = curr_u8.shape[1], curr_u8.shape[2]
+    ap = prev_u8 if prev_u8.ndim == 4 else prev_u8[..., None]
+    ac = curr_u8 if curr_u8.ndim == 4 else curr_u8[..., None]
+    prev = _pack_pixels(ap.reshape(b, h * w, ap.shape[-1])).reshape(b, h, w)
+    curr = _pack_pixels(ac.reshape(b, h * w, ac.shape[-1])).reshape(b, h, w)
     ys = jnp.arange(0, h, MOTION_STRIDE)
     xs = jnp.arange(0, w, MOTION_STRIDE)
     cs = curr[:, ys[:, None], xs[None, :]]
@@ -320,8 +368,18 @@ def _motion_counts(stacked):
 
     d = jnp.arange(-MOTION_RADIUS, MOTION_RADIUS + 1)
     dyg, dxg = jnp.meshgrid(d, d, indexing="ij")
-    counts = jax.vmap(count)(dyg.ravel(), dxg.ravel())   # (C, F)
+    counts = jax.vmap(count)(dyg.ravel(), dxg.ravel())   # (C, B)
     return counts.T
+
+
+@partial(jax.jit, static_argnames=())
+def _motion_counts(stacked):
+    """Subsampled mismatch counts over the shift window.
+
+    stacked: (F+1, h, w[, c]) uint8.  Returns (F, (2R+1)^2) i32 — the
+    number of differing subsampled pixels for every candidate shift of
+    the previous frame, candidate index (dy+R)*(2R+1)+(dx+R)."""
+    return _motion_counts_pair(stacked[:-1], stacked[1:])
 
 
 def choose_shifts(counts: np.ndarray) -> np.ndarray:
@@ -343,6 +401,29 @@ def choose_shifts(counts: np.ndarray) -> np.ndarray:
     shifts[take, 0] = best[take] // side - MOTION_RADIUS
     shifts[take, 1] = best[take] % side - MOTION_RADIUS
     return shifts
+
+
+def _phase_a_motion_pair(prev, curr, shifts, *, npad: int, nb: int):
+    """Motion-diff masks/counts/values from (prev, curr, shift) rows —
+    the shared body of the single-device and dp-sharded motion phase A
+    (zero collectives: every row is independent)."""
+    b = curr.shape[0]
+    h, w = curr.shape[1], curr.shape[2]
+    n = h * w
+    ap = prev if prev.ndim == 4 else prev[..., None]
+    ac = curr if curr.ndim == 4 else curr[..., None]
+    pp = _pack_pixels(ap.reshape(b, n, ap.shape[-1])).reshape(b, h, w)
+    pc = _pack_pixels(ac.reshape(b, n, ac.shape[-1])).reshape(b, h, w)
+    rolled = jax.vmap(_roll2d)(pp, shifts[:, 0], shifts[:, 1])
+    neq = (pc != rolled).reshape(b, n)
+    vals = pc.reshape(b, n)
+    pad = npad - n
+    if pad:
+        neq = jnp.pad(neq, ((0, 0), (0, pad)))
+        vals = jnp.pad(vals, ((0, 0), (0, pad)))
+    masks = neq.astype(jnp.uint8).reshape(b, nb, bk.IPB)
+    counts = jnp.sum(masks.astype(jnp.int32), axis=2)
+    return masks, counts, vals.reshape(b, nb, bk.IPB)
 
 
 @partial(jax.jit, static_argnames=("npad", "nb"))
@@ -569,32 +650,6 @@ def _vh_bucket(max_count: int) -> int:
     return min(vh, 32)
 
 
-def _words32_bits_host(w32: np.ndarray, m: int) -> np.ndarray:
-    """(NB, nw) i32 packed sub-filter words -> (NB, m) u8 bits
-    (packbits bit order per word) — host-side expansion of the packed
-    form the encode kernel emits, so only 12 words per block cross the
-    device->host link instead of 384 bit bytes."""
-    u = w32.astype(np.uint32)
-    by = np.stack([(u >> 24) & 0xFF, (u >> 16) & 0xFF, (u >> 8) & 0xFF,
-                   u & 0xFF], axis=-1).astype(np.uint8)
-    return np.unpackbits(by.reshape(w32.shape[0], -1), axis=1)[:, :m]
-
-
-def _bits_words32_host(bits: np.ndarray) -> np.ndarray:
-    """(NB, m) u8 bits -> (NB, NW) i32 packed sub-filter words (zero
-    padded past m) — the decode-side inverse of
-    :func:`_words32_bits_host`."""
-    nb_, m = bits.shape
-    wbits = np.zeros((nb_, bk.MMAX), np.uint8)
-    wbits[:, :m] = bits
-    by = np.packbits(wbits, axis=1)
-    u = ((by[:, 0::4].astype(np.uint32) << 24)
-         | (by[:, 1::4].astype(np.uint32) << 16)
-         | (by[:, 2::4].astype(np.uint32) << 8)
-         | by[:, 3::4].astype(np.uint32))
-    return u.view(np.int32)
-
-
 def _strip_rows(arr2d: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Concatenate arr2d[i, :lengths[i]] without a Python loop.
 
@@ -638,12 +693,20 @@ class BlockedEncoder:
 
     def encode_chunk(self, base: np.ndarray, frames: List[np.ndarray],
                      payload_sink: List[bytes], keyframe_fn=None,
-                     stacked=None) -> int:
+                     stacked=None, stage_times: Optional[dict] = None
+                     ) -> int:
         """Encode ``frames`` (diffed against base, then chained); append
         one record per frame to payload_sink.  ``keyframe_fn(j) -> bytes``
         supplies a keyframe record for scene-cut fallbacks; ``stacked``
         may carry a pre-uploaded stack_chunk() result.  Returns the
-        number of keyframes emitted."""
+        number of keyframes emitted.
+
+        ``stage_times`` (optional dict) accumulates wall seconds per
+        pipeline stage — device dispatch+sync, output pull, host section
+        gathering, threaded DEFLATE, record assembly — so bench.py can
+        report the production (host-stage) throughput from the real code
+        path rather than an extrapolation."""
+        _t0 = time.time()
         f = len(frames)
         shape = base.shape
         h, w = shape[:2]
@@ -661,16 +724,22 @@ class BlockedEncoder:
         shifts = np.zeros((f, 2), np.int32)
         if (self.motion and h >= 4 * MOTION_RADIUS
                 and w >= 4 * MOTION_RADIUS):
-            shifts = choose_shifts(
-                np.asarray(jax.device_get(_motion_counts(stacked))))
+            counts225 = (self.dispatch.motion_counts(stacked)
+                         if self.dispatch is not None
+                         else _motion_counts(stacked))
+            shifts = choose_shifts(np.asarray(jax.device_get(counts225)))
         any_motion = bool(shifts.any())
 
         # device stages run on the kernel geometry (nbk >= nb, see
         # nbk_of); every host byte below is sliced back to nb first.
         if any_motion:
             shifts_d = jnp.asarray(shifts)
-            masks, counts_d, vals = _phase_a_motion(
-                stacked, shifts_d, npad=npadk, nb=nbk)
+            if self.dispatch is not None:
+                masks, counts_d, vals = self.dispatch.phase_a_motion(
+                    stacked, shifts_d, npad=npadk, nb=nbk)
+            else:
+                masks, counts_d, vals = _phase_a_motion(
+                    stacked, shifts_d, npad=npadk, nb=nbk)
         elif self.dispatch is not None:
             masks, counts_d, vals = self.dispatch.phase_a(
                 stacked, npad=npadk, nb=nbk)
@@ -680,6 +749,11 @@ class BlockedEncoder:
         # fetched lazily per frame (pass-through/sparse records only) —
         # the device->host link, not compute, bounds this pipeline.
         counts = jax.device_get(counts_d)
+        if stage_times is not None:
+            stage_times["enc_device_phase_a"] = (
+                stage_times.get("enc_device_phase_a", 0.0)
+                + time.time() - _t0)
+            _t0 = time.time()
         packed_cache: dict = {}
 
         def packed_row(j):
@@ -741,8 +815,21 @@ class BlockedEncoder:
                 tab["h1"], tab["h2"], tab["act_hi"], tab["act_lo"],
                 masks, vals, jnp.asarray(m_arr), jnp.asarray(thi),
                 jnp.asarray(tlo), jnp.asarray(fk_arr))
+        if stage_times is not None:
+            _t1 = time.time()
+            stage_times["enc_param_math"] = (
+                stage_times.get("enc_param_math", 0.0) + _t1 - _t0)
+            jax.block_until_ready(words_d)
+            stage_times["enc_device_kernel"] = (
+                stage_times.get("enc_device_kernel", 0.0)
+                + time.time() - _t1)
+            _t0 = time.time()
         words, wit, wcnt, vseg, vcnt = jax.device_get(
             (words_d, wit_d, wcnt_d, vseg_d, vcnt_d))
+        if stage_times is not None:
+            stage_times["enc_pull"] = (
+                stage_times.get("enc_pull", 0.0) + time.time() - _t0)
+            _t0 = time.time()
         if nbk != nb:
             words, wit, wcnt, vseg, vcnt = (
                 words[:, :nb], wit[:, :nb], wcnt[:, :nb], vseg[:, :nb],
@@ -784,26 +871,59 @@ class BlockedEncoder:
                 bz_idx[j] = _add(bm_bytes[j])
             elif kind == "blocked":
                 m = int(m_arr[j])
-                sub = _words32_bits_host(words[j], m)   # (NB, m) bits
-                bm_bytes[j] = np.packbits(sub.reshape(-1)).tobytes()
+                bm_bytes[j] = native.pack_subfilters(words[j], m).tobytes()
                 bz_idx[j] = _add(bm_bytes[j])
                 seg_lens = (wcnt[j] + 7) // 8
                 wit_bytes[j] = _strip_rows(wit[j], seg_lens).tobytes()
                 wz_idx[j] = _add(wit_bytes[j])
 
-        zsecs = (native.deflate_frames(sections, level=zl,
-                                       threads=self.num_threads)
-                 if sections else [])
+        if stage_times is not None:
+            stage_times["enc_host_sections"] = (
+                stage_times.get("enc_host_sections", 0.0)
+                + time.time() - _t0)
+            _t0 = time.time()
+        # Bitmap/witness sections DEFLATE at level 1: on near-random
+        # filter bits and biased witness bits, higher levels buy <2%
+        # over level 1 at 5x the CPU (measured); the value stream keeps
+        # the configured level, where modeling does pay.
+        val_set = set(vz_idx)
+        vals_idx = [i for i in range(len(sections)) if i in val_set]
+        bw_idx = [i for i in range(len(sections)) if i not in val_set]
+        zsecs: List[bytes] = [b""] * len(sections)
+        for idxs, lvl in ((vals_idx, zl), (bw_idx, 1)):
+            if idxs:
+                outs = native.deflate_frames([sections[i] for i in idxs],
+                                             level=lvl,
+                                             threads=self.num_threads)
+                for i, z in zip(idxs, outs):
+                    zsecs[i] = z
+        if stage_times is not None:
+            stage_times["enc_deflate"] = (
+                stage_times.get("enc_deflate", 0.0) + time.time() - _t0)
+            _t0 = time.time()
 
         def _sec(raw: Optional[bytes], zi: int):
-            """Per-section coding choice: DEFLATE when it actually
-            shrinks (4 extra header bytes carry the raw length)."""
+            """Per-section coding choice: raw vs DEFLATE vs static
+            binary rANS, whichever stores fewest bytes (header cost
+            included).  rANS — the near-entropy coder for iid-biased
+            bit streams (native/nbf.cpp) — is only attempted when the
+            stream's bit density is away from 0.5 (quantized prob
+            outside [0.35, 0.65]), where H(p) < 1 leaves room to win;
+            witness streams (~0.8 ones) and sparse pass-through masks
+            are the targets."""
             if raw is None:
                 return (0, b"", 0)
+            best_cost, best = len(raw), (0, raw, 0)
             z = zsecs[zi]
-            if len(z) + 4 < len(raw):
-                return (1, z, len(raw))
-            return (0, raw, 0)
+            if len(z) + 4 < best_cost:
+                best_cost, best = len(z) + 4, (1, z, len(raw))
+            prob = native.rans_bit_prob(raw)
+            if prob <= 90 or prob >= 166:
+                r = native.rans_encode(raw, prob)
+                if r is not None and len(r) + 5 < best_cost:
+                    best_cost = len(r) + 5
+                    best = (2, r, len(raw), prob)
+            return best
 
         # ---- record assembly ------------------------------------------
         def emit(j: int, rec: bytes):
@@ -860,6 +980,9 @@ class BlockedEncoder:
                     p, n, ks[j], bm_bytes[j], m * nb,
                     wit_bytes[j], wbits, values_z=values_z,
                     values_count=vcount, rtype=fc.BLOCKED))
+        if stage_times is not None:
+            stage_times["enc_assembly"] = (
+                stage_times.get("enc_assembly", 0.0) + time.time() - _t0)
         return keyframes
 
 
@@ -936,8 +1059,15 @@ class BlockedDecoder:
         self.dispatch = (_MeshDispatch(mesh)
                          if mesh is not None and mesh.size > 1 else None)
 
-    def decode_run(self, base: np.ndarray, payloads: List[bytes]
+    def decode_run(self, base: np.ndarray, payloads: List[bytes],
+                   stage_times: Optional[dict] = None
                    ) -> List[np.ndarray]:
+        """Decode ``payloads`` chained onto ``base``.  ``stage_times``
+        (optional dict) accumulates wall seconds per stage — record
+        parse (incl. section INFLATE + bitmap unpack), device
+        membership, host witness/value slicing, expansion + frame pull
+        — for bench.py's production-throughput report."""
+        _t0 = time.time()
         f = len(payloads)
         shape = base.shape
         h, w = shape[:2]
@@ -1016,14 +1146,18 @@ class BlockedDecoder:
                     f"[{MIN_M}, {bk.MMAX}] (bitmap_bits="
                     f"{rec['bitmap_bits']}, blocks={nb})")
             m_arr[j] = m
-            bits = np.unpackbits(rec["bitmap_bytes"])[: rec["bitmap_bits"]]
-            words[j, :nb] = _bits_words32_host(bits.reshape(nb, m))
+            words[j, :nb] = native.unpack_subfilters(
+                rec["bitmap_bytes"], nb, m, bk.NW)
             _, floor_k, (a_hi, a_lo) = _filter_scalars(float(rec["k"]))
             fk_arr[j] = floor_k
             thi[j] = a_hi
             tlo[j] = a_lo
             wit_streams[j] = rec["witness_bytes"].tobytes()
 
+        if stage_times is not None:
+            stage_times["dec_parse"] = (
+                stage_times.get("dec_parse", 0.0) + time.time() - _t0)
+            _t0 = time.time()
         k_lanes = bk.k_bucket(int(fk_arr.max()))
         nw = bk.nw_bucket(int(m_arr.max()))
         if self.dispatch is not None:
@@ -1038,38 +1172,48 @@ class BlockedDecoder:
                 jnp.asarray(words), jnp.asarray(m_arr), jnp.asarray(thi),
                 jnp.asarray(tlo), jnp.asarray(fk_arr), jnp.asarray(flags))
         wcnt = jax.device_get(wcnt_d)
+        if stage_times is not None:
+            stage_times["dec_device_membership"] = (
+                stage_times.get("dec_device_membership", 0.0)
+                + time.time() - _t0)
+            _t0 = time.time()
 
         # Host: slice witness streams into per-block padded segments and
-        # derive per-block change counts (popcount of witness bits).
+        # derive per-block change counts (popcount of witness bits) —
+        # both native single-pass walks (utils/native.py pad_rows /
+        # witness_popcounts); this stage was the decode host hot spot
+        # (10.2 -> ~0.5 ms/frame at 1080p).
         wit = np.zeros((f, nbk, bk.WIT_BYTES), np.uint8)
         block_counts = np.zeros((f, nbk), np.int32)
-        cols = np.arange(bk.WIT_BYTES)
         for j in range(f):
             if wit_streams[j] is None:
                 if flags[j]:
                     block_counts[j] = raw_mask[j].sum(axis=1)
                 continue
-            seg_lens = (wcnt[j] + 7) // 8
-            sel = cols[None, :] < seg_lens[:, None]
+            seg_lens = ((wcnt[j] + 7) // 8).astype(np.uint32)
             buf = np.frombuffer(wit_streams[j], dtype=np.uint8)
-            wit[j][sel] = buf[: int(seg_lens.sum())]
-            bits = np.unpackbits(wit[j], axis=1)
-            valid = np.arange(bk.IPB)[None, :] < wcnt[j][:, None]
-            block_counts[j] = (bits[:, :bk.IPB] * valid).sum(axis=1)
+            wit[j] = native.pad_rows(buf, nbk, bk.WIT_BYTES, seg_lens)
+            block_counts[j] = native.witness_popcounts(wit[j], wcnt[j])
 
         vh = _vh_bucket(int(block_counts.max()) if block_counts.size else 1)
         # value segments travel as pixel-major BYTES (c bytes per slot
         # instead of a 4-byte int) and are packed to 24-bit ints on
         # device after the upload (_unpack_vseg_bytes).
         vseg = np.zeros((f, nbk, vh * 32 * channels), np.uint8)
-        vcols = np.arange(vh * 32 * channels)
         for j in range(f):
             vs = value_streams[j]
             if vs is None or vs.size == 0:
                 continue
-            sel = vcols[None, :] < (block_counts[j][:, None] * channels)
-            vseg[j][sel] = vs
+            vseg[j] = native.pad_rows(
+                np.ascontiguousarray(vs, np.uint8), nbk,
+                vh * 32 * channels,
+                (block_counts[j] * channels).astype(np.uint32))
 
+        if stage_times is not None:
+            stage_times["dec_host_slices"] = (
+                stage_times.get("dec_host_slices", 0.0)
+                + time.time() - _t0)
+            _t0 = time.time()
         # pass-through/sparse masks are rare; when none occurred the
         # raw-mask array is all zero — create it ON DEVICE instead of
         # shipping 0.25 GB/120x1080p of zeros across the host link.
@@ -1101,4 +1245,8 @@ class BlockedDecoder:
             frames = jax.device_get(prog(
                 passes_d, jnp.asarray(wit), raw_dev,
                 jnp.asarray(flags), jnp.asarray(vseg), jnp.asarray(base)))
+        if stage_times is not None:
+            stage_times["dec_expand_pull"] = (
+                stage_times.get("dec_expand_pull", 0.0)
+                + time.time() - _t0)
         return [np.asarray(frames[j]) for j in range(f)]

@@ -399,14 +399,17 @@ def build_blocked_z_record(p: float, n: int, k: float,
     """Assemble a type-7 blocked record from pre-coded sections.
 
     ``bitmap_sec`` / ``witness_sec`` are (coding, stored_bytes, raw_len)
-    tuples with coding 0 = raw, 1 = DEFLATE; ``values_z`` is the already
-    zlib'd value stream (the value section was always compressed — this
-    form lets the encoder batch all DEFLATE work through the native
-    threaded stage instead of per-record zlib calls).
+    tuples — coding 0 = raw, 1 = DEFLATE, 2 = static binary rANS (the
+    near-entropy coder for biased bit streams, native/nbf.cpp; raw_len
+    is followed by the quantized bit-probability byte).  ``values_z``
+    is the already zlib'd value stream (the value section was always
+    compressed — this form lets the encoder batch all DEFLATE work
+    through the native threaded stage instead of per-record zlib calls).
 
     Layout: <B 7, <f p, <I n, <f k, <I bitmap_bits, <I witness_bits,
     section(bitmap), section(witness), <I vz_len, <I value_count, vz;
-    section := <B coding, <I stored_len, [<I raw_len if coding], bytes.
+    section := <B coding, <I stored_len, [<I raw_len if coding != 0],
+    [<B bit_prob if coding == 2], bytes.
     """
     buf = io.BytesIO()
     buf.write(_U8.pack(BLOCKED_Z))
@@ -415,11 +418,14 @@ def build_blocked_z_record(p: float, n: int, k: float,
     buf.write(_F32.pack(k))
     buf.write(_U32.pack(bitmap_bits))
     buf.write(_U32.pack(witness_bits))
-    for coding, stored, raw_len in (bitmap_sec, witness_sec):
+    for sec in (bitmap_sec, witness_sec):
+        coding, stored, raw_len = sec[0], sec[1], sec[2]
         buf.write(_U8.pack(coding))
         buf.write(_U32.pack(len(stored)))
         if coding:
             buf.write(_U32.pack(raw_len))
+        if coding == 2:
+            buf.write(_U8.pack(sec[3]))  # quantized bit probability
         buf.write(stored)
     buf.write(_U32.pack(len(values_z)))
     buf.write(_U32.pack(values_count))
@@ -432,13 +438,21 @@ def _read_section(buf) -> np.ndarray:
     stored_len = _U32.unpack(buf.read(4))[0]
     if coding == 0:
         return np.frombuffer(buf.read(stored_len), dtype=np.uint8)
-    if coding != 1:
-        raise ValueError(f"unknown section coding {coding}")
-    raw_len = _U32.unpack(buf.read(4))[0]
-    raw = zlib.decompress(buf.read(stored_len))
-    if len(raw) != raw_len:
-        raise ValueError("section raw length mismatch")
-    return np.frombuffer(raw, dtype=np.uint8)
+    if coding == 1:
+        raw_len = _U32.unpack(buf.read(4))[0]
+        raw = zlib.decompress(buf.read(stored_len))
+        if len(raw) != raw_len:
+            raise ValueError("section raw length mismatch")
+        return np.frombuffer(raw, dtype=np.uint8)
+    if coding == 2:
+        from new_bloom_filter_repo_tpu.utils import native
+        raw_len = _U32.unpack(buf.read(4))[0]
+        prob = _U8.unpack(buf.read(1))[0]
+        if not 1 <= prob <= 255:
+            raise ValueError(f"rANS section probability {prob} out of range")
+        raw = native.rans_decode(buf.read(stored_len), prob, raw_len)
+        return np.frombuffer(raw, dtype=np.uint8)
+    raise ValueError(f"unknown section coding {coding}")
 
 
 def parse_blocked_z(data: bytes, offset: int = 0) -> dict:

@@ -74,6 +74,17 @@ def load() -> Optional[ctypes.CDLL]:
         lib.nbf_y4m_probe.restype = i32
         lib.nbf_y4m_probe.argtypes = [p8, u64, pu32, pu32, pu32, pu32,
                                       pu32, pu32]
+        pi32 = ctypes.POINTER(ctypes.c_int32)
+        lib.nbf_pack_subfilters.restype = None
+        lib.nbf_pack_subfilters.argtypes = [pi32, u64, i32, i32, p8]
+        lib.nbf_unpack_subfilters.restype = None
+        lib.nbf_unpack_subfilters.argtypes = [p8, u64, i32, i32, pi32]
+        lib.nbf_witness_popcounts.restype = None
+        lib.nbf_witness_popcounts.argtypes = [p8, u64, u64, pi32, pi32]
+        lib.nbf_rans_encode.restype = u64
+        lib.nbf_rans_encode.argtypes = [p8, u64, i32, p8, u64]
+        lib.nbf_rans_decode.restype = i32
+        lib.nbf_rans_decode.argtypes = [p8, u64, i32, p8, u64]
         _lib = lib
         return _lib
 
@@ -209,6 +220,14 @@ def pad_rows(stream: np.ndarray, rows: int, stride: int,
     lib = load()
     stream = np.ascontiguousarray(stream, np.uint8)
     lengths = np.ascontiguousarray(lengths, np.uint32)
+    if int(lengths.sum()) > stream.size:
+        # corrupt/truncated stream: fail like the numpy path instead of
+        # letting the native memcpy walk read out of bounds
+        raise ValueError(
+            f"stream carries {stream.size} bytes but row lengths sum to "
+            f"{int(lengths.sum())}")
+    if lengths.size and int(lengths.max()) > stride:
+        raise ValueError("row length exceeds stride")
     out = np.zeros((rows, stride), np.uint8)
     if lib is None:
         cols = np.arange(stride)
@@ -219,6 +238,175 @@ def pad_rows(stream: np.ndarray, rows: int, stride: int,
         lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         _as_u8p(out))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Sub-filter bitmap pack/unpack (blocked-record bitmap section)
+# ---------------------------------------------------------------------------
+
+def pack_subfilters(words: np.ndarray, m: int) -> np.ndarray:
+    """(NB, nw) i32 packed sub-filter words -> packbits bytes of the
+    concatenated m-bit-per-block bitmap (the blocked record's bitmap
+    section).  Native single pass; numpy fallback goes through the
+    expanded-bit form."""
+    lib = load()
+    nb, nw = words.shape
+    if m > nw * 32:
+        raise ValueError(f"m={m} exceeds word capacity {nw * 32}")
+    if lib is not None:
+        words = np.ascontiguousarray(words, np.int32)
+        out = np.empty((nb * m + 7) // 8, np.uint8)
+        lib.nbf_pack_subfilters(
+            words.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            nb, nw, m, _as_u8p(out))
+        return out
+    u = words.astype(np.uint32)
+    by = np.stack([(u >> 24) & 0xFF, (u >> 16) & 0xFF, (u >> 8) & 0xFF,
+                   u & 0xFF], axis=-1).astype(np.uint8)
+    bits = np.unpackbits(by.reshape(nb, -1), axis=1)[:, :m]
+    return np.packbits(bits.reshape(-1))
+
+
+def unpack_subfilters(bitmap: np.ndarray, nb: int, m: int,
+                      nw: int) -> np.ndarray:
+    """Inverse of :func:`pack_subfilters`: bitmap bytes -> (nb, nw) i32
+    packed words (tail bits zero)."""
+    lib = load()
+    bitmap = np.ascontiguousarray(bitmap, np.uint8)
+    if bitmap.size * 8 < nb * m:
+        raise ValueError("bitmap shorter than nb*m bits")
+    if lib is not None:
+        out = np.empty((nb, nw), np.int32)
+        lib.nbf_unpack_subfilters(
+            _as_u8p(bitmap), nb, m, nw,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out
+    bits = np.unpackbits(bitmap)[: nb * m].reshape(nb, m)
+    wbits = np.zeros((nb, nw * 32), np.uint8)
+    wbits[:, :m] = bits
+    by = np.packbits(wbits, axis=1)
+    u = ((by[:, 0::4].astype(np.uint32) << 24)
+         | (by[:, 1::4].astype(np.uint32) << 16)
+         | (by[:, 2::4].astype(np.uint32) << 8)
+         | by[:, 3::4].astype(np.uint32))
+    return u.view(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Static binary rANS section coder (see native/nbf.cpp)
+# ---------------------------------------------------------------------------
+
+_RANS_BITS = 12
+_RANS_M = 1 << _RANS_BITS
+_RANS_L = 1 << 23
+
+
+def rans_bit_prob(data: bytes) -> int:
+    """Quantized P(bit = 1) of a packed bit stream, in [1, 255]."""
+    if not data:
+        return 128
+    arr = np.frombuffer(data, np.uint8)
+    ones = int(np.unpackbits(arr).sum())
+    p = round(256 * ones / (8 * arr.size))
+    return min(255, max(1, p))
+
+
+def _rans_table(prob: int):
+    """Exact-integer table build mirroring rans_build_table in
+    native/nbf.cpp bit for bit (Python ints are exact, so this fallback
+    interoperates with native-coded streams)."""
+    a, b = prob, 256 - prob
+    f = []
+    for s in range(256):
+        k = bin(s).count("1")
+        w = (a ** k) * (b ** (8 - k))
+        fi = (w * _RANS_M) >> 64
+        f.append(max(1, fi))
+    maxs = f.index(max(f))  # first max — matches C's strict-> scan
+    f[maxs] += _RANS_M - sum(f)
+    start, c = [], 0
+    slot2sym = np.empty(_RANS_M, np.uint8)
+    for s in range(256):
+        start.append(c)
+        slot2sym[c:c + f[s]] = s
+        c += f[s]
+    return f, start, slot2sym
+
+
+def rans_encode(data: bytes, prob: int) -> Optional[bytes]:
+    """rANS-encode; returns None when coding would not shrink below the
+    input size (the caller then keeps another coding)."""
+    lib = load()
+    cap = len(data) + 16
+    if lib is not None:
+        arr = (np.frombuffer(data, np.uint8) if data
+               else np.zeros(1, np.uint8))
+        out = np.empty(cap, np.uint8)
+        n = lib.nbf_rans_encode(_as_u8p(arr), len(data), prob,
+                                _as_u8p(out), cap)
+        return out[:n].tobytes() if n else None
+    freq, start, _ = _rans_table(prob)
+    buf = bytearray()
+    x = _RANS_L
+    for s in reversed(data):
+        fr = freq[s]
+        x_max = ((_RANS_L >> _RANS_BITS) << 8) * fr
+        while x >= x_max:
+            buf.append(x & 0xFF)
+            x >>= 8
+        x = ((x // fr) << _RANS_BITS) + (x % fr) + start[s]
+    head = bytes(((x >> (8 * i)) & 0xFF) for i in range(4))
+    out = head + bytes(reversed(buf))
+    return out if len(out) <= cap else None
+
+
+def rans_decode(data: bytes, prob: int, raw_len: int) -> bytes:
+    lib = load()
+    if lib is not None:
+        arr = (np.frombuffer(data, np.uint8) if data
+               else np.zeros(1, np.uint8))
+        out = np.empty(max(1, raw_len), np.uint8)
+        rc = lib.nbf_rans_decode(_as_u8p(arr), len(data), prob,
+                                 _as_u8p(out), raw_len)
+        if rc != 0:
+            raise ValueError(f"malformed rANS section (rc={rc})")
+        return out[:raw_len].tobytes()
+    if len(data) < 4:
+        raise ValueError("malformed rANS section (too short)")
+    freq, start, slot2sym = _rans_table(prob)
+    x = int.from_bytes(data[:4], "little")
+    pos = 4
+    out = bytearray()
+    for _ in range(raw_len):
+        slot = x & (_RANS_M - 1)
+        s = int(slot2sym[slot])
+        out.append(s)
+        x = freq[s] * (x >> _RANS_BITS) + slot - start[s]
+        while x < _RANS_L:
+            if pos >= len(data):
+                raise ValueError("malformed rANS section (underrun)")
+            x = (x << 8) | data[pos]
+            pos += 1
+    return bytes(out)
+
+
+def witness_popcounts(wit_rows: np.ndarray, wcnt: np.ndarray) -> np.ndarray:
+    """Per-row popcount of the first wcnt[r] bits of each padded witness
+    row ((rows, stride) u8) — the decode-side block change counts."""
+    lib = load()
+    wit_rows = np.ascontiguousarray(wit_rows, np.uint8)
+    wcnt = np.ascontiguousarray(wcnt, np.int32)
+    rows, stride = wit_rows.shape
+    if lib is not None:
+        out = np.empty(rows, np.int32)
+        pi32 = ctypes.POINTER(ctypes.c_int32)
+        lib.nbf_witness_popcounts(
+            _as_u8p(wit_rows), rows, stride,
+            wcnt.ctypes.data_as(pi32), out.ctypes.data_as(pi32))
+        return out
+    bits = np.unpackbits(wit_rows, axis=1)
+    valid = np.arange(stride * 8)[None, :] < wcnt[:, None]
+    return (bits * valid).sum(axis=1).astype(np.int32)
 
 
 # ---------------------------------------------------------------------------

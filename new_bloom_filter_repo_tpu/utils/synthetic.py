@@ -28,6 +28,35 @@ def _zoom_frame(img: np.ndarray, scale: float) -> np.ndarray:
     return img[np.ix_(ys, xs)]
 
 
+def _subpixel_pan(img: np.ndarray, dy: float, dx: float) -> np.ndarray:
+    """Bilinear wrap-around translation by a FRACTIONAL shift.
+
+    Real camera pans are not integer pixel rolls: interpolation re-mixes
+    every pixel, so no single (dy, dx) reproduces the previous frame
+    exactly — the realistic stress case for the global-motion search
+    (a roll-based pan is its best case)."""
+    y0, fy = int(np.floor(dy)), dy - np.floor(dy)
+    x0, fx = int(np.floor(dx)), dx - np.floor(dx)
+    a = np.roll(img, (y0, x0), (0, 1)).astype(np.float32)
+    b = np.roll(img, (y0 + 1, x0), (0, 1)).astype(np.float32)
+    c = np.roll(img, (y0, x0 + 1), (0, 1)).astype(np.float32)
+    d = np.roll(img, (y0 + 1, x0 + 1), (0, 1)).astype(np.float32)
+    out = (a * (1 - fy) * (1 - fx) + b * fy * (1 - fx)
+           + c * (1 - fy) * fx + d * fy * fx)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _film_grain(rng, height, width, sigma: float, cell: int = 2):
+    """Spatially-correlated per-frame grain field (film/sensor grain):
+    unlike i.i.d. white noise it carries local structure the entropy
+    stage can partially absorb — closer to how real camera footage
+    behaves than the pure-random noise knobs."""
+    small = rng.normal(0.0, sigma,
+                       ((height + cell - 1) // cell,
+                        (width + cell - 1) // cell))
+    return np.repeat(np.repeat(small, cell, 0), cell, 1)[:height, :width]
+
+
 def _smooth_texture(rng, height, width, gray, cell: int = 8):
     """Spatially smooth random scene (block texture + mild detail) —
     compressible like real video, unlike white noise which no lossless
@@ -46,7 +75,8 @@ def generate_frames(frame_count: int = 90, width: int = 640,
                     height: int = 480, noise: float = 1.0,
                     speed: float = 1.0, color_space: str = "BGR",
                     seed: int = 0, pan: float = 0.0, zoom: float = 0.0,
-                    scene_cut_every: int = 0, noise_frac: float = 0.02):
+                    scene_cut_every: int = 0, noise_frac: float = 0.02,
+                    pan_mode: str = "roll", grain: float = 0.0):
     """Synthetic clip; returns a list of uint8 frames (HxWx3 or HxW).
 
     The scene is spatially smooth (block texture + mild detail) so the
@@ -62,6 +92,14 @@ def generate_frames(frame_count: int = 90, width: int = 640,
       zoom: per-frame zoom rate (scale = 1 + zoom*i — radial motion);
       scene_cut_every: hard cut to a fresh random scene every N frames
         (exercises the encoder's keyframe-fallback branch).
+
+    Realism knobs (VERDICT r2 #10 — make the synthetic table track real
+    content more closely):
+      pan_mode: "roll" (integer np.roll — the motion search's exact
+        model) or "subpixel" (bilinear fractional shift — every pixel
+        re-mixed, like a real camera pan);
+      grain: sigma of spatially-correlated per-frame film grain applied
+        to EVERY pixel (partially compressible, unlike white noise).
     """
     rng = np.random.default_rng(seed)
     gray = color_space.upper() in ("GRAY", "GREY", "MONO")
@@ -73,13 +111,18 @@ def generate_frames(frame_count: int = 90, width: int = 640,
         if scene_cut_every and i and i % scene_cut_every == 0:
             base = _smooth_texture(rng, height, width, gray)
         scene = base
-        if pan:
+        if pan and pan_mode == "subpixel":
+            scene = _subpixel_pan(scene, pan * i / 2.0, pan * i)
+        elif pan:
             dx = int(round(pan * i))
             dy = int(round(pan * i / 2))
             scene = np.roll(np.roll(scene, dy, axis=0), dx, axis=1)
         if zoom:
             scene = _zoom_frame(scene, 1.0 + zoom * i)
         f = scene.astype(np.float32)
+        if grain > 0:
+            g = _film_grain(rng, height, width, grain)
+            f = f + (g if gray else g[:, :, None])
         if noise > 0 and noise_frac > 0:
             if noise_frac >= 1.0:
                 f = f + rng.normal(0.0, noise, size=shape)
@@ -122,6 +165,11 @@ SUITE = {
     # every pixel renoised every frame: the designed worst case — inter
     # coding is impossible and the entropy stage sees near-random bytes
     "noise_storm": dict(noise=8.0, noise_frac=1.0, speed=2.0),
+    # realism additions (VERDICT r2 #10): film-grain texture like real
+    # camera footage, and a fractional-shift pan no roll reproduces
+    "film_grain": dict(noise=0.0, grain=3.0, speed=1.0),
+    "pan_subpixel": dict(noise=2.0, noise_frac=0.02, pan=2.5,
+                         pan_mode="subpixel"),
 }
 
 

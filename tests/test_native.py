@@ -74,3 +74,83 @@ def test_y4m_probe():
     assert info == {"width": 352, "height": 288, "fps": (30000, 1001),
                     "header_len": 53, "colorspace": 420}
     assert native.y4m_probe(b"not a y4m file") is None
+
+
+class TestSubfilterPack:
+    """Native bitmap splice vs the numpy expanded-bit path."""
+
+    def _numpy_pack(self, words, m):
+        nb, nw = words.shape
+        u = words.astype(np.uint32)
+        by = np.stack([(u >> 24) & 0xFF, (u >> 16) & 0xFF,
+                       (u >> 8) & 0xFF, u & 0xFF], axis=-1).astype(np.uint8)
+        bits = np.unpackbits(by.reshape(nb, -1), axis=1)[:, :m]
+        return np.packbits(bits.reshape(-1))
+
+    @pytest.mark.parametrize("nb,m,nw", [(8, 16, 4), (25, 37, 4),
+                                         (64, 128, 4), (31, 384, 12),
+                                         (16, 33, 8), (5, 100, 4)])
+    def test_pack_matches_numpy_and_roundtrips(self, nb, m, nw):
+        rng = np.random.default_rng(nb * m)
+        words = rng.integers(-2**31, 2**31, (nb, nw), np.int64)
+        words = words.astype(np.int32)
+        # zero tail bits past m inside each block (the kernel invariant)
+        u = words.view(np.uint32).reshape(nb, nw)
+        for j in range(m, nw * 32):
+            u[:, j // 32] &= ~np.uint32(1 << (31 - (j % 32)))
+        packed = native.pack_subfilters(words, m)
+        np.testing.assert_array_equal(packed, self._numpy_pack(words, m))
+        back = native.unpack_subfilters(packed, nb, m, nw)
+        np.testing.assert_array_equal(back, words)
+
+    def test_rejects_oversized_m(self):
+        with pytest.raises(ValueError):
+            native.pack_subfilters(np.zeros((4, 4), np.int32), 200)
+
+
+class TestRansCoder:
+    """Static binary rANS section coder: native <-> Python-fallback
+    interop, round-trips, and malformed-stream rejection."""
+
+    @pytest.mark.parametrize("p1", [0.03, 0.15, 0.78, 0.9, 0.99])
+    def test_roundtrip_biased_bits(self, p1):
+        rng = np.random.default_rng(int(p1 * 100))
+        bits = (rng.random(4096 * 8) < p1).astype(np.uint8)
+        data = np.packbits(bits).tobytes()
+        prob = native.rans_bit_prob(data)
+        enc = native.rans_encode(data, prob)
+        assert enc is not None
+        dec = native.rans_decode(enc, prob, len(data))
+        assert dec == data
+        # near-entropy: within 6% of H(p) + table quantization slack
+        import math
+        h = -(p1 * math.log2(p1) + (1 - p1) * math.log2(1 - p1))
+        assert len(enc) <= len(data) * max(h + 0.06, 0.02) + 16
+
+    def test_python_fallback_interops_with_native(self, monkeypatch):
+        if native.load() is None:
+            pytest.skip("native lib unavailable")
+        rng = np.random.default_rng(7)
+        data = np.packbits(
+            (rng.random(8192) < 0.82).astype(np.uint8)).tobytes()
+        prob = native.rans_bit_prob(data)
+        enc_native = native.rans_encode(data, prob)
+        monkeypatch.setattr(native, "load", lambda: None)
+        enc_py = native.rans_encode(data, prob)
+        assert enc_py == enc_native           # bit-identical streams
+        assert native.rans_decode(enc_native, prob, len(data)) == data
+
+    def test_malformed_stream_raises(self):
+        with pytest.raises(ValueError):
+            native.rans_decode(b"\x01\x02", 200, 100)
+        # truncated body starves the renorm loop
+        rng = np.random.default_rng(1)
+        data = np.packbits((rng.random(8192) < 0.8).astype(np.uint8)
+                           ).tobytes()
+        enc = native.rans_encode(data, 205)
+        with pytest.raises(ValueError):
+            native.rans_decode(enc[: len(enc) // 2], 205, len(data))
+
+    def test_empty_input(self):
+        enc = native.rans_encode(b"", 128)
+        assert native.rans_decode(enc, 128, 0) == b""

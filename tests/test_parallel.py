@@ -336,3 +336,31 @@ class TestMultiHost:
         """On a pod: global dp mesh across hosts must emit the same
         bytes as single-host encode (the canonical-geometry guarantee
         extends over DCN unchanged)."""
+
+
+def test_motion_encode_dp_bitstream_identical():
+    """Pan content through a dp mesh: motion search + motion phase A
+    shard over frames with zero collectives, and the emitted stream
+    (type-6 wrapped records) must be byte-identical to single-device."""
+    from new_bloom_filter_repo_tpu.models.video import (
+        ImprovedVideoCompressor, verify_lossless)
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 240, (64, 96), np.uint8)
+    frames = []
+    scene = base
+    for i in range(9):
+        scene = np.roll(np.roll(scene, 1, axis=0), 2, axis=1)
+        f = scene.copy()
+        f[5:9, 5:9] = i * 20
+        frames.append(f)
+    streams = []
+    for devices in (None, 4):
+        comp = ImprovedVideoCompressor(verbose=False, devices=devices)
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "m.bfvc")
+            comp.compress_video(frames, p, input_color_space="BGR")
+            streams.append(open(p, "rb").read())
+            dec = comp.decompress_video(p)
+        assert verify_lossless(frames, dec)["lossless"]
+    assert streams[0] == streams[1]
