@@ -36,6 +36,12 @@ def main(argv=None):
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--prefetch-compare", action="store_true",
+                    help="Time compress_video with prefetch off vs on "
+                         "(upload/compute overlap).  On this rig's "
+                         "serializing tunnel overlap usually loses; on "
+                         "duplex-link hosts it wins — this mode measures "
+                         "instead of assuming")
     ap.add_argument("--host", action="store_true",
                     help="Also time the HOST stages of the production "
                          "byte pipeline (record assembly/parse) via the "
@@ -88,7 +94,7 @@ def main(argv=None):
         thi[j] = a_hi
         tlo[j] = a_lo
     vh = bp._vh_bucket(max_block)
-    k_lanes = int(fk_arr.max())
+    k_lanes = bk.k_bucket(int(fk_arr.max()))
     nw = bk.nw_bucket(int(m_arr.max()))
     print(f"f={f} nb={nb} nbk={nbk} vh={vh} k_lanes={k_lanes} nw={nw} "
           f"mean_m={m_arr.mean():.0f}", flush=True)
@@ -152,6 +158,22 @@ def main(argv=None):
                       ("dec_parse", "dec_host_slices"))
         print(f"host-cpu total           {host_s / fr * 1e3:8.2f} ms/frame"
               f"  ({fr / host_s:7.1f} fps host-bound)", flush=True)
+
+    if args.prefetch_compare:
+        from new_bloom_filter_repo_tpu.models.video import (
+            ImprovedVideoCompressor)
+        clip = [np.asarray(x) for x in frames[: min(61, len(frames))]]
+        print("-- prefetch (upload/compute overlap) comparison --",
+              flush=True)
+        for pf in (False, True):
+            comp = ImprovedVideoCompressor(verbose=False, prefetch=pf,
+                                           keyframe_interval=1000)
+            comp.compress_video(clip[:16], None)      # warm compiles
+            t0 = time.time()
+            comp.compress_video(clip, None)
+            dt = time.time() - t0
+            print(f"prefetch={str(pf):5s} {dt:8.2f} s  "
+                  f"{len(clip) / dt:7.2f} fps", flush=True)
     return 0
 
 

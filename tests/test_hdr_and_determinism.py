@@ -154,8 +154,8 @@ class TestByteDomainInterCoding:
         res, types = self._roundtrip(frames, tmp_path, "hdr.bfvc")
         from new_bloom_filter_repo_tpu.models import frame_codec as fc
         assert types[0] == fc.KEYFRAME
-        assert any(t in (fc.BLOCKED, fc.SPARSE, fc.INTERFRAME)
-                   for t in types[1:]), types
+        assert any(t in (fc.BLOCKED, fc.BLOCKED_Z, fc.SPARSE,
+                         fc.INTERFRAME) for t in types[1:]), types
         # inter coding must beat all-keyframes on static float content
         key = ImprovedVideoCompressor(verbose=False, mode="keyframe")
         rk = key.compress_video(frames, str(tmp_path / "k.bfvc"))
