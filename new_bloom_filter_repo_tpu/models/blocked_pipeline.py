@@ -12,10 +12,14 @@ kernel, one elementwise chain scan, single pull of the frames.
 
 Record selection per frame:
   count == 0                  -> EMPTY (type 2)
-  density > 0.45              -> keyframe fallback (scene cut)
+  density > 0.45              -> DPCM residual (type 8) or keyframe,
+                                 whichever stores fewer bytes
   m would be < MIN_M          -> SPARSE (type 4: indices + values)
-  p >= P* or l degenerate     -> pass-through (type 0, witness empty)
-  otherwise                   -> BLOCKED (type 3)
+  p >= P* or l degenerate     -> pass-through (type 0/7) vs residual,
+                                 whichever stores fewer bytes
+  otherwise                   -> BLOCKED (type 3, or 7 when a section
+                                 entropy-codes smaller)
+Nonzero global-motion shifts wrap any of these with a type-6 header.
 """
 
 from __future__ import annotations
@@ -722,12 +726,22 @@ class BlockedEncoder:
         # Global-motion search: tiny (F, 225) counts come back from the
         # device, the shift decision is host-side and deterministic.
         shifts = np.zeros((f, 2), np.int32)
+        best_shifts = np.zeros((f, 2), np.int32)
         if (self.motion and h >= 4 * MOTION_RADIUS
                 and w >= 4 * MOTION_RADIUS):
-            counts225 = (self.dispatch.motion_counts(stacked)
-                         if self.dispatch is not None
-                         else _motion_counts(stacked))
-            shifts = choose_shifts(np.asarray(jax.device_get(counts225)))
+            counts225 = np.asarray(jax.device_get(
+                self.dispatch.motion_counts(stacked)
+                if self.dispatch is not None
+                else _motion_counts(stacked)))
+            shifts = choose_shifts(counts225)
+            # unconditional per-frame argmin: margin-rejected for the
+            # mask path, but a DPCM residual against the rolled prev can
+            # still win on subpixel motion — tried as a second residual
+            # candidate for dense frames
+            side = 2 * MOTION_RADIUS + 1
+            best = np.argmin(counts225, axis=1)
+            best_shifts[:, 0] = best // side - MOTION_RADIUS
+            best_shifts[:, 1] = best % side - MOTION_RADIUS
         any_motion = bool(shifts.any())
 
         # device stages run on the kernel geometry (nbk >= nb, see
@@ -846,36 +860,69 @@ class BlockedEncoder:
         # zlib calls — the host entropy stage is this pipeline's hot
         # loop once device compute is fast (VERDICT r2 #1/#3).
         sections: List[bytes] = []
+        sec_level: List[int] = []
         vz_idx = [-1] * f
         bz_idx = [-1] * f
         wz_idx = [-1] * f
+        res_idx = [[] for _ in range(f)]  # (dy, dx, raw_len, sec_idx)
         val_bytes: List[bytes] = [b""] * f
         bm_bytes: List[Optional[bytes]] = [None] * f
         wit_bytes: List[Optional[bytes]] = [None] * f
 
-        def _add(buf: bytes) -> int:
+        def _add(buf: bytes, lvl: int) -> int:
             sections.append(buf)
+            sec_level.append(lvl)
             return len(sections) - 1
+
+        def _residual(j: int, dy: int, dx: int) -> bytes:
+            """DPCM bytes vs the (motion-rolled) previous frame — the
+            type-8 trial for dense-mask frames."""
+            prev_arr = frames[j - 1] if j > 0 else base
+            if dy or dx:
+                prev_arr = np.roll(np.roll(prev_arr, dy, axis=0), dx,
+                                   axis=1)
+            return (np.asarray(frames[j], np.uint8)
+                    - np.asarray(prev_arr, np.uint8)).tobytes()
+
+        def _res_candidates(j: int):
+            """Shift candidates for the residual trials: the accepted
+            mask shift plus the unconditional search argmin."""
+            cands = [(int(shifts[j, 0]), int(shifts[j, 1]))]
+            bb = (int(best_shifts[j, 0]), int(best_shifts[j, 1]))
+            if bb not in cands:
+                cands.append(bb)
+            return cands
+
+        def _add_residual_trials(j: int):
+            for dy, dx in _res_candidates(j):
+                r = _residual(j, dy, dx)
+                res_idx[j].append((dy, dx, len(r), _add(r, zl)))
 
         for j in range(f):
             kind = kinds[j]
-            if kind in ("empty", "key", "sparse"):
+            if kind in ("empty", "sparse"):
+                continue
+            if kind == "key":
+                # dense-mask fallback: a DPCM residual usually beats a
+                # raw keyframe on grain/subpixel-motion content
+                _add_residual_trials(j)
                 continue
             # vseg rows are already pixel-major bytes (device repack);
             # strip the per-block padding and the stream is done.
             val_bytes[j] = _strip_rows(vseg[j],
                                        vcnt[j] * channels).tobytes()
-            vz_idx[j] = _add(val_bytes[j])
+            vz_idx[j] = _add(val_bytes[j], zl)
             if kind == "pass":
                 bm_bytes[j] = packed_row(j)[: (n + 7) // 8].tobytes()
-                bz_idx[j] = _add(bm_bytes[j])
+                bz_idx[j] = _add(bm_bytes[j], 1)
+                _add_residual_trials(j)
             elif kind == "blocked":
                 m = int(m_arr[j])
                 bm_bytes[j] = native.pack_subfilters(words[j], m).tobytes()
-                bz_idx[j] = _add(bm_bytes[j])
+                bz_idx[j] = _add(bm_bytes[j], 1)
                 seg_lens = (wcnt[j] + 7) // 8
                 wit_bytes[j] = _strip_rows(wit[j], seg_lens).tobytes()
-                wz_idx[j] = _add(wit_bytes[j])
+                wz_idx[j] = _add(wit_bytes[j], 1)
 
         if stage_times is not None:
             stage_times["enc_host_sections"] = (
@@ -884,19 +931,16 @@ class BlockedEncoder:
             _t0 = time.time()
         # Bitmap/witness sections DEFLATE at level 1: on near-random
         # filter bits and biased witness bits, higher levels buy <2%
-        # over level 1 at 5x the CPU (measured); the value stream keeps
-        # the configured level, where modeling does pay.
-        val_set = set(vz_idx)
-        vals_idx = [i for i in range(len(sections)) if i in val_set]
-        bw_idx = [i for i in range(len(sections)) if i not in val_set]
+        # over level 1 at 5x the CPU (measured); value streams and DPCM
+        # residuals keep the configured level, where modeling does pay.
         zsecs: List[bytes] = [b""] * len(sections)
-        for idxs, lvl in ((vals_idx, zl), (bw_idx, 1)):
-            if idxs:
-                outs = native.deflate_frames([sections[i] for i in idxs],
-                                             level=lvl,
-                                             threads=self.num_threads)
-                for i, z in zip(idxs, outs):
-                    zsecs[i] = z
+        for lvl in sorted(set(sec_level)):
+            idxs = [i for i, sl in enumerate(sec_level) if sl == lvl]
+            outs = native.deflate_frames([sections[i] for i in idxs],
+                                         level=lvl,
+                                         threads=self.num_threads)
+            for i, z in zip(idxs, outs):
+                zsecs[i] = z
         if stage_times is not None:
             stage_times["enc_deflate"] = (
                 stage_times.get("enc_deflate", 0.0) + time.time() - _t0)
@@ -934,14 +978,34 @@ class BlockedEncoder:
                 rec = fc.wrap_motion(dy, dx, rec)
             payload_sink.append(rec)
 
+        def _residual_rec(j: int) -> bytes:
+            """Smallest residual trial, motion-wrapped with ITS OWN
+            shift (which may differ from the mask path's shifts[j])."""
+            best = None
+            for dy, dx, raw_len, si in res_idx[j]:
+                rec = fc.build_residual_record(raw_len, zsecs[si])
+                if dy or dx:
+                    rec = fc.wrap_motion(dy, dx, rec)
+                if best is None or len(rec) < len(best):
+                    best = rec
+            return best
+
         for j in range(f):
             kind = kinds[j]
             if kind == "empty":
                 emit(j, fc.encode_empty_frame())
                 continue
             if kind == "key":
-                payload_sink.append(keyframe_fn(j))
-                keyframes += 1
+                # dense fallback: DPCM residual vs full keyframe — the
+                # keyframe wins on true scene cuts (residual ~ random),
+                # the residual on grain/subpixel motion
+                key_rec = keyframe_fn(j)
+                res_rec = _residual_rec(j)
+                if len(res_rec) < len(key_rec):
+                    payload_sink.append(res_rec)  # carries its own wrap
+                else:
+                    payload_sink.append(key_rec)
+                    keyframes += 1
                 continue
             cnt = int(frame_counts[j])
             p = cnt / n
@@ -957,13 +1021,19 @@ class BlockedEncoder:
             if kind == "pass":
                 bsec = _sec(bm_bytes[j], bz_idx[j])
                 if bsec[0]:
-                    emit(j, fc.build_blocked_z_record(
+                    rec = fc.build_blocked_z_record(
                         p, n, ks[j], n, 0, bsec, (0, b"", 0),
-                        values_z, vcount))
+                        values_z, vcount)
                 else:
-                    emit(j, fc.build_interframe_record(
+                    rec = fc.build_interframe_record(
                         p, n, ks[j], bm_bytes[j], n, b"", 0,
-                        values_z=values_z, values_count=vcount))
+                        values_z=values_z, values_count=vcount)
+                res_rec = _residual_rec(j)
+                if len(res_rec) < len(rec) + (
+                        5 if (shifts[j, 0] or shifts[j, 1]) else 0):
+                    payload_sink.append(res_rec)  # carries its own wrap
+                else:
+                    emit(j, rec)
                 continue
             # blocked record: per-section entropy choice; all-raw falls
             # back to the type-3 layout (decodes in older readers).

@@ -58,12 +58,19 @@ INTERFRAME = 0
 #     own type 0, improved_video_compressor.py:930-959; types 3/4/5/7
 #     are this framework's extensions and free to compress — the
 #     witness stream is strongly biased toward 1-bits).
+# 8 — residual (DPCM) record: DEFLATE of (curr - prev) mod 256 over the
+#     frame's raw bytes, optionally against a motion-rolled prev (type-6
+#     wrapper).  Emitted when the change mask is dense (film grain,
+#     subpixel pans, heavy noise) and the residual bytes entropy-code
+#     smaller than both a keyframe and a pass-through record — dense
+#     content the reference can only store as a full zlib keyframe.
 EMPTY = 2
 BLOCKED = 3
 SPARSE = 4
 PLANAR = 5
 MOTION = 6
 BLOCKED_Z = 7
+RESIDUAL = 8
 
 _HDR_III = struct.Struct("<III")
 _U32 = struct.Struct("<I")
@@ -474,6 +481,39 @@ def parse_blocked_z(data: bytes, offset: int = 0) -> dict:
         zlib.decompress(buf.read(vz_len)),
         dtype=np.uint8)[: out["values_count"]]
     return out
+
+
+def build_residual_record(raw_len: int, residual_z: bytes) -> bytes:
+    """Assemble a type-8 DPCM record from the already-DEFLATE'd
+    byte-domain residual (curr - prev mod 256, flattened raw bytes).
+
+    Layout: <B 8, <I raw_len, <I z_len, z."""
+    return (_U8.pack(RESIDUAL) + _U32.pack(raw_len)
+            + _U32.pack(len(residual_z)) + residual_z)
+
+
+def parse_residual_record(data: bytes, offset: int = 0) -> np.ndarray:
+    """Inverse of :func:`build_residual_record` (after the type byte);
+    returns the residual bytes."""
+    raw_len, z_len = struct.unpack_from("<II", data, offset)
+    raw = zlib.decompress(data[offset + 8: offset + 8 + z_len])
+    if len(raw) != raw_len:
+        raise ValueError("residual record length mismatch")
+    return np.frombuffer(raw, dtype=np.uint8)
+
+
+def apply_residual(prev: np.ndarray, residual: np.ndarray,
+                   dy: int = 0, dx: int = 0) -> np.ndarray:
+    """Reconstruct a residual-coded frame: roll ``prev`` by (dy, dx) on
+    its leading two axes (np.roll wrap semantics, matching type-6
+    motion), then add the residual mod 256 over the raw bytes."""
+    base = np.roll(np.roll(prev, dy, axis=0), dx, axis=1) if (dy or dx) \
+        else prev
+    flat = np.ascontiguousarray(base).view(np.uint8).reshape(-1)
+    if flat.size != residual.size:
+        raise ValueError("residual length mismatch with geometry")
+    out = (flat + residual).astype(np.uint8)  # uint8 wrap == mod 256
+    return out.view(prev.dtype).reshape(prev.shape)
 
 
 def wrap_motion(dy: int, dx: int, inner: bytes) -> bytes:

@@ -730,9 +730,52 @@ class ImprovedVideoCompressor:
         if payloads and fc.record_type(payloads[0]) == fc.PLANAR:
             return self._decode_planar(payloads)
 
+        def _inner_type(payload: bytes) -> int:
+            t = fc.record_type(payload)
+            if t == fc.MOTION:
+                if len(payload) <= 5:
+                    raise ValueError("truncated motion record")
+                return payload[5]
+            return t
+
+        def _is_device_inter(payload: bytes) -> bool:
+            """Records the device run decoder handles (type-8 residuals
+            apply on host against the running reconstruction instead)."""
+            return _inner_type(payload) in (
+                fc.INTERFRAME, fc.EMPTY, fc.BLOCKED, fc.SPARSE,
+                fc.BLOCKED_Z)
+
         frames = []
         prev: Optional[np.ndarray] = None
         prev_info: Optional[dict] = None
+
+        def _advance(frame):
+            """Chain bookkeeping shared by the run and residual paths:
+            update prev/prev_info (planes rebuilt at the native geometry
+            the previous record carried — for subsampled formats the 444
+            channels are chroma replications, so a strided take is
+            their exact inverse) and append the output frame."""
+            nonlocal prev, prev_info
+            prev = frame
+            if prev_info is None:
+                frames.append(prev)
+                return
+            fh, fw = frame.shape[:2]
+
+            def native(ch, key):
+                ph, pw = np.asarray(prev_info[key]).shape[:2]
+                sy = max(1, fh // max(1, ph))
+                sx = max(1, fw // max(1, pw))
+                return frame[::sy, ::sx, ch].copy()
+
+            prev_info = {
+                "format": prev_info.get("format", "YUV444"),
+                "y_plane": frame[:, :, 0].copy(),
+                "u_plane": native(1, "u_plane"),
+                "v_plane": native(2, "v_plane"),
+            }
+            frames.append(YUVFrame(prev, _copy_info(prev_info)))
+
         i = 0
         while i < len(payloads):
             rtype = fc.record_type(payloads[i])
@@ -743,16 +786,37 @@ class ImprovedVideoCompressor:
                               if prev_info is not None else prev)
                 i += 1
                 continue
-            inter_types = (fc.INTERFRAME, fc.EMPTY, fc.BLOCKED,
-                           fc.SPARSE, fc.BLOCKED_Z, fc.MOTION)
-            if rtype not in inter_types:
+            if rtype not in (fc.INTERFRAME, fc.EMPTY, fc.BLOCKED,
+                             fc.SPARSE, fc.BLOCKED_Z, fc.MOTION,
+                             fc.RESIDUAL):
                 raise ValueError(f"Unknown frame type: {rtype}")
             if prev is None:
                 raise ValueError("inter-frame record before any keyframe")
+            if _inner_type(payloads[i]) == fc.RESIDUAL:
+                payload = payloads[i]
+                dy = dx = 0
+                off = 0
+                if rtype == fc.MOTION:
+                    dy, dx, off = fc.parse_motion(payload)
+                residual = fc.parse_residual_record(payload, off + 1)
+                byte_domain = (prev.dtype != np.uint8
+                               or (prev.ndim == 3 and prev.shape[2] > 3))
+                if byte_domain:
+                    # the encoder diffed/rolled the byte view, so the
+                    # residual applies on the same representation
+                    fb = fc.apply_residual(self._byte_view(prev),
+                                           residual, dy, dx)
+                    frame = (np.ascontiguousarray(fb).reshape(-1)
+                             .view(prev.dtype).reshape(prev.shape))
+                else:
+                    frame = fc.apply_residual(prev, residual, dy, dx)
+                _advance(frame)
+                i += 1
+                continue
             j = i
             while (j < len(payloads)
                    and j - i < self._chunk
-                   and fc.record_type(payloads[j]) in inter_types):
+                   and _is_device_inter(payloads[j])):
                 j += 1
             byte_domain = (prev.dtype != np.uint8
                            or (prev.ndim == 3 and prev.shape[2] > 3))
@@ -765,32 +829,7 @@ class ImprovedVideoCompressor:
             else:
                 decoded = self._decode_inter_run(prev, payloads[i:j])
             for frame in decoded:
-                prev = frame
-                if prev_info is not None:
-                    # Rebuild planes at the NATIVE geometry the previous
-                    # record carried: for subsampled formats (flag-3
-                    # keyframes store e.g. I420 planes) the 444 channels
-                    # are chroma replications (videoio.read_raw_yuv /
-                    # read_y4m upconvert with np.repeat), so a strided
-                    # take is their exact inverse — keeping every frame's
-                    # plane geometry consistent for .yuv/.y4m export.
-                    fh, fw = frame.shape[:2]
-
-                    def native(ch, key):
-                        ph, pw = np.asarray(prev_info[key]).shape[:2]
-                        sy = max(1, fh // max(1, ph))
-                        sx = max(1, fw // max(1, pw))
-                        return frame[::sy, ::sx, ch].copy()
-
-                    prev_info = {
-                        "format": prev_info.get("format", "YUV444"),
-                        "y_plane": frame[:, :, 0].copy(),
-                        "u_plane": native(1, "u_plane"),
-                        "v_plane": native(2, "v_plane"),
-                    }
-                    frames.append(YUVFrame(prev, _copy_info(prev_info)))
-                else:
-                    frames.append(prev)
+                _advance(frame)
             i = j
         return frames
 

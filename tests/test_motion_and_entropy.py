@@ -260,3 +260,75 @@ class TestGuards:
         b = [np.array([[1e9]], np.float64)]
         v = verify_lossless(a, b)
         assert v["max_difference"] == 1.0
+
+
+class TestResidualRecords:
+    """Type-8 DPCM records: dense-change content that previously fell
+    back to raw keyframes (film grain, subpixel pans) now stores a
+    DEFLATE'd (curr - prev) mod 256 residual, optionally against a
+    motion-rolled prev."""
+
+    def _grain_frames(self, count=10, h=64, w=96):
+        from new_bloom_filter_repo_tpu.utils.synthetic import (
+            generate_frames)
+        return [np.asarray(f) for f in generate_frames(
+            count, w, h, noise=0.0, grain=3.0, color_space="GRAY")]
+
+    def test_grain_clip_uses_residuals_and_beats_keyframes(self, tmp_path):
+        frames = self._grain_frames()
+        p = str(tmp_path / "g.bfvc")
+        comp = ImprovedVideoCompressor(verbose=False, keyframe_interval=30)
+        res = comp.compress_video(frames, p, input_color_space="BGR")
+        dec = comp.decompress_video(p)
+        assert verify_lossless(frames, dec)["lossless"]
+        _, payloads = container.read_bfvc(p)
+        types = Counter()
+        for x in payloads:
+            t = fc.record_type(x)
+            if t == fc.MOTION:
+                _, _, off = fc.parse_motion(x)
+                t = x[off]
+            types[t] += 1
+        assert types[fc.RESIDUAL] >= 5, dict(types)
+        key = ImprovedVideoCompressor(verbose=False, mode="keyframe")
+        rk = key.compress_video(frames, str(tmp_path / "k.bfvc"))
+        assert res["compressed_size"] < 0.6 * rk["compressed_size"]
+
+    def test_residual_record_roundtrip_unit(self):
+        rng = np.random.default_rng(0)
+        prev = rng.integers(0, 255, (16, 24), np.uint8)
+        curr = (prev + rng.integers(-4, 5, prev.shape)).astype(np.uint8)
+        import zlib
+        residual = (curr - np.roll(np.roll(prev, 1, 0), 2, 1)).tobytes()
+        rec = fc.build_residual_record(len(residual),
+                                       zlib.compress(residual, 6))
+        back = fc.parse_residual_record(rec, 1)
+        got = fc.apply_residual(prev, back, 1, 2)
+        np.testing.assert_array_equal(got, curr)
+
+    def test_truncated_residual_raises(self, tmp_path):
+        frames = self._grain_frames(count=4)
+        key = fc.encode_keyframe(frames[0], None, typed=True)
+        bad = fc.build_residual_record(10, b"notzlib")
+        p = str(tmp_path / "bad.bfvc")
+        container.write_bfvc(p, [key, bad], container.MAGIC_BLOOM)
+        with pytest.raises(Exception):
+            ImprovedVideoCompressor(verbose=False).decompress_video(p)
+
+    def test_uint16_grain_clip_residual_byte_domain(self, tmp_path):
+        """HDR-ish uint16 content with full-frame change inter-codes
+        through byte-domain residuals bit-exactly."""
+        rng = np.random.default_rng(3)
+        base = rng.integers(0, 60000, (48, 64), np.uint16)
+        frames = []
+        cur = base
+        for t in range(6):
+            cur = (cur + rng.integers(-300, 300, cur.shape)).astype(
+                np.uint16)
+            frames.append(cur)
+        p = str(tmp_path / "u16.bfvc")
+        comp = ImprovedVideoCompressor(verbose=False)
+        comp.compress_video(frames, p, input_color_space="BGR")
+        dec = comp.decompress_video(p)
+        v = verify_lossless(frames, dec)
+        assert v["lossless"]
