@@ -197,30 +197,9 @@ def _host_stage_seconds(frames):
     separately — on production hosts the duplex PCIe link overlaps
     them with compute; on this rig the tunnel bounds them and they are
     reported as transfer_bound_e2e_fps."""
-    from new_bloom_filter_repo_tpu.models import blocked_pipeline as bp
-
-    base, chunk = frames[0], list(frames[1:16])
-    enc = bp.BlockedEncoder()
-    dec = bp.BlockedDecoder()
-    warm = []
-    enc.encode_chunk(base, chunk, warm)
-    dec.decode_run(base, warm)
-    reps = 2
-    st_enc, st_dec = {}, {}
-    for _ in range(reps):
-        payloads = []
-        enc.encode_chunk(base, chunk, payloads, stage_times=st_enc)
-        dec.decode_run(base, payloads, stage_times=st_dec)
-    fr = len(chunk) * reps
-    enc_host = (st_enc.get("enc_param_math", 0.0)
-                + st_enc.get("enc_host_sections", 0.0)
-                + st_enc.get("enc_deflate", 0.0)
-                + st_enc.get("enc_assembly", 0.0)) / fr
-    dec_host = (st_dec.get("dec_parse", 0.0)
-                + st_dec.get("dec_host_slices", 0.0)) / fr
-    detail = {k: round(v / fr * 1e3, 3)
-              for k, v in {**st_enc, **st_dec}.items()}
-    return enc_host, dec_host, detail
+    from new_bloom_filter_repo_tpu.utils.profiling import (
+        measure_host_stages)
+    return measure_host_stages(frames, reps=2)
 
 
 def _e2e_fps(frames):

@@ -135,29 +135,17 @@ def main(argv=None):
            base_packed)
 
     if args.host:
-        hb, hc = frames[0], [np.asarray(x) for x in frames[1:16]]
-        enc = bp.BlockedEncoder()
-        dec = bp.BlockedDecoder()
-        warm = []
-        enc.encode_chunk(hb, hc, warm)
-        dec.decode_run(hb, warm)
-        st_e, st_d = {}, {}
-        for _ in range(args.reps):
-            payloads = []
-            enc.encode_chunk(hb, hc, payloads, stage_times=st_e)
-            dec.decode_run(hb, payloads, stage_times=st_d)
-        fr = len(hc) * args.reps
+        from new_bloom_filter_repo_tpu.utils.profiling import (
+            measure_host_stages)
+        enc_s, dec_s, detail = measure_host_stages(
+            [np.asarray(x) for x in frames], reps=args.reps)
         print("-- production pipeline stages (ms/frame, 15-frame chunk) --",
               flush=True)
-        for k, v in sorted({**st_e, **st_d}.items()):
-            print(f"{k:24s} {v / fr * 1e3:8.2f} ms/frame", flush=True)
-        host_s = sum(st_e.get(k, 0.0) for k in
-                     ("enc_param_math", "enc_host_sections",
-                      "enc_deflate", "enc_assembly"))
-        host_s += sum(st_d.get(k, 0.0) for k in
-                      ("dec_parse", "dec_host_slices"))
-        print(f"host-cpu total           {host_s / fr * 1e3:8.2f} ms/frame"
-              f"  ({fr / host_s:7.1f} fps host-bound)", flush=True)
+        for k, v in sorted(detail.items()):
+            print(f"{k:24s} {v:8.2f} ms/frame", flush=True)
+        host_s = enc_s + dec_s
+        print(f"host-cpu total           {host_s * 1e3:8.2f} ms/frame"
+              f"  ({1.0 / host_s:7.1f} fps host-bound)", flush=True)
 
     if args.prefetch_compare:
         from new_bloom_filter_repo_tpu.models.video import (

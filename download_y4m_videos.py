@@ -73,6 +73,13 @@ def main(argv=None):
     for i, name in enumerate(clips):
         path = os.path.join(args.output_dir, f"{name}.y4m")
         prior = attempts.get(name, {})
+        if os.path.exists(path) and not prior:
+            # predates the attempt log: assume it is a real clip (the
+            # log tracks every synthetic stand-in this script writes) —
+            # never re-download or overwrite it
+            attempts[name] = {"status": "real", "note": "preexisting",
+                              "time": _time.strftime("%Y-%m-%d %H:%M:%S")}
+            prior = attempts[name]
         if os.path.exists(path) and (args.synthetic
                                      or prior.get("status") == "real"):
             print(f"exists: {path}")

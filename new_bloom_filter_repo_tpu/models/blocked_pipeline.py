@@ -113,14 +113,7 @@ class _MeshDispatch:
         import jax
         from jax.sharding import PartitionSpec as P
 
-        f = stacked.shape[0] - 1
-        fpad = -(-f // self.dp) * self.dp
-        prev = stacked[:-1]
-        curr = stacked[1:]
-        if fpad != f:
-            rep = jnp.repeat(stacked[-1:], fpad - f, axis=0)
-            prev = jnp.concatenate([prev, rep], axis=0)
-            curr = jnp.concatenate([curr, rep], axis=0)
+        prev, curr, f = self._pairs(stacked)
         ck = ("pha", npad, nb)
         if ck not in self._progs:
             body = partial(_phase_a_pair, npad=npad, nb=nb)
@@ -864,7 +857,7 @@ class BlockedEncoder:
         vz_idx = [-1] * f
         bz_idx = [-1] * f
         wz_idx = [-1] * f
-        res_idx = [[] for _ in range(f)]  # (dy, dx, raw_len, sec_idx)
+        res_trials = [[] for _ in range(f)]  # (dy, dx, raw_len, zbytes)
         val_bytes: List[bytes] = [b""] * f
         bm_bytes: List[Optional[bytes]] = [None] * f
         wit_bytes: List[Optional[bytes]] = [None] * f
@@ -893,20 +886,14 @@ class BlockedEncoder:
                 cands.append(bb)
             return cands
 
-        def _add_residual_trials(j: int):
-            for dy, dx in _res_candidates(j):
-                r = _residual(j, dy, dx)
-                res_idx[j].append((dy, dx, len(r), _add(r, zl)))
+
 
         for j in range(f):
             kind = kinds[j]
             if kind in ("empty", "sparse"):
                 continue
             if kind == "key":
-                # dense-mask fallback: a DPCM residual usually beats a
-                # raw keyframe on grain/subpixel-motion content
-                _add_residual_trials(j)
-                continue
+                continue  # residual trial handled in the bounded pass
             # vseg rows are already pixel-major bytes (device repack);
             # strip the per-block padding and the stream is done.
             val_bytes[j] = _strip_rows(vseg[j],
@@ -915,7 +902,6 @@ class BlockedEncoder:
             if kind == "pass":
                 bm_bytes[j] = packed_row(j)[: (n + 7) // 8].tobytes()
                 bz_idx[j] = _add(bm_bytes[j], 1)
-                _add_residual_trials(j)
             elif kind == "blocked":
                 m = int(m_arr[j])
                 bm_bytes[j] = native.pack_subfilters(words[j], m).tobytes()
@@ -941,6 +927,27 @@ class BlockedEncoder:
                                          threads=self.num_threads)
             for i, z in zip(idxs, outs):
                 zsecs[i] = z
+        # ---- DPCM residual trials (dense/pass frames) -----------------
+        # Gathered and DEFLATE'd in sub-batches of ~48 MB of raw bytes:
+        # grainy 1080p chunks would otherwise buffer two full-frame
+        # residuals per frame for the whole chunk (~190-370 MB transient)
+        # before one big batch; sub-batching keeps the threaded stage
+        # while bounding the spike.
+        res_frames = [j for j in range(f) if kinds[j] in ("key", "pass")]
+        frame_bytes = max(1, int(np.asarray(frames[0]).nbytes))
+        group_sz = max(1, (48 << 20) // (2 * frame_bytes))
+        for g in range(0, len(res_frames), group_sz):
+            raws, meta = [], []
+            for j in res_frames[g: g + group_sz]:
+                for dy, dx in _res_candidates(j):
+                    r = _residual(j, dy, dx)
+                    raws.append(r)
+                    meta.append((j, dy, dx, len(r)))
+            outs = native.deflate_frames(raws, level=zl,
+                                         threads=self.num_threads)
+            for (j, dy, dx, rl), z in zip(meta, outs):
+                res_trials[j].append((dy, dx, rl, z))
+
         if stage_times is not None:
             stage_times["enc_deflate"] = (
                 stage_times.get("enc_deflate", 0.0) + time.time() - _t0)
@@ -982,8 +989,8 @@ class BlockedEncoder:
             """Smallest residual trial, motion-wrapped with ITS OWN
             shift (which may differ from the mask path's shifts[j])."""
             best = None
-            for dy, dx, raw_len, si in res_idx[j]:
-                rec = fc.build_residual_record(raw_len, zsecs[si])
+            for dy, dx, raw_len, z in res_trials[j]:
+                rec = fc.build_residual_record(raw_len, z)
                 if dy or dx:
                     rec = fc.wrap_motion(dy, dx, rec)
                 if best is None or len(rec) < len(best):

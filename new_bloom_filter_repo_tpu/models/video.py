@@ -818,6 +818,12 @@ class ImprovedVideoCompressor:
                    and j - i < self._chunk
                    and _is_device_inter(payloads[j])):
                 j += 1
+            if j == i:
+                # motion wrapper around a non-inter inner type: corrupt
+                # stream — fail loudly rather than spin on an empty run
+                raise ValueError(
+                    f"motion record wraps invalid inner type "
+                    f"{_inner_type(payloads[i])}")
             byte_domain = (prev.dtype != np.uint8
                            or (prev.ndim == 3 and prev.shape[2] > 3))
             if byte_domain:

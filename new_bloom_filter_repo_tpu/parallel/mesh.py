@@ -88,8 +88,13 @@ def initialize_distributed(coordinator_address: str | None = None,
     Returns {"process_id", "num_processes", "local_devices",
     "global_devices"}.
     """
-    from jax._src.distributed import global_state as _dist_state
-    if _dist_state.client is None:
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None:
+        initialized = bool(is_init())
+    else:  # older jax: fall back to the internal state
+        from jax._src.distributed import global_state as _dist_state
+        initialized = _dist_state.client is not None
+    if not initialized:
         kwargs = {}
         if coordinator_address is not None:
             kwargs["coordinator_address"] = coordinator_address

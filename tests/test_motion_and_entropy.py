@@ -332,3 +332,16 @@ class TestResidualRecords:
         dec = comp.decompress_video(p)
         v = verify_lossless(frames, dec)
         assert v["lossless"]
+
+
+def test_motion_wrapping_non_inter_type_raises(tmp_path):
+    """A corrupt motion record whose inner type byte is not an
+    inter/residual type must raise, not spin on an empty decode run
+    (confirmed hang before the guard)."""
+    frames = _pan_frames(count=3, h=64, w=64)
+    key = fc.encode_keyframe(frames[0], None, typed=True)
+    bad = fc.wrap_motion(1, 2, key)  # inner KEYFRAME: invalid wrap
+    p = str(tmp_path / "badmotion.bfvc")
+    container.write_bfvc(p, [key, bad], container.MAGIC_BLOOM)
+    with pytest.raises(ValueError, match="invalid inner type"):
+        ImprovedVideoCompressor(verbose=False).decompress_video(p)
