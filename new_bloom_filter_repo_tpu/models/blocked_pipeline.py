@@ -690,13 +690,15 @@ class BlockedEncoder:
 
     def encode_chunk(self, base: np.ndarray, frames: List[np.ndarray],
                      payload_sink: List[bytes], keyframe_fn=None,
-                     stacked=None, stage_times: Optional[dict] = None
-                     ) -> int:
+                     stacked=None, stage_times: Optional[dict] = None,
+                     byte_view: bool = False) -> int:
         """Encode ``frames`` (diffed against base, then chained); append
         one record per frame to payload_sink.  ``keyframe_fn(j) -> bytes``
         supplies a keyframe record for scene-cut fallbacks; ``stacked``
         may carry a pre-uploaded stack_chunk() result.  Returns the
-        number of keyframes emitted.
+        number of keyframes emitted.  ``byte_view``: frames are raw
+        bytes of wider-dtype content — half-pel prediction (which
+        averages neighboring samples) is disabled for them.
 
         ``stage_times`` (optional dict) accumulates wall seconds per
         pipeline stage — device dispatch+sync, output pull, host section
@@ -867,23 +869,54 @@ class BlockedEncoder:
             sec_level.append(lvl)
             return len(sections) - 1
 
-        def _residual(j: int, dy: int, dx: int) -> bytes:
-            """DPCM bytes vs the (motion-rolled) previous frame — the
-            type-8 trial for dense-mask frames."""
-            prev_arr = frames[j - 1] if j > 0 else base
-            if dy or dx:
+        def _residual(j: int, dy: int, dx: int,
+                      halfpel: bool = False) -> bytes:
+            """DPCM bytes vs the motion-predicted previous frame — the
+            type-8 trial for dense-mask frames.  ``halfpel``: (dy, dx)
+            are half-pel units, prediction via integer bilinear."""
+            prev_arr = np.asarray(frames[j - 1] if j > 0 else base,
+                                  np.uint8)
+            if halfpel:
+                prev_arr = fc.halfpel_predict(prev_arr, dy, dx)
+            elif dy or dx:
                 prev_arr = np.roll(np.roll(prev_arr, dy, axis=0), dx,
                                    axis=1)
             return (np.asarray(frames[j], np.uint8)
-                    - np.asarray(prev_arr, np.uint8)).tobytes()
+                    - prev_arr).tobytes()
 
         def _res_candidates(j: int):
-            """Shift candidates for the residual trials: the accepted
-            mask shift plus the unconditional search argmin."""
-            cands = [(int(shifts[j, 0]), int(shifts[j, 1]))]
-            bb = (int(best_shifts[j, 0]), int(best_shifts[j, 1]))
-            if bb not in cands:
-                cands.append(bb)
+            """Shift candidates for the residual trials, as
+            (dy, dx, halfpel) tuples: the accepted mask shift, the
+            unconditional search argmin, and — when real motion is
+            present on direct uint8 content — the best half-pel
+            refinement around the argmin (chosen by subsampled mismatch
+            count on the host; a fractional camera pan re-mixes every
+            pixel, so the integer-roll residual is large while the
+            bilinear half-pel residual is near-noise)."""
+            cands = [(int(shifts[j, 0]), int(shifts[j, 1]), False)]
+            by, bx = int(best_shifts[j, 0]), int(best_shifts[j, 1])
+            if (by, bx, False) not in cands:
+                cands.append((by, bx, False))
+            if byte_view or (by == 0 and bx == 0):
+                return cands
+            curr = np.asarray(frames[j], np.uint8)
+            prev_arr = np.asarray(frames[j - 1] if j > 0 else base,
+                                  np.uint8)
+            sub = (slice(None, None, MOTION_STRIDE),
+                   slice(None, None, MOTION_STRIDE))
+            int_count = None
+            best_c, best_s = None, None
+            for oy in (-1, 0, 1):
+                for ox in (-1, 0, 1):
+                    sy, sx = 2 * by + oy, 2 * bx + ox
+                    pred = fc.halfpel_predict(prev_arr, sy, sx)
+                    c = int(np.count_nonzero(pred[sub] != curr[sub]))
+                    if oy == 0 and ox == 0:
+                        int_count = c
+                    elif best_c is None or c < best_c:
+                        best_c, best_s = c, (sy, sx)
+            if best_c is not None and best_c < 0.97 * int_count:
+                cands.append((best_s[0], best_s[1], True))
             return cands
 
 
@@ -939,14 +972,14 @@ class BlockedEncoder:
         for g in range(0, len(res_frames), group_sz):
             raws, meta = [], []
             for j in res_frames[g: g + group_sz]:
-                for dy, dx in _res_candidates(j):
-                    r = _residual(j, dy, dx)
+                for dy, dx, hp in _res_candidates(j):
+                    r = _residual(j, dy, dx, halfpel=hp)
                     raws.append(r)
-                    meta.append((j, dy, dx, len(r)))
+                    meta.append((j, dy, dx, hp, len(r)))
             outs = native.deflate_frames(raws, level=zl,
                                          threads=self.num_threads)
-            for (j, dy, dx, rl), z in zip(meta, outs):
-                res_trials[j].append((dy, dx, rl, z))
+            for (j, dy, dx, hp, rl), z in zip(meta, outs):
+                res_trials[j].append((dy, dx, hp, rl, z))
 
         if stage_times is not None:
             stage_times["enc_deflate"] = (
@@ -989,9 +1022,11 @@ class BlockedEncoder:
             """Smallest residual trial, motion-wrapped with ITS OWN
             shift (which may differ from the mask path's shifts[j])."""
             best = None
-            for dy, dx, raw_len, z in res_trials[j]:
+            for dy, dx, hp, raw_len, z in res_trials[j]:
                 rec = fc.build_residual_record(raw_len, z)
-                if dy or dx:
+                if hp:
+                    rec = fc.wrap_motion_hp(dy, dx, rec)
+                elif dy or dx:
                     rec = fc.wrap_motion(dy, dx, rec)
                 if best is None or len(rec) < len(best):
                     best = rec

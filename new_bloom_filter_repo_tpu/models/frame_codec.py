@@ -64,6 +64,12 @@ INTERFRAME = 0
 #     subpixel pans, heavy noise) and the residual bytes entropy-code
 #     smaller than both a keyframe and a pass-through record — dense
 #     content the reference can only store as a full zlib keyframe.
+# 9 — half-pel motion wrapper: like type 6 but shifts are in HALF-pixel
+#     units and the prediction is the integer bilinear average of the
+#     1/2/4 neighboring integer rolls ((a+b+1)>>1 / (a+b+c+d+2)>>2 —
+#     exact, deterministic).  Only wraps residual (type 8) records, and
+#     only for direct uint8 channel content (never byte-domain frames,
+#     where averaging adjacent bytes is meaningless).
 EMPTY = 2
 BLOCKED = 3
 SPARSE = 4
@@ -71,6 +77,7 @@ PLANAR = 5
 MOTION = 6
 BLOCKED_Z = 7
 RESIDUAL = 8
+MOTION_HP = 9
 
 _HDR_III = struct.Struct("<III")
 _U32 = struct.Struct("<I")
@@ -502,13 +509,47 @@ def parse_residual_record(data: bytes, offset: int = 0) -> np.ndarray:
     return np.frombuffer(raw, dtype=np.uint8)
 
 
+def halfpel_predict(prev: np.ndarray, sy: int, sx: int) -> np.ndarray:
+    """Half-pel motion prediction: sample ``prev`` at (y - sy/2,
+    x - sx/2) with wrap-around and exact integer bilinear rounding.
+
+    sy/sx are in half-pixel units; even components reduce to plain
+    np.roll.  uint8 arrays only (per-channel averaging)."""
+    iy, fy = sy >> 1, sy & 1   # floor division: -3 -> (-2, 1)
+    ix, fx = sx >> 1, sx & 1
+
+    def roll(a, b):
+        return np.roll(np.roll(prev, a, axis=0), b, axis=1)
+
+    if not fy and not fx:
+        return roll(iy, ix)
+    p00 = roll(iy, ix).astype(np.uint16)
+    if fy and fx:
+        s = (p00 + roll(iy + 1, ix) + roll(iy, ix + 1)
+             + roll(iy + 1, ix + 1) + 2) >> 2
+    elif fy:
+        s = (p00 + roll(iy + 1, ix) + 1) >> 1
+    else:
+        s = (p00 + roll(iy, ix + 1) + 1) >> 1
+    return s.astype(np.uint8)
+
+
 def apply_residual(prev: np.ndarray, residual: np.ndarray,
-                   dy: int = 0, dx: int = 0) -> np.ndarray:
+                   dy: int = 0, dx: int = 0,
+                   halfpel: bool = False) -> np.ndarray:
     """Reconstruct a residual-coded frame: roll ``prev`` by (dy, dx) on
     its leading two axes (np.roll wrap semantics, matching type-6
-    motion), then add the residual mod 256 over the raw bytes."""
-    base = np.roll(np.roll(prev, dy, axis=0), dx, axis=1) if (dy or dx) \
-        else prev
+    motion; with ``halfpel`` the shifts are half-pixel units and the
+    prediction is :func:`halfpel_predict`), then add the residual mod
+    256 over the raw bytes."""
+    if halfpel:
+        if prev.dtype != np.uint8:
+            raise ValueError("half-pel residual on non-uint8 frame")
+        base = halfpel_predict(prev, dy, dx)
+    elif dy or dx:
+        base = np.roll(np.roll(prev, dy, axis=0), dx, axis=1)
+    else:
+        base = prev
     flat = np.ascontiguousarray(base).view(np.uint8).reshape(-1)
     if flat.size != residual.size:
         raise ValueError("residual length mismatch with geometry")
@@ -526,9 +567,15 @@ def wrap_motion(dy: int, dx: int, inner: bytes) -> bytes:
 
 
 def parse_motion(data: bytes):
-    """Returns (dy, dx, inner_offset) of a type-6 record."""
+    """Returns (dy, dx, inner_offset) of a type-6 or type-9 record
+    (type-9 shifts are in half-pel units)."""
     dy, dx = struct.unpack_from("<hh", data, 1)
     return dy, dx, 5
+
+
+def wrap_motion_hp(sy: int, sx: int, inner: bytes) -> bytes:
+    """Wrap a residual record with a HALF-PEL motion header (type 9)."""
+    return _U8.pack(MOTION_HP) + struct.pack("<hh", sy, sx) + inner
 
 
 def parse_interframe(data: bytes, offset: int = 0) -> dict:

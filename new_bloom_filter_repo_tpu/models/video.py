@@ -397,7 +397,7 @@ class ImprovedVideoCompressor:
             before = len(payloads)
             keyframes += self._blocked_enc.encode_chunk(
                 darrs[start - 1], chunk_frames, payloads, keyframe_fn,
-                stacked=stacked)
+                stacked=stacked, byte_view=byte_view)
             del payloads[before + real:]  # drop padded-frame records
         return payloads, keyframes
 
@@ -732,7 +732,7 @@ class ImprovedVideoCompressor:
 
         def _inner_type(payload: bytes) -> int:
             t = fc.record_type(payload)
-            if t == fc.MOTION:
+            if t in (fc.MOTION, fc.MOTION_HP):
                 if len(payload) <= 5:
                     raise ValueError("truncated motion record")
                 return payload[5]
@@ -788,28 +788,35 @@ class ImprovedVideoCompressor:
                 continue
             if rtype not in (fc.INTERFRAME, fc.EMPTY, fc.BLOCKED,
                              fc.SPARSE, fc.BLOCKED_Z, fc.MOTION,
-                             fc.RESIDUAL):
+                             fc.RESIDUAL, fc.MOTION_HP):
                 raise ValueError(f"Unknown frame type: {rtype}")
             if prev is None:
                 raise ValueError("inter-frame record before any keyframe")
+            if rtype == fc.MOTION_HP and _inner_type(payloads[i]) != \
+                    fc.RESIDUAL:
+                raise ValueError("half-pel wrapper on non-residual record")
             if _inner_type(payloads[i]) == fc.RESIDUAL:
                 payload = payloads[i]
                 dy = dx = 0
                 off = 0
-                if rtype == fc.MOTION:
+                halfpel = rtype == fc.MOTION_HP
+                if rtype in (fc.MOTION, fc.MOTION_HP):
                     dy, dx, off = fc.parse_motion(payload)
                 residual = fc.parse_residual_record(payload, off + 1)
                 byte_domain = (prev.dtype != np.uint8
                                or (prev.ndim == 3 and prev.shape[2] > 3))
                 if byte_domain:
                     # the encoder diffed/rolled the byte view, so the
-                    # residual applies on the same representation
+                    # residual applies on the same representation (the
+                    # encoder never emits half-pel for byte domain)
                     fb = fc.apply_residual(self._byte_view(prev),
-                                           residual, dy, dx)
+                                           residual, dy, dx,
+                                           halfpel=halfpel)
                     frame = (np.ascontiguousarray(fb).reshape(-1)
                              .view(prev.dtype).reshape(prev.shape))
                 else:
-                    frame = fc.apply_residual(prev, residual, dy, dx)
+                    frame = fc.apply_residual(prev, residual, dy, dx,
+                                              halfpel=halfpel)
                 _advance(frame)
                 i += 1
                 continue

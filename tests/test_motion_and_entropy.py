@@ -345,3 +345,46 @@ def test_motion_wrapping_non_inter_type_raises(tmp_path):
     container.write_bfvc(p, [key, bad], container.MAGIC_BLOOM)
     with pytest.raises(ValueError, match="invalid inner type"):
         ImprovedVideoCompressor(verbose=False).decompress_video(p)
+
+
+class TestHalfPel:
+    def test_halfpel_predict_matches_manual_bilinear(self):
+        rng = np.random.default_rng(2)
+        prev = rng.integers(0, 255, (8, 10), np.uint8)
+        # sy=1, sx=0: average of roll(0) and roll(1) rows
+        got = fc.halfpel_predict(prev, 1, 0)
+        want = ((prev.astype(np.uint16) + np.roll(prev, 1, 0)) + 1) >> 1
+        np.testing.assert_array_equal(got, want.astype(np.uint8))
+        # even shifts reduce to np.roll
+        np.testing.assert_array_equal(
+            fc.halfpel_predict(prev, 4, -2), np.roll(np.roll(prev, 2, 0),
+                                                     -1, 1))
+        # negative odd: sample between roll(-2) and roll(-1)
+        got = fc.halfpel_predict(prev, -3, 0)
+        want = ((np.roll(prev, -2, 0).astype(np.uint16)
+                 + np.roll(prev, -1, 0)) + 1) >> 1
+        np.testing.assert_array_equal(got, want.astype(np.uint8))
+
+    def test_subpixel_pan_uses_type9_and_shrinks(self, tmp_path):
+        from new_bloom_filter_repo_tpu.utils.synthetic import (
+            generate_frames)
+        frames = [np.asarray(f) for f in generate_frames(
+            12, 128, 96, noise=1.0, noise_frac=0.01, pan=2.5,
+            pan_mode="subpixel", color_space="GRAY")]
+        p = str(tmp_path / "sp.bfvc")
+        comp = ImprovedVideoCompressor(verbose=False, keyframe_interval=30)
+        res = comp.compress_video(frames, p, input_color_space="BGR")
+        dec = comp.decompress_video(p)
+        assert verify_lossless(frames, dec)["lossless"]
+        _, payloads = container.read_bfvc(p)
+        types = Counter(fc.record_type(x) for x in payloads)
+        assert types[fc.MOTION_HP] >= 3, dict(types)
+        # the half-pel prediction must clearly beat keyframe coding
+        key = ImprovedVideoCompressor(verbose=False, mode="keyframe")
+        rk = key.compress_video(frames, str(tmp_path / "k.bfvc"))
+        assert res["compressed_size"] < 0.8 * rk["compressed_size"]
+
+    def test_halfpel_on_non_uint8_raises(self):
+        with pytest.raises(ValueError):
+            fc.apply_residual(np.zeros((4, 4), np.uint16),
+                              np.zeros(32, np.uint8), 1, 0, halfpel=True)
