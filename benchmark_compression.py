@@ -26,6 +26,10 @@ import sys
 import time
 from typing import Dict, List, Optional
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from new_bloom_filter_repo_tpu.utils.compile_cache import enable as _cc
+_cc()  # persistent XLA cache: Mosaic variants compile once per rig
+
 
 def _ffmpeg() -> Optional[str]:
     return shutil.which("ffmpeg")

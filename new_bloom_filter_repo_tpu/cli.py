@@ -20,6 +20,9 @@ import argparse
 import os
 import sys
 
+from new_bloom_filter_repo_tpu.utils.compile_cache import enable as _cc
+_cc()  # persistent XLA cache: fast repeat CLI launches (before jax init)
+
 from new_bloom_filter_repo_tpu.models.video import (
     ImprovedVideoCompressor,
     verify_lossless,

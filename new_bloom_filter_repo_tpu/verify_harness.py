@@ -21,6 +21,9 @@ from typing import Dict, List
 
 import numpy as np
 
+from new_bloom_filter_repo_tpu.utils.compile_cache import enable as _cc
+_cc()  # persistent XLA cache (before jax init)
+
 from new_bloom_filter_repo_tpu.models.video import (
     ImprovedVideoCompressor,
     add_yuv_info_to_frame,
