@@ -137,16 +137,17 @@ class _MeshDispatch:
             curr = jnp.concatenate([curr, rep], axis=0)
         return prev, curr, f
 
-    def motion_counts(self, stacked):
+    def motion_counts(self, stacked, stride: int):
         """dp-sharded global-motion search (no collectives)."""
         import jax
         from jax.sharding import PartitionSpec as P
 
         prev, curr, f = self._pairs(stacked)
-        ck = ("mot", stacked.shape[1:])
+        ck = ("mot", stacked.shape[1:], stride)
         if ck not in self._progs:
             self._progs[ck] = jax.jit(jax.shard_map(
-                _motion_counts_pair, mesh=self.mesh,
+                partial(_motion_counts_pair, stride=stride),
+                mesh=self.mesh,
                 in_specs=(P("dp"), P("dp")), out_specs=P("dp"),
                 check_vma=False))
         return self._progs[ck](prev, curr)[:f]
@@ -342,19 +343,21 @@ def _roll2d(img, dy, dx):
     return img[..., ys, :][..., :, xs]
 
 
-def _motion_counts_pair(prev_u8, curr_u8):
+def _motion_counts_pair(prev_u8, curr_u8, stride: int = MOTION_STRIDE):
     """Per-(prev, curr)-pair subsampled mismatch counts over the shift
     window — the shared body of the single-device and dp-sharded motion
     search.  prev_u8/curr_u8: (B, h, w[, c]) uint8; returns (B, C) i32,
-    candidate index (dy+R)*(2R+1)+(dx+R)."""
+    candidate index (dy+R)*(2R+1)+(dx+R).  ``stride``: count-grid
+    subsampling (geometry-adaptive via :func:`motion_stride` — 1MP+
+    frames use 8 to keep the search a small fraction of codec time)."""
     b = curr_u8.shape[0]
     h, w = curr_u8.shape[1], curr_u8.shape[2]
     ap = prev_u8 if prev_u8.ndim == 4 else prev_u8[..., None]
     ac = curr_u8 if curr_u8.ndim == 4 else curr_u8[..., None]
     prev = _pack_pixels(ap.reshape(b, h * w, ap.shape[-1])).reshape(b, h, w)
     curr = _pack_pixels(ac.reshape(b, h * w, ac.shape[-1])).reshape(b, h, w)
-    ys = jnp.arange(0, h, MOTION_STRIDE)
-    xs = jnp.arange(0, w, MOTION_STRIDE)
+    ys = jnp.arange(0, h, stride)
+    xs = jnp.arange(0, w, stride)
     cs = curr[:, ys[:, None], xs[None, :]]
 
     def count(dy, dx):
@@ -369,14 +372,29 @@ def _motion_counts_pair(prev_u8, curr_u8):
     return counts.T
 
 
-@partial(jax.jit, static_argnames=())
-def _motion_counts(stacked):
+@partial(jax.jit, static_argnames=("stride",))
+def _motion_counts(stacked, *, stride: int = MOTION_STRIDE):
     """Subsampled mismatch counts over the shift window.
 
     stacked: (F+1, h, w[, c]) uint8.  Returns (F, (2R+1)^2) i32 — the
     number of differing subsampled pixels for every candidate shift of
     the previous frame, candidate index (dy+R)*(2R+1)+(dx+R)."""
-    return _motion_counts_pair(stacked[:-1], stacked[1:])
+    return _motion_counts_pair(stacked[:-1], stacked[1:], stride=stride)
+
+
+def motion_stride(h: int, w: int) -> int:
+    """Count-grid stride for the motion searches: 4 keeps small frames
+    sensitive; 1MP+ frames (720p/1080p/4K) use 8 — still tens of
+    thousands of samples, at a quarter of the compare cost."""
+    return 8 if h * w >= (1 << 20) else MOTION_STRIDE
+
+
+def tile_log(h: int, w: int) -> int:
+    """Tile side (log2) for the per-tile trial: 32-px tiles below 1MP,
+    64-px above — both keep 8x8 count samples per tile at the matching
+    :func:`motion_stride`, and the bigger tiles keep the 1080p/4K map
+    overhead (and search memory) small."""
+    return 6 if h * w >= (1 << 20) else TILE_LOG
 
 
 def choose_shifts(counts: np.ndarray) -> np.ndarray:
@@ -398,6 +416,72 @@ def choose_shifts(counts: np.ndarray) -> np.ndarray:
     shifts[take, 0] = best[take] // side - MOTION_RADIUS
     shifts[take, 1] = best[take] % side - MOTION_RADIUS
     return shifts
+
+
+TILE_LOG = 5       # 32-px tiles for the per-tile residual trial
+TILE_ACCEPT = 0.8  # accept a tile's best shift iff count <= 0.8 * c0
+TILE_MIN_C0 = 4    # ... and the tile's zero-shift count is worth beating
+
+
+@partial(jax.jit, static_argnames=("tlog", "stride"))
+def _tile_motion_best(stacked, *, tlog: int, stride: int = MOTION_STRIDE):
+    """Per-TILE best-shift summary over the global search window.
+
+    stacked: (F+1, h, w[, c]) uint8.  Returns (F, ty, tx, 3) i32 rows
+    (best_candidate_idx, best_count, zero_shift_count) per square tile
+    of side 2**tlog, from the same MOTION_STRIDE-subsampled mismatch
+    counts as the global search — the device-side half of the type-10
+    per-tile motion trial (zoom/rotation/multi-object content where no
+    single global shift fits).  Reduced on device so only (F, ty, tx, 3)
+    crosses the link."""
+    prev_u8, curr_u8 = stacked[:-1], stacked[1:]
+    b = curr_u8.shape[0]
+    h, w = curr_u8.shape[1], curr_u8.shape[2]
+    ap = prev_u8 if prev_u8.ndim == 4 else prev_u8[..., None]
+    ac = curr_u8 if curr_u8.ndim == 4 else curr_u8[..., None]
+    prev = _pack_pixels(ap.reshape(b, h * w, ap.shape[-1])).reshape(b, h, w)
+    curr = _pack_pixels(ac.reshape(b, h * w, ac.shape[-1])).reshape(b, h, w)
+    ys = jnp.arange(0, h, stride)
+    xs = jnp.arange(0, w, stride)
+    cs = curr[:, ys[:, None], xs[None, :]]
+    spt = max(1, (1 << tlog) // stride)  # samples per tile side
+    sh, sw = cs.shape[1], cs.shape[2]
+    ty, tx = -(-sh // spt), -(-sw // spt)
+    pad_y, pad_x = ty * spt - sh, tx * spt - sw
+
+    def count(dy, dx):
+        py = (ys - dy) % h
+        px = (xs - dx) % w
+        ps = prev[:, py[:, None], px[None, :]]
+        ne = (ps != cs).astype(jnp.int32)
+        ne = jnp.pad(ne, ((0, 0), (0, pad_y), (0, pad_x)))
+        return ne.reshape(b, ty, spt, tx, spt).sum(axis=(2, 4))
+
+    d = jnp.arange(-MOTION_RADIUS, MOTION_RADIUS + 1)
+    dyg, dxg = jnp.meshgrid(d, d, indexing="ij")
+    counts = jax.vmap(count)(dyg.ravel(), dxg.ravel())  # (C, B, ty, tx)
+    counts = jnp.moveaxis(counts, 0, -1)                # (B, ty, tx, C)
+    side = 2 * MOTION_RADIUS + 1
+    zero_idx = MOTION_RADIUS * side + MOTION_RADIUS
+    best = jnp.argmin(counts, axis=-1).astype(jnp.int32)
+    bc = jnp.min(counts, axis=-1)
+    c0 = counts[..., zero_idx]
+    return jnp.stack([best, bc, c0], axis=-1)
+
+
+def choose_tile_shifts(summary: np.ndarray) -> np.ndarray:
+    """Host per-tile shift decision from one frame's
+    :func:`_tile_motion_best` row (ty, tx, 3).  Returns (ty, tx, 2)
+    int8.  Deterministic; tiles keep the zero shift unless their best
+    candidate clears the TILE_ACCEPT margin (a wrong pick only costs
+    ratio — the residual stays exact)."""
+    side = 2 * MOTION_RADIUS + 1
+    best, bc, c0 = summary[..., 0], summary[..., 1], summary[..., 2]
+    take = (c0 >= TILE_MIN_C0) & (bc <= TILE_ACCEPT * c0)
+    t = np.zeros(best.shape + (2,), np.int8)
+    t[take, 0] = (best[take] // side - MOTION_RADIUS).astype(np.int8)
+    t[take, 1] = (best[take] % side - MOTION_RADIUS).astype(np.int8)
+    return t
 
 
 def _phase_a_motion_pair(prev, curr, shifts, *, npad: int, nb: int):
@@ -722,12 +806,14 @@ class BlockedEncoder:
         # device, the shift decision is host-side and deterministic.
         shifts = np.zeros((f, 2), np.int32)
         best_shifts = np.zeros((f, 2), np.int32)
+        stride = motion_stride(h, w)
+        tlog = tile_log(h, w)
         if (self.motion and h >= 4 * MOTION_RADIUS
                 and w >= 4 * MOTION_RADIUS):
             counts225 = np.asarray(jax.device_get(
-                self.dispatch.motion_counts(stacked)
+                self.dispatch.motion_counts(stacked, stride)
                 if self.dispatch is not None
-                else _motion_counts(stacked)))
+                else _motion_counts(stacked, stride=stride)))
             shifts = choose_shifts(counts225)
             # unconditional per-frame argmin: margin-rejected for the
             # mask path, but a DPCM residual against the rolled prev can
@@ -859,7 +945,7 @@ class BlockedEncoder:
         vz_idx = [-1] * f
         bz_idx = [-1] * f
         wz_idx = [-1] * f
-        res_trials = [[] for _ in range(f)]  # (dy, dx, raw_len, zbytes)
+        res_trials = [[] for _ in range(f)]  # (tag, meta, raw_len, zbytes)
         val_bytes: List[bytes] = [b""] * f
         bm_bytes: List[Optional[bytes]] = [None] * f
         wit_bytes: List[Optional[bytes]] = [None] * f
@@ -869,41 +955,62 @@ class BlockedEncoder:
             sec_level.append(lvl)
             return len(sections) - 1
 
-        def _residual(j: int, dy: int, dx: int,
-                      halfpel: bool = False) -> bytes:
+        def _residual(j: int, tag: str, meta) -> bytes:
             """DPCM bytes vs the motion-predicted previous frame — the
-            type-8 trial for dense-mask frames.  ``halfpel``: (dy, dx)
-            are half-pel units, prediction via integer bilinear."""
+            type-8 trial for dense-mask frames.  ``tag``/``meta``:
+            'int' (dy, dx) integer roll, 'hp' (sy, sx) half-pel
+            bilinear, 'tile' (ty, tx, 2) per-tile map
+            (fc.tile_predict, type-10)."""
             prev_arr = np.asarray(frames[j - 1] if j > 0 else base,
                                   np.uint8)
-            if halfpel:
-                prev_arr = fc.halfpel_predict(prev_arr, dy, dx)
-            elif dy or dx:
-                prev_arr = np.roll(np.roll(prev_arr, dy, axis=0), dx,
-                                   axis=1)
+            if tag == "hp":
+                prev_arr = fc.halfpel_predict(prev_arr, *meta)
+            elif tag == "tile":
+                prev_arr = fc.tile_predict(prev_arr, meta, tlog)
+            elif meta != (0, 0):
+                prev_arr = np.roll(np.roll(prev_arr, meta[0], axis=0),
+                                   meta[1], axis=1)
             return (np.asarray(frames[j], np.uint8)
                     - prev_arr).tobytes()
 
+        tile_cache: dict = {}
+
+        def tile_shifts_row(j: int) -> Optional[np.ndarray]:
+            """Per-tile shift map for frame j (lazy: ONE device search
+            per chunk, pulled as a tiny (F, ty, tx, 3) summary)."""
+            if "s" not in tile_cache:
+                tile_cache["s"] = np.asarray(jax.device_get(
+                    _tile_motion_best(stacked, tlog=tlog,
+                                      stride=stride)))
+            return choose_tile_shifts(tile_cache["s"][j])
+
         def _res_candidates(j: int):
-            """Shift candidates for the residual trials, as
-            (dy, dx, halfpel) tuples: the accepted mask shift, the
-            unconditional search argmin, and — when real motion is
-            present on direct uint8 content — the best half-pel
-            refinement around the argmin (chosen by subsampled mismatch
-            count on the host; a fractional camera pan re-mixes every
-            pixel, so the integer-roll residual is large while the
-            bilinear half-pel residual is near-noise)."""
-            cands = [(int(shifts[j, 0]), int(shifts[j, 1]), False)]
+            """Prediction candidates for the residual trials, as
+            (tag, meta) pairs: the accepted mask shift, the
+            unconditional search argmin, the per-tile map (when any
+            tile clears its margin — zoom/rotation content), and — when
+            real global motion is present on direct uint8 content — the
+            best half-pel refinement around the argmin (a fractional
+            pan re-mixes every pixel, so the integer-roll residual is
+            large while the bilinear half-pel residual is near-noise).
+            Every candidate competes by final record size only."""
+            cands = [("int", (int(shifts[j, 0]), int(shifts[j, 1])))]
             by, bx = int(best_shifts[j, 0]), int(best_shifts[j, 1])
-            if (by, bx, False) not in cands:
-                cands.append((by, bx, False))
-            if byte_view or (by == 0 and bx == 0):
+            if ("int", (by, bx)) not in cands:
+                cands.append(("int", (by, bx)))
+            if byte_view or not self.motion:
+                return cands
+            if min(h, w) >= (1 << tlog):
+                tsh = tile_shifts_row(j)
+                if tsh is not None and tsh.any():
+                    cands.append(("tile", tsh))
+            if by == 0 and bx == 0:
                 return cands
             curr = np.asarray(frames[j], np.uint8)
             prev_arr = np.asarray(frames[j - 1] if j > 0 else base,
                                   np.uint8)
-            sub = (slice(None, None, MOTION_STRIDE),
-                   slice(None, None, MOTION_STRIDE))
+            sub = (slice(None, None, stride),
+                   slice(None, None, stride))
             int_count = None
             best_c, best_s = None, None
             for oy in (-1, 0, 1):
@@ -916,7 +1023,7 @@ class BlockedEncoder:
                     elif best_c is None or c < best_c:
                         best_c, best_s = c, (sy, sx)
             if best_c is not None and best_c < 0.97 * int_count:
-                cands.append((best_s[0], best_s[1], True))
+                cands.append(("hp", best_s))
             return cands
 
 
@@ -972,14 +1079,14 @@ class BlockedEncoder:
         for g in range(0, len(res_frames), group_sz):
             raws, meta = [], []
             for j in res_frames[g: g + group_sz]:
-                for dy, dx, hp in _res_candidates(j):
-                    r = _residual(j, dy, dx, halfpel=hp)
+                for tag, m in _res_candidates(j):
+                    r = _residual(j, tag, m)
                     raws.append(r)
-                    meta.append((j, dy, dx, hp, len(r)))
+                    meta.append((j, tag, m, len(r)))
             outs = native.deflate_frames(raws, level=zl,
                                          threads=self.num_threads)
-            for (j, dy, dx, hp, rl), z in zip(meta, outs):
-                res_trials[j].append((dy, dx, hp, rl, z))
+            for (j, tag, m, rl), z in zip(meta, outs):
+                res_trials[j].append((tag, m, rl, z))
 
         if stage_times is not None:
             stage_times["enc_deflate"] = (
@@ -1020,14 +1127,18 @@ class BlockedEncoder:
 
         def _residual_rec(j: int) -> bytes:
             """Smallest residual trial, motion-wrapped with ITS OWN
-            shift (which may differ from the mask path's shifts[j])."""
+            prediction (which may differ from the mask path's
+            shifts[j]): none/type-6 roll, type-9 half-pel, or type-10
+            per-tile map."""
             best = None
-            for dy, dx, hp, raw_len, z in res_trials[j]:
+            for tag, m, raw_len, z in res_trials[j]:
                 rec = fc.build_residual_record(raw_len, z)
-                if hp:
-                    rec = fc.wrap_motion_hp(dy, dx, rec)
-                elif dy or dx:
-                    rec = fc.wrap_motion(dy, dx, rec)
+                if tag == "hp":
+                    rec = fc.wrap_motion_hp(m[0], m[1], rec)
+                elif tag == "tile":
+                    rec = fc.wrap_motion_tiles(tlog, m, rec)
+                elif m != (0, 0):
+                    rec = fc.wrap_motion(m[0], m[1], rec)
                 if best is None or len(rec) < len(best):
                     best = rec
             return best

@@ -70,6 +70,17 @@ INTERFRAME = 0
 #     exact, deterministic).  Only wraps residual (type 8) records, and
 #     only for direct uint8 channel content (never byte-domain frames,
 #     where averaging adjacent bytes is meaningless).
+# 10 — tile-motion wrapper: like type 6 but with a PER-TILE shift map
+#     (square tiles of side 2**tlog; int8 (dy, dx) per tile; prediction
+#     samples prev at edge-clamped per-pixel coordinates).  Captures
+#     zoom/rotation/multi-object motion a single global shift cannot.
+#     Only wraps residual (type 8) records on direct uint8 content.
+# 11 — filtered keyframe: a typed keyframe whose frame/plane byte
+#     streams are spatially predicted (PNG-style) before DEFLATE —
+#     filter 1 = SUB (left neighbor), 2 = UP (row above), mod-256.
+#     The inverse is an exact uint8 cumsum, so decode is vectorized.
+#     Natural-image keyframes DEFLATE far smaller predicted; the
+#     reference can only zlib raw bytes (fixed_video_compressor.py:31).
 EMPTY = 2
 BLOCKED = 3
 SPARSE = 4
@@ -78,6 +89,8 @@ MOTION = 6
 BLOCKED_Z = 7
 RESIDUAL = 8
 MOTION_HP = 9
+TILES = 10
+FILTERED = 11
 
 _HDR_III = struct.Struct("<III")
 _U32 = struct.Struct("<I")
@@ -142,8 +155,34 @@ def _planes_are_channels(frame: np.ndarray, yuv_info: dict) -> bool:
     return True
 
 
+def spatial_filter(arr: np.ndarray, fid: int) -> np.ndarray:
+    """PNG-style spatial prediction filter, mod-256 over uint8.
+
+    fid 1 = SUB (predict from the left neighbor, axis 1), 2 = UP
+    (predict from the row above, axis 0).  (h, w) or (h, w, c) arrays;
+    channels filter independently.  Exactly inverted by
+    :func:`spatial_unfilter`."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    axis = 1 if fid == 1 else 0
+    pred = np.zeros_like(a)
+    src = [slice(None)] * a.ndim
+    dst = [slice(None)] * a.ndim
+    src[axis] = slice(None, -1)
+    dst[axis] = slice(1, None)
+    pred[tuple(dst)] = a[tuple(src)]
+    return a - pred  # uint8 wrap == mod 256
+
+
+def spatial_unfilter(arr: np.ndarray, fid: int) -> np.ndarray:
+    """Inverse of :func:`spatial_filter`: mod-256 running sum along the
+    prediction axis (uint8 cumsum accumulates mod 256 — vectorized)."""
+    axis = 1 if fid == 1 else 0
+    return np.cumsum(arr, axis=axis, dtype=np.uint8)
+
+
 def encode_keyframe(frame: np.ndarray, yuv_info: dict | None = None,
-                    typed: bool = False, zlib_level: int = 9) -> bytes:
+                    typed: bool = False, zlib_level: int = 9,
+                    filter_id: int = 0) -> bytes:
     """Serialize a keyframe with bit-exact zlib coding.
 
     Typed records elide redundancy the reference layout doubles up on:
@@ -152,11 +191,28 @@ def encode_keyframe(frame: np.ndarray, yuv_info: dict | None = None,
     skips the frame payload of a 4:2:0/4:2:2-sourced frame, storing only
     the native planes (a third of the bytes).  Untyped records always
     write the reference layout (flag 0/1) for BFVC byte parity.
+
+    ``filter_id`` (typed uint8 frames only) emits a type-11 FILTERED
+    record: every stored byte stream is spatially predicted
+    (:func:`spatial_filter`) before DEFLATE.  Prefer
+    :func:`encode_keyframe_best`, which picks the smallest variant.
     """
     frame = np.asarray(frame)
+    if filter_id and (not typed or frame.dtype != np.uint8):
+        raise ValueError("filtered keyframes require typed uint8 frames")
+
+    def _z(a: np.ndarray) -> bytes:
+        if filter_id:
+            a = spatial_filter(a, filter_id)
+        return zlib.compress(a.tobytes(), level=zlib_level)
+
     buf = io.BytesIO()
     if typed:
-        buf.write(_U8.pack(KEYFRAME))
+        if filter_id:
+            buf.write(_U8.pack(FILTERED))
+            buf.write(_U8.pack(filter_id))
+        else:
+            buf.write(_U8.pack(KEYFRAME))
     flag = 0 if yuv_info is None else 1
     if typed and yuv_info is not None:
         if _planes_are_channels(frame, yuv_info):
@@ -168,7 +224,7 @@ def encode_keyframe(frame: np.ndarray, yuv_info: dict | None = None,
     if flag == 3:
         buf.write(_U32.pack(0))  # frame payload elided (derivable)
     else:
-        z = zlib.compress(frame.tobytes(), level=zlib_level)
+        z = _z(frame)
         buf.write(_U32.pack(len(z)))
         buf.write(z)
     buf.write(_U8.pack(flag))
@@ -181,11 +237,32 @@ def encode_keyframe(frame: np.ndarray, yuv_info: dict | None = None,
         return buf.getvalue()
     for plane in ("y_plane", "u_plane", "v_plane"):
         arr = np.asarray(yuv_info[plane])
-        pz = zlib.compress(arr.tobytes(), level=zlib_level)
+        pz = _z(arr)
         buf.write(_U32.pack(len(pz)))
         buf.write(pz)
         buf.write(struct.pack("<II", *arr.shape))
     return buf.getvalue()
+
+
+def encode_keyframe_best(frame: np.ndarray, yuv_info: dict | None = None,
+                         zlib_level: int = 9) -> bytes:
+    """Smallest of the typed keyframe and its SUB/UP-filtered variants.
+
+    Spatial prediction typically DEFLATEs natural-image keyframes far
+    smaller than raw bytes; noise-dominated frames fall back to the
+    unfiltered record.  Non-uint8 frames always return the unfiltered
+    record (byte-level filtering across wide samples mixes exponents).
+    """
+    best = encode_keyframe(frame, yuv_info, typed=True,
+                           zlib_level=zlib_level)
+    if np.asarray(frame).dtype != np.uint8:
+        return best
+    for fid in (1, 2):
+        cand = encode_keyframe(frame, yuv_info, typed=True,
+                               zlib_level=zlib_level, filter_id=fid)
+        if len(cand) < len(best):
+            best = cand
+    return best
 
 
 def encode_keyframes_batch(frames, infos, typed: bool = False,
@@ -241,14 +318,21 @@ def encode_keyframes_batch(frames, infos, typed: bool = False,
     return records
 
 
-def decode_keyframe(data: bytes, offset: int = 0):
+def decode_keyframe(data: bytes, offset: int = 0, filter_id: int = 0):
     """Parse a keyframe body (after any type byte).
 
-    Returns (frame ndarray, yuv_info dict or None).
+    Returns (frame ndarray, yuv_info dict or None).  ``filter_id``:
+    the stored byte streams are spatially predicted (type-11 FILTERED
+    records) and each is unfiltered after DEFLATE decode.
     """
+    def _unf(a: np.ndarray) -> np.ndarray:
+        return spatial_unfilter(a, filter_id) if filter_id else a
+
     buf = io.BytesIO(data)
     buf.seek(offset)
     h, w, itemsize = _HDR_III.unpack(buf.read(12))
+    if filter_id and itemsize != 1:
+        raise ValueError("filtered keyframe with non-uint8 payload")
     zlen = _U32.unpack(buf.read(4))[0]
     if zlen == 0:  # flag-3 record: frame derivable from the planes
         flag = buf.read(1)
@@ -261,8 +345,8 @@ def decode_keyframe(data: bytes, offset: int = 0):
             pz_len = _U32.unpack(buf.read(4))[0]
             pz = buf.read(pz_len)
             ph, pw = struct.unpack("<II", buf.read(8))
-            yuv_info[plane] = np.frombuffer(
-                zlib.decompress(pz), dtype=np.uint8).reshape((ph, pw)).copy()
+            yuv_info[plane] = _unf(np.frombuffer(
+                zlib.decompress(pz), dtype=np.uint8).reshape((ph, pw))).copy()
         ch, cw = yuv_info["u_plane"].shape
         if ch == 0 or cw == 0 or h % ch or w % cw:
             raise ValueError("plane-only keyframe with bad chroma geometry")
@@ -281,6 +365,7 @@ def decode_keyframe(data: bytes, offset: int = 0):
         frame = np.frombuffer(raw, dtype=dtype).reshape((h, w, channels))
     else:
         frame = np.frombuffer(raw, dtype=dtype).reshape((h, w))
+    frame = _unf(frame)
     yuv_info = None
     flag = buf.read(1)
     if flag and flag[0] == 1:
@@ -291,8 +376,8 @@ def decode_keyframe(data: bytes, offset: int = 0):
             pz_len = _U32.unpack(buf.read(4))[0]
             pz = buf.read(pz_len)
             ph, pw = struct.unpack("<II", buf.read(8))
-            yuv_info[plane] = np.frombuffer(
-                zlib.decompress(pz), dtype=np.uint8).reshape((ph, pw)).copy()
+            yuv_info[plane] = _unf(np.frombuffer(
+                zlib.decompress(pz), dtype=np.uint8).reshape((ph, pw))).copy()
     elif flag and flag[0] == 2:  # planes elided: they are the channels
         fmt_len = _U16.unpack(buf.read(2))[0]
         fmt = buf.read(fmt_len).decode("utf-8")
@@ -576,6 +661,75 @@ def parse_motion(data: bytes):
 def wrap_motion_hp(sy: int, sx: int, inner: bytes) -> bytes:
     """Wrap a residual record with a HALF-PEL motion header (type 9)."""
     return _U8.pack(MOTION_HP) + struct.pack("<hh", sy, sx) + inner
+
+
+def wrap_motion_tiles(tlog: int, tshifts: np.ndarray, inner: bytes,
+                      zlib_level: int = 6) -> bytes:
+    """Wrap a residual record with a PER-TILE motion map (type 10).
+
+    ``tshifts``: (ty, tx, 2) int8 — (dy, dx) per square tile of side
+    2**tlog, row-major.  Layout: <B 10, <B tlog, <H ty, <H tx,
+    <H zlen, map bytes (DEFLATE'd when that is smaller, zlen == 0
+    means raw), inner."""
+    t = np.ascontiguousarray(tshifts, dtype=np.int8)
+    ty, tx = t.shape[:2]
+    raw = t.tobytes()
+    z = zlib.compress(raw, level=zlib_level)
+    hdr = _U8.pack(TILES) + _U8.pack(tlog) + _U16.pack(ty) + _U16.pack(tx)
+    if len(z) < len(raw):
+        return hdr + _U16.pack(len(z)) + z + inner
+    return hdr + _U16.pack(0) + raw + inner
+
+
+def parse_motion_tiles(data: bytes, offset: int = 0):
+    """Inverse of :func:`wrap_motion_tiles` (from the type byte).
+
+    Returns (tlog, tshifts (ty, tx, 2) int8, inner_offset)."""
+    if len(data) < offset + 8:
+        raise ValueError("truncated tile-motion header")
+    tlog = data[offset + 1]
+    ty, tx = struct.unpack_from("<HH", data, offset + 2)
+    zlen = struct.unpack_from("<H", data, offset + 6)[0]
+    pos = offset + 8
+    raw_len = ty * tx * 2
+    if ty == 0 or tx == 0 or tlog > 12:
+        raise ValueError("tile-motion record with bad tile geometry")
+    if zlen:
+        try:
+            raw = zlib.decompress(data[pos: pos + zlen])
+        except zlib.error as e:
+            raise ValueError(f"corrupt tile-motion map: {e}") from e
+        pos += zlen
+    else:
+        raw = data[pos: pos + raw_len]
+        pos += raw_len
+    if len(raw) != raw_len:
+        raise ValueError("tile-motion map length mismatch")
+    tshifts = np.frombuffer(raw, dtype=np.int8).reshape(ty, tx, 2)
+    return tlog, tshifts, pos
+
+
+def tile_predict(prev: np.ndarray, tshifts: np.ndarray,
+                 tlog: int) -> np.ndarray:
+    """Per-tile motion prediction: pred[y, x] = prev[clip(y - dy_t),
+    clip(x - dx_t)] where (dy_t, dx_t) is the shift of (y, x)'s tile.
+
+    Edge-CLAMPED sampling (unlike the type-6 global roll's wrap): a
+    per-tile wrap would smear the opposite frame edge into interior
+    tiles.  Works on (h, w) or (h, w, c) arrays of any dtype — the
+    gather is whole-pixel, never byte-mixing."""
+    h, w = prev.shape[:2]
+    t = 1 << tlog
+    ty, tx = tshifts.shape[:2]
+    if ty != -(-h // t) or tx != -(-w // t):
+        raise ValueError("tile map does not cover the frame geometry")
+    dy = np.repeat(np.repeat(tshifts[:, :, 0].astype(np.int32), t, 0),
+                   t, 1)[:h, :w]
+    dx = np.repeat(np.repeat(tshifts[:, :, 1].astype(np.int32), t, 0),
+                   t, 1)[:h, :w]
+    rows = np.clip(np.arange(h, dtype=np.int32)[:, None] - dy, 0, h - 1)
+    cols = np.clip(np.arange(w, dtype=np.int32)[None, :] - dx, 0, w - 1)
+    return prev[rows, cols]
 
 
 def parse_interframe(data: bytes, offset: int = 0) -> dict:

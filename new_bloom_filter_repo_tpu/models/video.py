@@ -371,8 +371,8 @@ class ImprovedVideoCompressor:
         pending: dict = {}
         for i, (kind, start, end) in enumerate(segments):
             if kind == "key":
-                payloads.append(fc.encode_keyframe(
-                    arrs[start], infos[start], typed=True,
+                payloads.append(fc.encode_keyframe_best(
+                    arrs[start], infos[start],
                     zlib_level=self._keyframe_zlib_level))
                 keyframes += 1
                 continue
@@ -380,8 +380,8 @@ class ImprovedVideoCompressor:
 
             def keyframe_fn(j, _pos=start):
                 idx = _pos + j
-                return fc.encode_keyframe(
-                    arrs[idx], infos[idx], typed=True,
+                return fc.encode_keyframe_best(
+                    arrs[idx], infos[idx],
                     zlib_level=self._keyframe_zlib_level)
 
             chunk_frames, stacked = pending.pop(i, (None, None))
@@ -431,9 +431,8 @@ class ImprovedVideoCompressor:
 
         for kind, start, end in segments:
             if kind == "key":
-                payloads.append(fc.encode_keyframe(arrs[start],
-                                                   infos[start],
-                                                   typed=True))
+                payloads.append(fc.encode_keyframe_best(arrs[start],
+                                                        infos[start]))
                 keyframes += 1
                 continue
             real = end - start
@@ -517,8 +516,8 @@ class ImprovedVideoCompressor:
                 # Encoder freedom: dense masks (scene cuts) fall back to
                 # a keyframe when that is not larger (loop-path policy).
                 if p > blocked_pipeline.KEY_DENSITY:
-                    key = fc.encode_keyframe(arrs[start + j],
-                                             infos[start + j], typed=True)
+                    key = fc.encode_keyframe_best(arrs[start + j],
+                                                  infos[start + j])
                     if len(key) <= len(rec):
                         payloads.append(key)
                         keyframes += 1
@@ -541,7 +540,7 @@ class ImprovedVideoCompressor:
                 or arr.shape != recon_prev.shape
             )
             if force_key:
-                payloads.append(fc.encode_keyframe(arr, info, typed=True))
+                payloads.append(fc.encode_keyframe_best(arr, info))
                 keyframes += 1
                 recon_prev, recon_info = arr, _copy_info(info)
                 continue
@@ -568,7 +567,7 @@ class ImprovedVideoCompressor:
             # Encoder freedom: fall back to a keyframe when the diff record
             # is not actually smaller (dense masks on scene cuts).
             if float(mask.mean()) > blocked_pipeline.KEY_DENSITY:
-                key = fc.encode_keyframe(arr, info, typed=True)
+                key = fc.encode_keyframe_best(arr, info)
                 if len(key) <= len(inter):
                     payloads.append(key)
                     keyframes += 1
@@ -736,6 +735,11 @@ class ImprovedVideoCompressor:
                 if len(payload) <= 5:
                     raise ValueError("truncated motion record")
                 return payload[5]
+            if t == fc.TILES:
+                _, _, off = fc.parse_motion_tiles(payload)
+                if len(payload) <= off:
+                    raise ValueError("truncated tile-motion record")
+                return payload[off]
             return t
 
         def _is_device_inter(payload: bytes) -> bool:
@@ -779,8 +783,18 @@ class ImprovedVideoCompressor:
         i = 0
         while i < len(payloads):
             rtype = fc.record_type(payloads[i])
-            if rtype == fc.KEYFRAME:
-                frame, info = fc.decode_keyframe(payloads[i], offset=1)
+            if rtype in (fc.KEYFRAME, fc.FILTERED):
+                if rtype == fc.FILTERED:
+                    fid = payloads[i][1]
+                    if fid not in (1, 2):
+                        raise ValueError(
+                            f"unknown keyframe filter id: {fid}")
+                    frame, info = fc.decode_keyframe(payloads[i],
+                                                     offset=2,
+                                                     filter_id=fid)
+                else:
+                    frame, info = fc.decode_keyframe(payloads[i],
+                                                     offset=1)
                 prev, prev_info = np.asarray(frame), _copy_info(info)
                 frames.append(YUVFrame(prev, _copy_info(prev_info))
                               if prev_info is not None else prev)
@@ -788,23 +802,37 @@ class ImprovedVideoCompressor:
                 continue
             if rtype not in (fc.INTERFRAME, fc.EMPTY, fc.BLOCKED,
                              fc.SPARSE, fc.BLOCKED_Z, fc.MOTION,
-                             fc.RESIDUAL, fc.MOTION_HP):
+                             fc.RESIDUAL, fc.MOTION_HP, fc.TILES):
                 raise ValueError(f"Unknown frame type: {rtype}")
             if prev is None:
                 raise ValueError("inter-frame record before any keyframe")
-            if rtype == fc.MOTION_HP and _inner_type(payloads[i]) != \
-                    fc.RESIDUAL:
-                raise ValueError("half-pel wrapper on non-residual record")
+            if rtype in (fc.MOTION_HP, fc.TILES) and \
+                    _inner_type(payloads[i]) != fc.RESIDUAL:
+                raise ValueError(
+                    "half-pel/tile wrapper on non-residual record")
             if _inner_type(payloads[i]) == fc.RESIDUAL:
                 payload = payloads[i]
+                byte_domain = (prev.dtype != np.uint8
+                               or (prev.ndim == 3 and prev.shape[2] > 3))
+                if rtype == fc.TILES:
+                    # per-tile motion prediction (uint8 channel content
+                    # only — the encoder never emits tiles byte-domain)
+                    if byte_domain:
+                        raise ValueError(
+                            "tile-motion wrapper on byte-domain stream")
+                    tlog, tshifts, off = fc.parse_motion_tiles(payload)
+                    residual = fc.parse_residual_record(payload, off + 1)
+                    pred = fc.tile_predict(prev, tshifts, tlog)
+                    frame = fc.apply_residual(pred, residual)
+                    _advance(frame)
+                    i += 1
+                    continue
                 dy = dx = 0
                 off = 0
                 halfpel = rtype == fc.MOTION_HP
                 if rtype in (fc.MOTION, fc.MOTION_HP):
                     dy, dx, off = fc.parse_motion(payload)
                 residual = fc.parse_residual_record(payload, off + 1)
-                byte_domain = (prev.dtype != np.uint8
-                               or (prev.ndim == 3 and prev.shape[2] > 3))
                 if byte_domain:
                     # the encoder diffed/rolled the byte view, so the
                     # residual applies on the same representation (the

@@ -388,3 +388,177 @@ class TestHalfPel:
         with pytest.raises(ValueError):
             fc.apply_residual(np.zeros((4, 4), np.uint16),
                               np.zeros(32, np.uint8), 1, 0, halfpel=True)
+
+
+def _zoom_frames(count=10, h=96, w=128):
+    """Nearest-neighbor zoom-in over a smooth texture: radial motion no
+    single global shift fits — the type-10 per-tile target content."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    tex = ((np.sin(yy / 5.0) * 40 + np.cos(xx / 7.0) * 40
+            + np.sin((yy + xx) / 11.0) * 30 + 128)).clip(0, 255).astype(
+                np.uint8)
+    frames = []
+    for t in range(count):
+        s = 1.0 + 0.02 * t
+        cy, cx = h / 2, w / 2
+        sy = np.clip(((yy - cy) / s + cy).astype(int), 0, h - 1)
+        sx = np.clip(((xx - cx) / s + cx).astype(int), 0, w - 1)
+        g = tex[sy, sx]
+        frames.append(np.stack([g, g // 2 + 30, g // 3 + 60],
+                               -1).astype(np.uint8))
+    return frames
+
+
+class TestTileMotion:
+    def test_tile_predict_matches_naive(self):
+        rng = np.random.default_rng(5)
+        prev = rng.integers(0, 255, (70, 90, 3), np.uint8)
+        tlog = 5
+        ty, tx = -(-70 // 32), -(-90 // 32)
+        tsh = rng.integers(-7, 8, (ty, tx, 2)).astype(np.int8)
+        pred = fc.tile_predict(prev, tsh, tlog)
+        ref = np.empty_like(prev)
+        for y in range(70):
+            for x in range(90):
+                dy, dx = tsh[y // 32, x // 32]
+                ref[y, x] = prev[np.clip(y - dy, 0, 69),
+                                 np.clip(x - dx, 0, 89)]
+        assert np.array_equal(pred, ref)
+
+    def test_tile_wrap_parse_roundtrip(self):
+        rng = np.random.default_rng(6)
+        # compressible map (mostly equal shifts) exercises the zlib'd
+        # branch; a random map exercises the raw branch
+        for mode in ("smooth", "random"):
+            if mode == "smooth":
+                tsh = np.full((9, 12, 2), 3, np.int8)
+            else:
+                tsh = rng.integers(-7, 8, (9, 12, 2)).astype(np.int8)
+            rec = fc.wrap_motion_tiles(5, tsh, b"INNER")
+            assert rec[0] == fc.TILES
+            tlog, ts2, off = fc.parse_motion_tiles(rec)
+            assert tlog == 5
+            assert np.array_equal(ts2, tsh)
+            assert rec[off:] == b"INNER"
+
+    def test_zoom_clip_uses_type10_and_shrinks(self, tmp_path):
+        frames = _zoom_frames()
+        sizes = {}
+        for motion in (False, True):
+            comp = ImprovedVideoCompressor(verbose=False, motion=motion)
+            path = str(tmp_path / f"z_{motion}.bfvc")
+            comp.compress_video(frames, path, input_color_space="BGR")
+            _, payloads = container.read_bfvc(path)
+            dec = comp.decompress_video(path)
+            v = verify_lossless(frames, dec)
+            assert v["lossless"], f"motion={motion} not lossless"
+            sizes[motion] = sum(len(p) for p in payloads)
+            if motion:
+                types = Counter(p[0] for p in payloads)
+                assert types[fc.TILES] > 0, types
+        assert sizes[True] < sizes[False]
+
+    def test_tile_geometry_mismatch_raises(self):
+        prev = np.zeros((64, 64), np.uint8)
+        tsh = np.zeros((5, 5, 2), np.int8)  # wrong grid for 64x64/32
+        with pytest.raises(ValueError, match="tile map"):
+            fc.tile_predict(prev, tsh, 5)
+
+    def test_choose_tile_shifts_policy(self):
+        side = 2 * bp.MOTION_RADIUS + 1
+        zero_idx = bp.MOTION_RADIUS * side + bp.MOTION_RADIUS
+        summary = np.zeros((2, 2, 3), np.int64)
+        # tile (0,0): clear win at shift (1, 2)
+        cand = (1 + bp.MOTION_RADIUS) * side + (2 + bp.MOTION_RADIUS)
+        summary[0, 0] = (cand, 2, 50)
+        # tile (0,1): below TILE_MIN_C0 -> stays zero
+        summary[0, 1] = (cand, 0, bp.TILE_MIN_C0 - 1)
+        # tile (1,0): margin not cleared -> stays zero
+        summary[1, 0] = (cand, 45, 50)
+        # tile (1,1): zero-shift already best
+        summary[1, 1] = (zero_idx, 10, 10)
+        t = bp.choose_tile_shifts(summary)
+        assert tuple(t[0, 0]) == (1, 2)
+        assert not t[0, 1].any() and not t[1, 0].any() and not t[1, 1].any()
+
+
+class TestFilteredKeyframes:
+    def test_spatial_filter_inverts(self):
+        rng = np.random.default_rng(7)
+        for shape in ((33, 47), (33, 47, 3)):
+            a = rng.integers(0, 255, shape, np.uint8)
+            for fid in (1, 2):
+                f = fc.spatial_filter(a, fid)
+                assert np.array_equal(fc.spatial_unfilter(f, fid), a)
+
+    def test_filtered_smaller_on_smooth_and_roundtrips(self):
+        y, x = np.mgrid[0:80, 0:100]
+        img = ((np.sin(y / 13.0) * 60 + np.cos(x / 17.0) * 60
+                + 128)).clip(0, 255).astype(np.uint8)
+        frame = np.stack([img, img // 2 + 30, img // 3 + 80], -1)
+        plain = fc.encode_keyframe(frame, None, typed=True)
+        best = fc.encode_keyframe_best(frame, None)
+        assert best[0] == fc.FILTERED
+        assert len(best) < len(plain)
+        out, info = fc.decode_keyframe(best, offset=2, filter_id=best[1])
+        assert np.array_equal(out, frame) and info is None
+
+    def test_flag3_planes_filter_roundtrip(self):
+        y, x = np.mgrid[0:64, 0:64]
+        img = ((y * 2 + x) % 256).astype(np.uint8)
+        up, vp = img[::2, ::2], (img // 2)[::2, ::2]
+        f444 = np.stack([img,
+                         np.repeat(np.repeat(up, 2, 0), 2, 1),
+                         np.repeat(np.repeat(vp, 2, 0), 2, 1)], -1)
+        info = {"format": "I420", "y_plane": img, "u_plane": up,
+                "v_plane": vp}
+        best = fc.encode_keyframe_best(f444, info)
+        fid = best[1] if best[0] == fc.FILTERED else 0
+        out, i2 = fc.decode_keyframe(best, offset=2 if fid else 1,
+                                     filter_id=fid)
+        assert np.array_equal(out, f444)
+        assert np.array_equal(i2["u_plane"], up)
+        assert np.array_equal(i2["v_plane"], vp)
+
+    def test_noise_falls_back_to_plain_keyframe(self):
+        rng = np.random.default_rng(8)
+        noise = rng.integers(0, 256, (64, 64, 3), np.uint8)
+        best = fc.encode_keyframe_best(noise, None)
+        assert best[0] == fc.KEYFRAME
+
+    def test_scene_cut_clip_emits_type11_and_lossless(self, tmp_path):
+        rng = np.random.default_rng(9)
+        y, x = np.mgrid[0:64, 0:80]
+        frames = []
+        for t in range(9):
+            scene = t // 3
+            base = ((np.sin(y / 7.0 + scene) * 50
+                     + np.cos(x / 9.0 + 2 * scene) * 50
+                     + 128)).clip(0, 255).astype(np.uint8)
+            f = np.stack([base, base // 2 + 40, base // 3 + 90], -1)
+            frames.append(f.astype(np.uint8))
+        comp = ImprovedVideoCompressor(verbose=False)
+        path = str(tmp_path / "sc.bfvc")
+        comp.compress_video(frames, path, input_color_space="BGR")
+        _, payloads = container.read_bfvc(path)
+        types = Counter(p[0] for p in payloads)
+        assert types[fc.FILTERED] > 0, types
+        dec = comp.decompress_video(path)
+        assert verify_lossless(frames, dec)["lossless"]
+
+    def test_bad_filter_id_raises(self, tmp_path):
+        y, x = np.mgrid[0:32, 0:32]
+        img = ((y + x) % 256).astype(np.uint8)
+        rec = fc.encode_keyframe(img, None, typed=True, zlib_level=6,
+                                 filter_id=1)
+        bad = bytes([rec[0], 7]) + rec[2:]
+        comp = ImprovedVideoCompressor(verbose=False)
+        p = str(tmp_path / "bad.bfvc")
+        container.write_bfvc(p, [bad], container.MAGIC_BLOOM)
+        with pytest.raises(ValueError, match="filter id"):
+            comp.decompress_video(p)
+
+    def test_filter_on_non_uint8_rejected(self):
+        with pytest.raises(ValueError, match="uint8"):
+            fc.encode_keyframe(np.zeros((8, 8), np.uint16), typed=True,
+                               filter_id=1)
