@@ -381,6 +381,140 @@ int nbf_rans_decode(const uint8_t* in, uint64_t inlen, int prob,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Histogram byte rANS (section coding 3)
+// ---------------------------------------------------------------------------
+//
+// Order-0 rANS over arbitrary bytes with the 12-bit quantized frequency
+// table stored in-stream (128 symbol pairs packed 3 bytes each = 384
+// bytes).  Unlike the binary coder above — whose table derives from one
+// Bernoulli parameter — this models the empirical byte histogram, so it
+// nears H0 on value streams and DPCM residuals where DEFLATE's Huffman
+// stage (integer bit lengths, reference zlib hot loop at
+// fixed_video_compressor.py:31) leaves 5-15% on the table.  The
+// quantization is deterministic integer math, mirrored bit for bit by
+// the Python fallback in utils/native.py.
+
+static const uint32_t RANS8_TBL = 384;
+
+static int rans8_quantize(const uint64_t* hist, uint64_t total,
+                          uint16_t* freq) {
+  uint32_t fr[256];
+  int npresent = 0;
+  for (int s = 0; s < 256; ++s) {
+    if (hist[s]) {
+      uint64_t v = hist[s] * RANS_M / total;
+      fr[s] = v < 1 ? 1 : (v > RANS_M - 1 ? RANS_M - 1 : (uint32_t)v);
+      ++npresent;
+    } else {
+      fr[s] = 0;
+    }
+  }
+  if (npresent == 0) return 1;
+  if (npresent == 1) {
+    for (int s = 0; s < 256; ++s)
+      if (fr[s]) { fr[s] = RANS_M - 1; fr[(s + 1) & 255] = 1; break; }
+  }
+  uint64_t sum = 0;
+  for (int s = 0; s < 256; ++s) sum += fr[s];
+  while (sum > RANS_M) {
+    int maxs = 0;
+    for (int s = 1; s < 256; ++s) if (fr[s] > fr[maxs]) maxs = s;
+    uint64_t take = sum - RANS_M;
+    if (take > fr[maxs] - 1) take = fr[maxs] - 1;
+    if (take == 0) return 1;  // unreachable: sum > M implies max > 1
+    fr[maxs] -= (uint32_t)take;
+    sum -= take;
+  }
+  if (sum < RANS_M) {
+    int maxs = 0;
+    for (int s = 1; s < 256; ++s) if (fr[s] > fr[maxs]) maxs = s;
+    fr[maxs] += (uint32_t)(RANS_M - sum);
+  }
+  for (int s = 0; s < 256; ++s) freq[s] = (uint16_t)fr[s];
+  return 0;
+}
+
+// Encode `len` bytes as [384-byte table][rANS stream]; returns stored
+// size, or 0 if it would not fit in `cap` (caller keeps another coding).
+uint64_t nbf_rans8_encode(const uint8_t* in, uint64_t len, uint8_t* out,
+                          uint64_t cap) {
+  if (len == 0 || cap < RANS8_TBL + 4) return 0;
+  uint64_t hist[256];
+  memset(hist, 0, sizeof(hist));
+  for (uint64_t i = 0; i < len; ++i) hist[in[i]]++;
+  uint16_t freq[256], start[256];
+  if (rans8_quantize(hist, len, freq)) return 0;
+  uint32_t c = 0;
+  for (int s = 0; s < 256; ++s) { start[s] = (uint16_t)c; c += freq[s]; }
+  for (int k = 0; k < 128; ++k) {
+    uint16_t f0 = freq[2 * k], f1 = freq[2 * k + 1];
+    out[3 * k] = (uint8_t)(f0 & 0xFF);
+    out[3 * k + 1] = (uint8_t)((f0 >> 8) | ((f1 & 0xF) << 4));
+    out[3 * k + 2] = (uint8_t)(f1 >> 4);
+  }
+  uint64_t pos = cap;
+  uint32_t x = RANS_L;
+  for (uint64_t i = len; i-- > 0;) {
+    uint8_t s = in[i];
+    uint32_t fr = freq[s];
+    uint32_t x_max = ((RANS_L >> RANS_SCALE_BITS) << 8) * fr;
+    while (x >= x_max) {
+      if (pos == RANS8_TBL + 4) return 0;
+      out[--pos] = (uint8_t)(x & 0xFF);
+      x >>= 8;
+    }
+    x = ((x / fr) << RANS_SCALE_BITS) + (x % fr) + start[s];
+  }
+  if (pos < RANS8_TBL + 4) return 0;
+  pos -= 4;
+  out[pos] = (uint8_t)(x & 0xFF);
+  out[pos + 1] = (uint8_t)((x >> 8) & 0xFF);
+  out[pos + 2] = (uint8_t)((x >> 16) & 0xFF);
+  out[pos + 3] = (uint8_t)((x >> 24) & 0xFF);
+  uint64_t stream_len = cap - pos;
+  memmove(out + RANS8_TBL, out + pos, stream_len);
+  return RANS8_TBL + stream_len;
+}
+
+// Decode exactly raw_len bytes; 0 ok, nonzero = malformed stream.
+int nbf_rans8_decode(const uint8_t* in, uint64_t inlen, uint8_t* out,
+                     uint64_t raw_len) {
+  if (inlen < RANS8_TBL + 4) return 1;
+  uint16_t freq[256], start[256];
+  for (int k = 0; k < 128; ++k) {
+    freq[2 * k] = (uint16_t)(in[3 * k]
+                             | ((uint16_t)(in[3 * k + 1] & 0xF) << 8));
+    freq[2 * k + 1] = (uint16_t)((in[3 * k + 1] >> 4)
+                                 | ((uint16_t)in[3 * k + 2] << 4));
+  }
+  uint32_t c = 0;
+  for (int s = 0; s < 256; ++s) { start[s] = (uint16_t)c; c += freq[s]; }
+  if (c != RANS_M) return 3;  // corrupt table: slots must cover M exactly
+  static thread_local uint8_t slot2sym[RANS_M];
+  c = 0;
+  for (int s = 0; s < 256; ++s) {
+    for (uint32_t i = 0; i < freq[s]; ++i) slot2sym[c + i] = (uint8_t)s;
+    c += freq[s];
+  }
+  const uint8_t* str = in + RANS8_TBL;
+  uint64_t slen = inlen - RANS8_TBL;
+  uint64_t pos = 4;
+  uint32_t x = (uint32_t)str[0] | ((uint32_t)str[1] << 8)
+               | ((uint32_t)str[2] << 16) | ((uint32_t)str[3] << 24);
+  for (uint64_t i = 0; i < raw_len; ++i) {
+    uint32_t slot = x & (RANS_M - 1);
+    uint8_t s = slot2sym[slot];
+    out[i] = s;
+    x = freq[s] * (x >> RANS_SCALE_BITS) + slot - start[s];
+    while (x < RANS_L) {
+      if (pos >= slen) return 2;
+      x = (x << 8) | str[pos++];
+    }
+  }
+  return 0;
+}
+
 // Per-block popcount of the first wcnt[b] witness bits of each padded
 // row (rows x stride bytes) — the decode-side block change counts.
 void nbf_witness_popcounts(const uint8_t* wit, uint64_t rows,

@@ -47,6 +47,8 @@ from new_bloom_filter_repo_tpu.utils import native
 MIN_M = 16            # below this sub-filter width a sparse record wins
 KEY_DENSITY = 0.45    # scene-cut fallback
 SUPER = bk.IPB * bk.BG  # geometry padding granularity
+RANS8_MIN = 4096      # byte-rANS trial floor: its 384-byte stored
+                      # frequency table needs a few KB to amortize
 
 
 class _MeshDispatch:
@@ -932,6 +934,12 @@ class BlockedEncoder:
 
         keyframes = 0
         zl = self.zlib_level
+        # Value streams and DPCM residuals DEFLATE at level 1 when the
+        # level is defaulted: level 6 buys <1% over level 1 on changed-
+        # pixel bytes at 3-5x the CPU (the host pipeline's hot stage),
+        # and the byte-rANS trial recovers the entropy-side difference.
+        # An explicitly-raised level (>= 7) is honored as stated intent.
+        vlvl = zl if zl >= 7 else 1
 
         # ---- host section gathering -----------------------------------
         # Every DEFLATE-able section (value streams, blocked bitmaps,
@@ -1038,7 +1046,7 @@ class BlockedEncoder:
             # strip the per-block padding and the stream is done.
             val_bytes[j] = _strip_rows(vseg[j],
                                        vcnt[j] * channels).tobytes()
-            vz_idx[j] = _add(val_bytes[j], zl)
+            vz_idx[j] = _add(val_bytes[j], vlvl)
             if kind == "pass":
                 bm_bytes[j] = packed_row(j)[: (n + 7) // 8].tobytes()
                 bz_idx[j] = _add(bm_bytes[j], 1)
@@ -1083,25 +1091,37 @@ class BlockedEncoder:
                     r = _residual(j, tag, m)
                     raws.append(r)
                     meta.append((j, tag, m, len(r)))
-            outs = native.deflate_frames(raws, level=zl,
+            outs = native.deflate_frames(raws, level=vlvl,
                                          threads=self.num_threads)
-            for (j, tag, m, rl), z in zip(meta, outs):
-                res_trials[j].append((tag, m, rl, z))
+            for (j, tag, m, rl), raw, z in zip(meta, raws, outs):
+                # type 8 (DEFLATE) vs type 13 (byte-rANS section):
+                # only the smaller wrapped record survives the group,
+                # so trial storage stays one record per frame.
+                rec = fc.build_residual_record(rl, z)
+                r8 = (native.rans8_encode(raw)
+                      if rl >= RANS8_MIN else None)
+                if r8 is not None and len(r8) + 10 < len(rec):
+                    rec = fc.build_residual_s_record((3, r8, rl))
+                res_trials[j].append((tag, m, rec))
 
         if stage_times is not None:
             stage_times["enc_deflate"] = (
                 stage_times.get("enc_deflate", 0.0) + time.time() - _t0)
             _t0 = time.time()
 
-        def _sec(raw: Optional[bytes], zi: int):
+        def _sec(raw: Optional[bytes], zi: int, byte_rans: bool = False):
             """Per-section coding choice: raw vs DEFLATE vs static
-            binary rANS, whichever stores fewest bytes (header cost
-            included).  rANS — the near-entropy coder for iid-biased
-            bit streams (native/nbf.cpp) — is only attempted when the
+            binary rANS vs (``byte_rans``) byte-histogram rANS,
+            whichever stores fewest bytes (header cost included).
+            Binary rANS — the near-entropy coder for iid-biased bit
+            streams (native/nbf.cpp) — is only attempted when the
             stream's bit density is away from 0.5 (quantized prob
             outside [0.35, 0.65]), where H(p) < 1 leaves room to win;
             witness streams (~0.8 ones) and sparse pass-through masks
-            are the targets."""
+            are the targets.  Byte rANS targets value streams and DPCM
+            residuals, where DEFLATE's Huffman stage leaves 5-15% on
+            the table and runs 5-10x slower; its 384-byte stored table
+            needs sections of a few KB to amortize."""
             if raw is None:
                 return (0, b"", 0)
             best_cost, best = len(raw), (0, raw, 0)
@@ -1114,6 +1134,11 @@ class BlockedEncoder:
                 if r is not None and len(r) + 5 < best_cost:
                     best_cost = len(r) + 5
                     best = (2, r, len(raw), prob)
+            if byte_rans and len(raw) >= RANS8_MIN:
+                r8 = native.rans8_encode(raw)
+                if r8 is not None and len(r8) + 4 < best_cost:
+                    best_cost = len(r8) + 4
+                    best = (3, r8, len(raw))
             return best
 
         # ---- record assembly ------------------------------------------
@@ -1131,8 +1156,7 @@ class BlockedEncoder:
             shifts[j]): none/type-6 roll, type-9 half-pel, or type-10
             per-tile map."""
             best = None
-            for tag, m, raw_len, z in res_trials[j]:
-                rec = fc.build_residual_record(raw_len, z)
+            for tag, m, rec in res_trials[j]:
                 if tag == "hp":
                     rec = fc.wrap_motion_hp(m[0], m[1], rec)
                 elif tag == "tile":
@@ -1171,9 +1195,13 @@ class BlockedEncoder:
                 continue
             values_z = zsecs[vz_idx[j]]
             vcount = len(val_bytes[j])
+            vsec = _sec(val_bytes[j], vz_idx[j], byte_rans=True)
             if kind == "pass":
                 bsec = _sec(bm_bytes[j], bz_idx[j])
-                if bsec[0]:
+                if vsec[0] != 1:
+                    rec = fc.build_blocked_s_record(
+                        p, n, ks[j], n, 0, bsec, (0, b"", 0), vsec)
+                elif bsec[0]:
                     rec = fc.build_blocked_z_record(
                         p, n, ks[j], n, 0, bsec, (0, b"", 0),
                         values_z, vcount)
@@ -1194,7 +1222,10 @@ class BlockedEncoder:
             bsec = _sec(bm_bytes[j], bz_idx[j])
             wsec = _sec(wit_bytes[j], wz_idx[j])
             wbits = int(wcnt[j].sum())
-            if bsec[0] or wsec[0]:
+            if vsec[0] != 1:
+                emit(j, fc.build_blocked_s_record(
+                    p, n, ks[j], m * nb, wbits, bsec, wsec, vsec))
+            elif bsec[0] or wsec[0]:
                 emit(j, fc.build_blocked_z_record(
                     p, n, ks[j], m * nb, wbits, bsec, wsec,
                     values_z, vcount))
@@ -1340,9 +1371,12 @@ class BlockedDecoder:
                 raw_used = True
                 value_streams[j] = values
                 continue
-            rec = (fc.parse_blocked_z(payload, off + 1)
-                   if rtype == fc.BLOCKED_Z
-                   else fc.parse_interframe(payload, off + 1))
+            if rtype == fc.BLOCKED_Z:
+                rec = fc.parse_blocked_z(payload, off + 1)
+            elif rtype == fc.BLOCKED_S:
+                rec = fc.parse_blocked_s(payload, off + 1)
+            else:
+                rec = fc.parse_interframe(payload, off + 1)
             if rec["n"] != n:
                 raise ValueError("record length mismatch with geometry")
             value_streams[j] = rec["values"]
@@ -1354,7 +1388,7 @@ class BlockedDecoder:
                 raw_mask[j, :nb] = mb.reshape(nb, bk.IPB)
                 raw_used = True
                 continue
-            if rtype not in (fc.BLOCKED, fc.BLOCKED_Z):
+            if rtype not in (fc.BLOCKED, fc.BLOCKED_Z, fc.BLOCKED_S):
                 raise ValueError("BFV2 bloom record routed to blocked decoder")
             m = rec["bitmap_bits"] // nb
             # The kernel's reciprocal-multiply mod (ops/pallas/blocked.

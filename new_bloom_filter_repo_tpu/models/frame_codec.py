@@ -81,6 +81,22 @@ INTERFRAME = 0
 #     The inverse is an exact uint8 cumsum, so decode is vectorized.
 #     Natural-image keyframes DEFLATE far smaller predicted; the
 #     reference can only zlib raw bytes (fixed_video_compressor.py:31).
+# 12 — blocked record with a SECTIONED value stream: the type-7 layout
+#     but the value bytes are a coded section like bitmap/witness
+#     (coding 0 raw / 1 DEFLATE / 2 binary rANS / 3 byte-histogram
+#     rANS) instead of mandatory DEFLATE.  Emitted when raw or rANS
+#     stores the values smaller than DEFLATE (noise-heavy value
+#     streams are near-incompressible under LZ; order-0 rANS reaches
+#     H0 at memory-walk speed — native/nbf.cpp nbf_rans8_*).
+# 13 — sectioned residual record: type 8's DPCM payload as a coded
+#     section; byte-rANS beats DEFLATE by 10-15% on grain-like
+#     residuals (Laplacian bytes carry no LZ structure, and Huffman's
+#     integer bit lengths round up what rANS codes fractionally).
+# 14 — spatially-filtered residual: the DPCM plane is SUB/UP-predicted
+#     (spatial_filter) before the coded section.  Fractional-motion
+#     prediction error is spatially correlated (bilinear interpolation
+#     is a low-pass mix), so filtering cuts subpixel-pan residual
+#     streams another 10-15%.
 EMPTY = 2
 BLOCKED = 3
 SPARSE = 4
@@ -91,6 +107,9 @@ RESIDUAL = 8
 MOTION_HP = 9
 TILES = 10
 FILTERED = 11
+BLOCKED_S = 12
+RESIDUAL_S = 13
+RESIDUAL_F = 14
 
 _HDR_III = struct.Struct("<III")
 _U32 = struct.Struct("<I")
@@ -518,17 +537,46 @@ def build_blocked_z_record(p: float, n: int, k: float,
     buf.write(_U32.pack(bitmap_bits))
     buf.write(_U32.pack(witness_bits))
     for sec in (bitmap_sec, witness_sec):
-        coding, stored, raw_len = sec[0], sec[1], sec[2]
-        buf.write(_U8.pack(coding))
-        buf.write(_U32.pack(len(stored)))
-        if coding:
-            buf.write(_U32.pack(raw_len))
-        if coding == 2:
-            buf.write(_U8.pack(sec[3]))  # quantized bit probability
-        buf.write(stored)
+        _write_section(buf, sec)
     buf.write(_U32.pack(len(values_z)))
     buf.write(_U32.pack(values_count))
     buf.write(values_z)
+    return buf.getvalue()
+
+
+def _write_section(buf, sec: tuple) -> None:
+    """Serialize a (coding, stored_bytes, raw_len[, bit_prob]) section:
+    <B coding, <I stored_len, [<I raw_len if coding != 0],
+    [<B bit_prob if coding == 2], bytes."""
+    coding, stored, raw_len = sec[0], sec[1], sec[2]
+    buf.write(_U8.pack(coding))
+    buf.write(_U32.pack(len(stored)))
+    if coding:
+        buf.write(_U32.pack(raw_len))
+    if coding == 2:
+        buf.write(_U8.pack(sec[3]))  # quantized bit probability
+    buf.write(stored)
+
+
+def build_blocked_s_record(p: float, n: int, k: float,
+                           bitmap_bits: int, witness_bits: int,
+                           bitmap_sec: tuple, witness_sec: tuple,
+                           values_sec: tuple) -> bytes:
+    """Assemble a type-12 blocked record: :func:`build_blocked_z_record`
+    with the value stream as a coded section too (coding 3 = byte-
+    histogram rANS joins the per-section choices).
+
+    Layout: <B 12, <f p, <I n, <f k, <I bitmap_bits, <I witness_bits,
+    section(bitmap), section(witness), section(values)."""
+    buf = io.BytesIO()
+    buf.write(_U8.pack(BLOCKED_S))
+    buf.write(_F32.pack(p))
+    buf.write(_U32.pack(n))
+    buf.write(_F32.pack(k))
+    buf.write(_U32.pack(bitmap_bits))
+    buf.write(_U32.pack(witness_bits))
+    for sec in (bitmap_sec, witness_sec, values_sec):
+        _write_section(buf, sec)
     return buf.getvalue()
 
 
@@ -550,6 +598,11 @@ def _read_section(buf) -> np.ndarray:
         if not 1 <= prob <= 255:
             raise ValueError(f"rANS section probability {prob} out of range")
         raw = native.rans_decode(buf.read(stored_len), prob, raw_len)
+        return np.frombuffer(raw, dtype=np.uint8)
+    if coding == 3:
+        from new_bloom_filter_repo_tpu.utils import native
+        raw_len = _U32.unpack(buf.read(4))[0]
+        raw = native.rans8_decode(buf.read(stored_len), raw_len)
         return np.frombuffer(raw, dtype=np.uint8)
     raise ValueError(f"unknown section coding {coding}")
 
@@ -575,6 +628,24 @@ def parse_blocked_z(data: bytes, offset: int = 0) -> dict:
     return out
 
 
+def parse_blocked_s(data: bytes, offset: int = 0) -> dict:
+    """Parse a type-12 record (after the type byte) into the dict shape
+    :func:`parse_blocked_z` returns."""
+    buf = io.BytesIO(data)
+    buf.seek(offset)
+    out = {}
+    out["p"] = _F32.unpack(buf.read(4))[0]
+    out["n"] = _U32.unpack(buf.read(4))[0]
+    out["k"] = _F32.unpack(buf.read(4))[0]
+    out["bitmap_bits"] = _U32.unpack(buf.read(4))[0]
+    out["witness_bits"] = _U32.unpack(buf.read(4))[0]
+    out["bitmap_bytes"] = _read_section(buf)
+    out["witness_bytes"] = _read_section(buf)
+    out["values"] = _read_section(buf)
+    out["values_count"] = out["values"].size
+    return out
+
+
 def build_residual_record(raw_len: int, residual_z: bytes) -> bytes:
     """Assemble a type-8 DPCM record from the already-DEFLATE'd
     byte-domain residual (curr - prev mod 256, flattened raw bytes).
@@ -592,6 +663,62 @@ def parse_residual_record(data: bytes, offset: int = 0) -> np.ndarray:
     if len(raw) != raw_len:
         raise ValueError("residual record length mismatch")
     return np.frombuffer(raw, dtype=np.uint8)
+
+
+def build_residual_s_record(sec: tuple) -> bytes:
+    """Assemble a type-13 residual record from a coded section (see
+    :func:`_write_section`).  Layout: <B 13, section."""
+    buf = io.BytesIO()
+    buf.write(_U8.pack(RESIDUAL_S))
+    _write_section(buf, sec)
+    return buf.getvalue()
+
+
+def build_residual_f_record(filter_id: int, sec: tuple) -> bytes:
+    """Assemble a type-14 residual record: the DPCM byte plane is
+    spatially predicted (:func:`spatial_filter`) before entropy coding.
+    Half-pel/fractional prediction error keeps spatial correlation the
+    temporal diff can't remove; SUB/UP filtering cuts those residual
+    streams 10-15% before DEFLATE/rANS.  Layout: <B 14, <B filter_id,
+    section."""
+    if filter_id not in (1, 2):
+        raise ValueError(f"bad residual filter id {filter_id}")
+    buf = io.BytesIO()
+    buf.write(_U8.pack(RESIDUAL_F))
+    buf.write(_U8.pack(filter_id))
+    _write_section(buf, sec)
+    return buf.getvalue()
+
+
+RESIDUAL_TYPES = (RESIDUAL, RESIDUAL_S, RESIDUAL_F)
+
+
+def parse_residual_any(data: bytes, offset: int,
+                       shape=None) -> np.ndarray:
+    """Parse a residual payload whose TYPE BYTE is at ``offset`` —
+    type 8 (DEFLATE body), type 13 (coded section), or type 14
+    (spatially-filtered coded section; needs the prediction ``shape``
+    to invert the filter).  Returns the flat DPCM byte plane."""
+    t = data[offset]
+    if t == RESIDUAL:
+        return parse_residual_record(data, offset + 1)
+    if t == RESIDUAL_S:
+        buf = io.BytesIO(data)
+        buf.seek(offset + 1)
+        return _read_section(buf)
+    if t == RESIDUAL_F:
+        fid = data[offset + 1]
+        if fid not in (1, 2):
+            raise ValueError(f"bad residual filter id {fid}")
+        if shape is None:
+            raise ValueError("filtered residual needs the frame shape")
+        buf = io.BytesIO(data)
+        buf.seek(offset + 2)
+        flat = _read_section(buf)
+        if flat.size != int(np.prod(shape)):
+            raise ValueError("residual record length mismatch")
+        return spatial_unfilter(flat.reshape(shape), fid).reshape(-1)
+    raise ValueError(f"not a residual record (type {t})")
 
 
 def halfpel_predict(prev: np.ndarray, sy: int, sx: int) -> np.ndarray:

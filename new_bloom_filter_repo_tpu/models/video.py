@@ -747,7 +747,7 @@ class ImprovedVideoCompressor:
             apply on host against the running reconstruction instead)."""
             return _inner_type(payload) in (
                 fc.INTERFRAME, fc.EMPTY, fc.BLOCKED, fc.SPARSE,
-                fc.BLOCKED_Z)
+                fc.BLOCKED_Z, fc.BLOCKED_S)
 
         frames = []
         prev: Optional[np.ndarray] = None
@@ -801,16 +801,17 @@ class ImprovedVideoCompressor:
                 i += 1
                 continue
             if rtype not in (fc.INTERFRAME, fc.EMPTY, fc.BLOCKED,
-                             fc.SPARSE, fc.BLOCKED_Z, fc.MOTION,
-                             fc.RESIDUAL, fc.MOTION_HP, fc.TILES):
+                             fc.SPARSE, fc.BLOCKED_Z, fc.BLOCKED_S,
+                             fc.MOTION, fc.RESIDUAL, fc.RESIDUAL_S,
+                             fc.MOTION_HP, fc.TILES):
                 raise ValueError(f"Unknown frame type: {rtype}")
             if prev is None:
                 raise ValueError("inter-frame record before any keyframe")
             if rtype in (fc.MOTION_HP, fc.TILES) and \
-                    _inner_type(payloads[i]) != fc.RESIDUAL:
+                    _inner_type(payloads[i]) not in fc.RESIDUAL_TYPES:
                 raise ValueError(
                     "half-pel/tile wrapper on non-residual record")
-            if _inner_type(payloads[i]) == fc.RESIDUAL:
+            if _inner_type(payloads[i]) in fc.RESIDUAL_TYPES:
                 payload = payloads[i]
                 byte_domain = (prev.dtype != np.uint8
                                or (prev.ndim == 3 and prev.shape[2] > 3))
@@ -821,7 +822,7 @@ class ImprovedVideoCompressor:
                         raise ValueError(
                             "tile-motion wrapper on byte-domain stream")
                     tlog, tshifts, off = fc.parse_motion_tiles(payload)
-                    residual = fc.parse_residual_record(payload, off + 1)
+                    residual = fc.parse_residual_any(payload, off)
                     pred = fc.tile_predict(prev, tshifts, tlog)
                     frame = fc.apply_residual(pred, residual)
                     _advance(frame)
@@ -832,7 +833,7 @@ class ImprovedVideoCompressor:
                 halfpel = rtype == fc.MOTION_HP
                 if rtype in (fc.MOTION, fc.MOTION_HP):
                     dy, dx, off = fc.parse_motion(payload)
-                residual = fc.parse_residual_record(payload, off + 1)
+                residual = fc.parse_residual_any(payload, off)
                 if byte_domain:
                     # the encoder diffed/rolled the byte view, so the
                     # residual applies on the same representation (the

@@ -27,6 +27,7 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libnbf.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_has_rans8 = False
 
 
 def _build() -> bool:
@@ -85,6 +86,15 @@ def load() -> Optional[ctypes.CDLL]:
         lib.nbf_rans_encode.argtypes = [p8, u64, i32, p8, u64]
         lib.nbf_rans_decode.restype = i32
         lib.nbf_rans_decode.argtypes = [p8, u64, i32, p8, u64]
+        global _has_rans8
+        try:  # absent from pre-round-3 builds of libnbf.so
+            lib.nbf_rans8_encode.restype = u64
+            lib.nbf_rans8_encode.argtypes = [p8, u64, p8, u64]
+            lib.nbf_rans8_decode.restype = i32
+            lib.nbf_rans8_decode.argtypes = [p8, u64, p8, u64]
+            _has_rans8 = True
+        except AttributeError:
+            _has_rans8 = False
         _lib = lib
         return _lib
 
@@ -386,6 +396,135 @@ def rans_decode(data: bytes, prob: int, raw_len: int) -> bytes:
             if pos >= len(data):
                 raise ValueError("malformed rANS section (underrun)")
             x = (x << 8) | data[pos]
+            pos += 1
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Histogram byte rANS (section coding 3; see native/nbf.cpp)
+# ---------------------------------------------------------------------------
+
+_RANS8_TBL = 384
+
+
+def _rans8_quantize(hist: np.ndarray, total: int) -> Optional[list]:
+    """12-bit frequency quantization, mirroring rans8_quantize in
+    native/nbf.cpp bit for bit (first-max tie-breaks included)."""
+    fr = [0] * 256
+    npresent = 0
+    for s in range(256):
+        h = int(hist[s])
+        if h:
+            fr[s] = min(max(h * _RANS_M // total, 1), _RANS_M - 1)
+            npresent += 1
+    if npresent == 0:
+        return None
+    if npresent == 1:
+        s = next(i for i in range(256) if fr[i])
+        fr[s] = _RANS_M - 1
+        fr[(s + 1) & 255] = 1
+    total_f = sum(fr)
+    while total_f > _RANS_M:
+        maxs = fr.index(max(fr))
+        take = min(total_f - _RANS_M, fr[maxs] - 1)
+        if take == 0:
+            return None
+        fr[maxs] -= take
+        total_f -= take
+    if total_f < _RANS_M:
+        fr[fr.index(max(fr))] += _RANS_M - total_f
+    return fr
+
+
+def _rans8_pack_table(freq) -> bytes:
+    out = bytearray(_RANS8_TBL)
+    for k in range(128):
+        f0, f1 = freq[2 * k], freq[2 * k + 1]
+        out[3 * k] = f0 & 0xFF
+        out[3 * k + 1] = (f0 >> 8) | ((f1 & 0xF) << 4)
+        out[3 * k + 2] = f1 >> 4
+    return bytes(out)
+
+
+def _rans8_unpack_table(data: bytes) -> list:
+    freq = [0] * 256
+    for k in range(128):
+        b0, b1, b2 = data[3 * k], data[3 * k + 1], data[3 * k + 2]
+        freq[2 * k] = b0 | ((b1 & 0xF) << 8)
+        freq[2 * k + 1] = (b1 >> 4) | (b2 << 4)
+    return freq
+
+
+def rans8_encode(data: bytes) -> Optional[bytes]:
+    """Order-0 byte-histogram rANS encode: [384-byte table][stream].
+    Returns None when coding would not shrink below the input size."""
+    if not data:
+        return None
+    cap = len(data) + _RANS8_TBL + 16
+    lib = load()
+    if lib is not None and _has_rans8:
+        arr = np.frombuffer(data, np.uint8)
+        out = np.empty(cap, np.uint8)
+        n = lib.nbf_rans8_encode(_as_u8p(arr), len(data), _as_u8p(out),
+                                 cap)
+        return out[:n].tobytes() if n else None
+    hist = np.bincount(np.frombuffer(data, np.uint8), minlength=256)
+    freq = _rans8_quantize(hist, len(data))
+    if freq is None:
+        return None
+    start, c = [0] * 256, 0
+    for s in range(256):
+        start[s] = c
+        c += freq[s]
+    buf = bytearray()
+    x = _RANS_L
+    for s in reversed(data):
+        fr = freq[s]
+        x_max = ((_RANS_L >> _RANS_BITS) << 8) * fr
+        while x >= x_max:
+            buf.append(x & 0xFF)
+            x >>= 8
+        x = ((x // fr) << _RANS_BITS) + (x % fr) + start[s]
+    head = bytes(((x >> (8 * i)) & 0xFF) for i in range(4))
+    out = _rans8_pack_table(freq) + head + bytes(reversed(buf))
+    return out if len(out) <= cap else None
+
+
+def rans8_decode(data: bytes, raw_len: int) -> bytes:
+    lib = load()
+    if lib is not None and _has_rans8:
+        arr = (np.frombuffer(data, np.uint8) if data
+               else np.zeros(1, np.uint8))
+        out = np.empty(max(1, raw_len), np.uint8)
+        rc = lib.nbf_rans8_decode(_as_u8p(arr), len(data), _as_u8p(out),
+                                  raw_len)
+        if rc != 0:
+            raise ValueError(f"malformed rANS8 section (rc={rc})")
+        return out[:raw_len].tobytes()
+    if len(data) < _RANS8_TBL + 4:
+        raise ValueError("malformed rANS8 section (too short)")
+    freq = _rans8_unpack_table(data)
+    if sum(freq) != _RANS_M:
+        raise ValueError("malformed rANS8 section (corrupt table)")
+    start, c = [0] * 256, 0
+    slot2sym = np.empty(_RANS_M, np.uint8)
+    for s in range(256):
+        start[s] = c
+        slot2sym[c:c + freq[s]] = s
+        c += freq[s]
+    stream = data[_RANS8_TBL:]
+    x = int.from_bytes(stream[:4], "little")
+    pos = 4
+    out = bytearray()
+    for _ in range(raw_len):
+        slot = x & (_RANS_M - 1)
+        s = int(slot2sym[slot])
+        out.append(s)
+        x = freq[s] * (x >> _RANS_BITS) + slot - start[s]
+        while x < _RANS_L:
+            if pos >= len(stream):
+                raise ValueError("malformed rANS8 section (underrun)")
+            x = (x << 8) | stream[pos]
             pos += 1
     return bytes(out)
 

@@ -137,7 +137,10 @@ class TestBlockedZ:
                 _, _, off = fc.parse_motion(p)
                 t = p[off]
             inner_types[t] += 1
-        assert inner_types[fc.BLOCKED_Z] > 0
+        # type 12 (sectioned values) supersedes type 7 when a non-
+        # DEFLATE value coding stores smaller; either proves the
+        # entropy-coded blocked layout is live on this content.
+        assert inner_types[fc.BLOCKED_Z] + inner_types[fc.BLOCKED_S] > 0
 
     def test_type7_and_type3_decode_identically(self, pan_streams, tmp_path):
         """Rewrite every type-7 record as raw type-3 (the pre-entropy
@@ -154,10 +157,11 @@ class TestBlockedZ:
                 dy, dx, off = fc.parse_motion(p)
                 prefix = p[:off]
                 t = p[off]
-            if t != fc.BLOCKED_Z:
+            if t not in (fc.BLOCKED_Z, fc.BLOCKED_S):
                 legacy.append(p)
                 continue
-            rec = fc.parse_blocked_z(p, off + 1)
+            rec = (fc.parse_blocked_z(p, off + 1) if t == fc.BLOCKED_Z
+                   else fc.parse_blocked_s(p, off + 1))
             rebuilt = fc.build_interframe_record(
                 rec["p"], rec["n"], rec["k"],
                 rec["bitmap_bytes"].tobytes(), rec["bitmap_bits"],
@@ -562,3 +566,169 @@ class TestFilteredKeyframes:
         with pytest.raises(ValueError, match="uint8"):
             fc.encode_keyframe(np.zeros((8, 8), np.uint16), typed=True,
                                filter_id=1)
+
+
+class TestByteRans:
+    """Section coding 3: order-0 byte-histogram rANS (native/nbf.cpp
+    nbf_rans8_*, Python mirror in utils/native.py) and the sectioned
+    record types that carry it — type 12 (blocked, coded value
+    section) and type 13 (residual, coded section)."""
+
+    def _lap_bytes(self, n=60000, seed=0):
+        rng = np.random.default_rng(seed)
+        return (rng.laplace(0, 3, n).astype(np.int64)
+                % 256).astype(np.uint8).tobytes()
+
+    def test_rans8_roundtrip_and_beats_deflate_on_grain(self):
+        import zlib
+        from new_bloom_filter_repo_tpu.utils import native
+        data = self._lap_bytes()
+        enc = native.rans8_encode(data)
+        assert enc is not None
+        assert native.rans8_decode(enc, len(data)) == data
+        # Laplacian residuals: Huffman's integer bit lengths round up
+        assert len(enc) < len(zlib.compress(data, 6))
+
+    def test_rans8_native_python_bit_parity(self):
+        from new_bloom_filter_repo_tpu.utils import native
+        if native.load() is None or not native._has_rans8:
+            pytest.skip("native rans8 unavailable")
+        for seed, n in ((0, 50000), (1, 4096), (2, 9999)):
+            data = self._lap_bytes(n, seed)
+            enc_c = native.rans8_encode(data)
+            saved = native._has_rans8
+            native._has_rans8 = False
+            try:
+                enc_py = native.rans8_encode(data)
+                assert enc_c == enc_py
+                assert native.rans8_decode(enc_c, len(data)) == data
+            finally:
+                native._has_rans8 = saved
+
+    def test_rans8_incompressible_returns_none(self):
+        from new_bloom_filter_repo_tpu.utils import native
+        rng = np.random.default_rng(4)
+        data = rng.integers(0, 256, 50000, np.uint8).tobytes()
+        assert native.rans8_encode(data) is None
+        saved = native._has_rans8
+        native._has_rans8 = False
+        try:
+            assert native.rans8_encode(data) is None
+        finally:
+            native._has_rans8 = saved
+
+    def test_rans8_malformed_raises_both_paths(self):
+        from new_bloom_filter_repo_tpu.utils import native
+        data = self._lap_bytes(20000)
+        enc = bytearray(native.rans8_encode(data))
+        enc[0] ^= 0xFF  # corrupt the frequency table
+        for native_path in (True, False):
+            if native_path and (native.load() is None
+                                or not native._has_rans8):
+                continue
+            saved = native._has_rans8
+            native._has_rans8 = native_path
+            try:
+                with pytest.raises(ValueError):
+                    native.rans8_decode(bytes(enc), len(data))
+                with pytest.raises(ValueError):
+                    native.rans8_decode(b"\x01\x02", 10)  # truncated
+            finally:
+                native._has_rans8 = saved
+
+    def test_blocked_s_record_unit_roundtrip(self):
+        from new_bloom_filter_repo_tpu.utils import native
+        vals = self._lap_bytes(8192, 3)
+        enc = native.rans8_encode(vals)
+        rec = fc.build_blocked_s_record(
+            0.1, 4096, 3.0, 4096, 64,
+            (0, b"\x55" * 512, 0), (0, b"\xff" * 8, 0),
+            (3, enc, len(vals)))
+        assert rec[0] == fc.BLOCKED_S
+        out = fc.parse_blocked_s(rec, 1)
+        assert out["n"] == 4096 and out["witness_bits"] == 64
+        assert out["values"].tobytes() == vals
+        assert out["bitmap_bytes"].tobytes() == b"\x55" * 512
+
+    def test_residual_s_record_unit_roundtrip(self):
+        from new_bloom_filter_repo_tpu.utils import native
+        raw = self._lap_bytes(8192, 5)
+        enc = native.rans8_encode(raw)
+        rec = fc.build_residual_s_record((3, enc, len(raw)))
+        assert rec[0] == fc.RESIDUAL_S
+        got = fc.parse_residual_any(rec, 0)
+        assert got.tobytes() == raw
+        # type 8 parses through the same dispatcher
+        import zlib
+        rec8 = fc.build_residual_record(len(raw), zlib.compress(raw, 1))
+        assert fc.parse_residual_any(rec8, 0).tobytes() == raw
+        with pytest.raises(ValueError, match="not a residual"):
+            fc.parse_residual_any(b"\x02", 0)
+
+    def test_grain_clip_emits_type13_and_lossless(self, tmp_path):
+        rng = np.random.default_rng(7)
+        base = rng.integers(0, 256, (72, 96, 3), np.uint8)
+        frames = [base]
+        for t in range(9):
+            f = (frames[-1].astype(np.int16)
+                 + rng.integers(-6, 7, (72, 96, 3)))
+            frames.append(np.clip(f, 0, 255).astype(np.uint8))
+        comp = ImprovedVideoCompressor(verbose=False)
+        p = str(tmp_path / "g13.bfvc")
+        comp.compress_video(frames, p)
+        _, payloads = container.read_bfvc(p)
+        types = Counter(x[0] for x in payloads)
+        assert types[fc.RESIDUAL_S] >= 5, dict(types)
+        dec = comp.decompress_video(p)
+        assert verify_lossless(frames, dec)["lossless"]
+
+    def test_sparse_uniform_values_emit_type12_and_lossless(self, tmp_path):
+        rng = np.random.default_rng(8)
+        frames = [np.zeros((72, 96), np.uint8)]
+        for t in range(9):
+            f = frames[-1].copy()
+            idx = rng.random((72, 96)) < 0.05
+            f[idx] = rng.integers(0, 256, int(idx.sum()))
+            frames.append(f)
+        comp = ImprovedVideoCompressor(verbose=False)
+        p = str(tmp_path / "s12.bfvc")
+        comp.compress_video(frames, p, input_color_space="BGR")
+        _, payloads = container.read_bfvc(p)
+        types = Counter(x[0] for x in payloads)
+        assert types[fc.BLOCKED_S] >= 5, dict(types)
+        dec = comp.decompress_video(p)
+        assert verify_lossless(frames, dec)["lossless"]
+
+    def test_type12_and_type7_decode_identically(self, tmp_path):
+        """Rewrite every type-12 record with its value section as
+        mandatory DEFLATE (type 7) and check both streams reconstruct
+        the same frames — the cross-version decode guarantee."""
+        import zlib
+        rng = np.random.default_rng(8)
+        frames = [np.zeros((72, 96), np.uint8)]
+        for t in range(9):
+            f = frames[-1].copy()
+            idx = rng.random((72, 96)) < 0.05
+            f[idx] = rng.integers(0, 256, int(idx.sum()))
+            frames.append(f)
+        comp = ImprovedVideoCompressor(verbose=False)
+        p = str(tmp_path / "orig.bfvc")
+        comp.compress_video(frames, p, input_color_space="BGR")
+        _, payloads = container.read_bfvc(p)
+        legacy = []
+        for x in payloads:
+            if x[0] != fc.BLOCKED_S:
+                legacy.append(x)
+                continue
+            rec = fc.parse_blocked_s(x, 1)
+            vals = rec["values"].tobytes()
+            legacy.append(fc.build_blocked_z_record(
+                rec["p"], rec["n"], rec["k"], rec["bitmap_bits"],
+                rec["witness_bits"],
+                (0, rec["bitmap_bytes"].tobytes(), 0),
+                (0, rec["witness_bytes"].tobytes(), 0),
+                zlib.compress(vals, 6), len(vals)))
+        p7 = str(tmp_path / "legacy.bfvc")
+        container.write_bfvc(p7, legacy, container.MAGIC_BLOOM)
+        dec = ImprovedVideoCompressor(verbose=False).decompress_video(p7)
+        assert verify_lossless(frames, dec)["lossless"]

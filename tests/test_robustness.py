@@ -66,7 +66,7 @@ class TestCorruption:
     def test_unknown_record_type_raises(self, tmp_path):
         comp = ImprovedVideoCompressor(verbose=False)
         p = str(tmp_path / "u.bfvc")
-        container.write_bfvc(p, [b"\x0cweird"], container.MAGIC_BLOOM)
+        container.write_bfvc(p, [b"\x1fweird"], container.MAGIC_BLOOM)
         with pytest.raises(ValueError, match="Unknown frame type"):
             comp.decompress_video(p)
 
