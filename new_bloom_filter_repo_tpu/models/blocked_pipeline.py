@@ -49,6 +49,11 @@ KEY_DENSITY = 0.45    # scene-cut fallback
 SUPER = bk.IPB * bk.BG  # geometry padding granularity
 RANS8_MIN = 4096      # byte-rANS trial floor: its 384-byte stored
                       # frequency table needs a few KB to amortize
+FILTER_GATE = 0.25    # try filtered-residual (type 14) trials only
+                      # when plain DEFLATE stores > this fraction of
+                      # the raw bytes (else LZ already won; measured:
+                      # half-pel residuals at 0.40 gain 19% filtered,
+                      # grain residuals at 0.21 never do)
 
 
 class _MeshDispatch:
@@ -1093,15 +1098,55 @@ class BlockedEncoder:
                     meta.append((j, tag, m, len(r)))
             outs = native.deflate_frames(raws, level=vlvl,
                                          threads=self.num_threads)
-            for (j, tag, m, rl), raw, z in zip(meta, raws, outs):
-                # type 8 (DEFLATE) vs type 13 (byte-rANS section):
-                # only the smaller wrapped record survives the group,
-                # so trial storage stays one record per frame.
+            # Spatially-filtered variants (type 14) where DEFLATE left
+            # headroom: fractional-motion prediction error is spatially
+            # correlated (bilinear interpolation low-passes the frame),
+            # so SUB/UP filtering cuts subpixel-pan residuals 10-15%.
+            # The gate skips trials DEFLATE already crushed (film grain
+            # LZ structure), bounding the extra host CPU to content
+            # where filtering can actually win.
+            filt_raws, filt_meta = [], []
+            if not byte_view:
+                for idx, ((j, tag, m, rl), z) in enumerate(
+                        zip(meta, outs)):
+                    if len(z) <= FILTER_GATE * rl:
+                        continue
+                    plane = np.frombuffer(raws[idx], np.uint8).reshape(
+                        np.asarray(frames[j]).shape)
+                    for fid in (1, 2):
+                        filt_raws.append(
+                            fc.spatial_filter(plane, fid).tobytes())
+                        filt_meta.append((idx, fid))
+            filt_outs = (native.deflate_frames(
+                filt_raws, level=vlvl, threads=self.num_threads)
+                if filt_raws else [])
+            best_filt: dict = {}
+            for (idx, fid), fraw, fz in zip(filt_meta, filt_raws,
+                                            filt_outs):
+                rl = meta[idx][3]
+                sec, cost = (1, fz, rl), len(fz)
+                r8 = (native.rans8_encode(fraw)
+                      if rl >= RANS8_MIN else None)
+                if r8 is not None and len(r8) < cost:
+                    sec, cost = (3, r8, rl), len(r8)
+                frec = fc.build_residual_f_record(fid, sec)
+                cur = best_filt.get(idx)
+                if cur is None or len(frec) < len(cur):
+                    best_filt[idx] = frec
+            for idx, ((j, tag, m, rl), raw, z) in enumerate(
+                    zip(meta, raws, outs)):
+                # type 8 (DEFLATE) vs type 13 (byte-rANS section) vs
+                # type 14 (filtered): only the smallest wrapped record
+                # survives the group, so trial storage stays one record
+                # per frame.
                 rec = fc.build_residual_record(rl, z)
                 r8 = (native.rans8_encode(raw)
                       if rl >= RANS8_MIN else None)
                 if r8 is not None and len(r8) + 10 < len(rec):
                     rec = fc.build_residual_s_record((3, r8, rl))
+                frec = best_filt.get(idx)
+                if frec is not None and len(frec) < len(rec):
+                    rec = frec
                 res_trials[j].append((tag, m, rec))
 
         if stage_times is not None:

@@ -803,7 +803,7 @@ class ImprovedVideoCompressor:
             if rtype not in (fc.INTERFRAME, fc.EMPTY, fc.BLOCKED,
                              fc.SPARSE, fc.BLOCKED_Z, fc.BLOCKED_S,
                              fc.MOTION, fc.RESIDUAL, fc.RESIDUAL_S,
-                             fc.MOTION_HP, fc.TILES):
+                             fc.RESIDUAL_F, fc.MOTION_HP, fc.TILES):
                 raise ValueError(f"Unknown frame type: {rtype}")
             if prev is None:
                 raise ValueError("inter-frame record before any keyframe")
@@ -822,7 +822,8 @@ class ImprovedVideoCompressor:
                         raise ValueError(
                             "tile-motion wrapper on byte-domain stream")
                     tlog, tshifts, off = fc.parse_motion_tiles(payload)
-                    residual = fc.parse_residual_any(payload, off)
+                    residual = fc.parse_residual_any(payload, off,
+                                                     prev.shape)
                     pred = fc.tile_predict(prev, tshifts, tlog)
                     frame = fc.apply_residual(pred, residual)
                     _advance(frame)
@@ -833,7 +834,9 @@ class ImprovedVideoCompressor:
                 halfpel = rtype == fc.MOTION_HP
                 if rtype in (fc.MOTION, fc.MOTION_HP):
                     dy, dx, off = fc.parse_motion(payload)
-                residual = fc.parse_residual_any(payload, off)
+                res_shape = (self._byte_view(prev).shape if byte_domain
+                             else prev.shape)
+                residual = fc.parse_residual_any(payload, off, res_shape)
                 if byte_domain:
                     # the encoder diffed/rolled the byte view, so the
                     # residual applies on the same representation (the

@@ -293,7 +293,10 @@ class TestResidualRecords:
                 _, _, off = fc.parse_motion(x)
                 t = x[off]
             types[t] += 1
-        assert types[fc.RESIDUAL] >= 5, dict(types)
+        # any residual flavor counts: plain DEFLATE (8), byte-rANS
+        # section (13), or spatially-filtered section (14)
+        n_res = sum(types[t] for t in fc.RESIDUAL_TYPES)
+        assert n_res >= 5, dict(types)
         key = ImprovedVideoCompressor(verbose=False, mode="keyframe")
         rk = key.compress_video(frames, str(tmp_path / "k.bfvc"))
         assert res["compressed_size"] < 0.6 * rk["compressed_size"]
@@ -731,4 +734,62 @@ class TestByteRans:
         p7 = str(tmp_path / "legacy.bfvc")
         container.write_bfvc(p7, legacy, container.MAGIC_BLOOM)
         dec = ImprovedVideoCompressor(verbose=False).decompress_video(p7)
+        assert verify_lossless(frames, dec)["lossless"]
+
+
+class TestFilteredResiduals:
+    """Type-14 records: the DPCM residual plane is SUB/UP-filtered
+    (spatial_filter) before the coded section — fractional-motion
+    prediction error keeps spatial correlation the temporal diff can't
+    remove."""
+
+    def test_record_unit_roundtrip(self):
+        import zlib
+        rng = np.random.default_rng(0)
+        prev = rng.integers(0, 255, (16, 24), np.uint8)
+        curr = (prev + rng.integers(-4, 5, prev.shape)).astype(np.uint8)
+        res = (curr.astype(np.int16) - prev.astype(np.int16)).astype(
+            np.uint8)
+        for fid in (1, 2):
+            fb = fc.spatial_filter(res, fid).tobytes()
+            rec = fc.build_residual_f_record(
+                fid, (1, zlib.compress(fb, 1), len(fb)))
+            assert rec[0] == fc.RESIDUAL_F and rec[1] == fid
+            back = fc.parse_residual_any(rec, 0, prev.shape)
+            got = fc.apply_residual(prev, back)
+            np.testing.assert_array_equal(got, curr)
+
+    def test_bad_filter_id_and_missing_shape_raise(self):
+        import zlib
+        rec = bytearray(fc.build_residual_f_record(
+            1, (1, zlib.compress(b"\x00" * 64, 1), 64)))
+        with pytest.raises(ValueError, match="filter id"):
+            fc.build_residual_f_record(5, (0, b"", 0))
+        rec[1] = 7
+        with pytest.raises(ValueError, match="filter id"):
+            fc.parse_residual_any(bytes(rec), 0, (8, 8))
+        rec[1] = 1
+        with pytest.raises(ValueError, match="shape"):
+            fc.parse_residual_any(bytes(rec), 0)
+        with pytest.raises(ValueError, match="length mismatch"):
+            fc.parse_residual_any(bytes(rec), 0, (9, 9))
+
+    def test_subpixel_pan_emits_type14_and_shrinks(self, tmp_path):
+        from new_bloom_filter_repo_tpu.utils.synthetic import (
+            generate_frames)
+        frames = [np.asarray(f) for f in generate_frames(
+            12, 176, 144, noise=1.0, noise_frac=0.01, pan=2.5,
+            pan_mode="subpixel", color_space="GRAY")]
+        comp = ImprovedVideoCompressor(verbose=False)
+        p = str(tmp_path / "sp14.bfvc")
+        res = comp.compress_video(frames, p, input_color_space="BGR")
+        _, payloads = container.read_bfvc(p)
+        inner = Counter()
+        for x in payloads:
+            t = x[0]
+            if t in (fc.MOTION, fc.MOTION_HP):
+                _, _, off = fc.parse_motion(x)
+                inner[x[off]] += 1
+        assert inner[fc.RESIDUAL_F] >= 3, dict(inner)
+        dec = comp.decompress_video(p)
         assert verify_lossless(frames, dec)["lossless"]
