@@ -515,6 +515,148 @@ int nbf_rans8_decode(const uint8_t* in, uint64_t inlen, uint8_t* out,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Order-1 context byte rANS (section coding 4)
+// ---------------------------------------------------------------------------
+//
+// The previous byte's residual MAGNITUDE (distance from 0 mod 256)
+// selects one of 8 conditional histograms: grain and prediction-error
+// streams are locally heteroscedastic — a large residual predicts a
+// large neighbor — so conditioning recovers 4-15% that the order-0
+// coder (above) cannot see.  8 tables of 384 bytes each = 3072-byte
+// header; quantization reuses the rans8 integer math per context and
+// is mirrored bit for bit in utils/native.py.
+
+static const int RANSC_NCTX = 8;
+static const uint32_t RANSC_TBL = RANSC_NCTX * RANS8_TBL;
+
+static inline int ransc_ctx(uint8_t b) {
+  int v = b;
+  int mag = v < 128 ? v : 256 - v;
+  if (mag == 0) return 0;
+  int bucket = 32 - __builtin_clz((unsigned)mag);
+  return bucket > 7 ? 7 : bucket;
+}
+
+static void ransc_pack_table(const uint16_t* freq, uint8_t* out) {
+  for (int k = 0; k < 128; ++k) {
+    uint16_t f0 = freq[2 * k], f1 = freq[2 * k + 1];
+    out[3 * k] = (uint8_t)(f0 & 0xFF);
+    out[3 * k + 1] = (uint8_t)((f0 >> 8) | ((f1 & 0xF) << 4));
+    out[3 * k + 2] = (uint8_t)(f1 >> 4);
+  }
+}
+
+// Encode `len` bytes as [8 x 384-byte tables][rANS stream]; returns
+// stored size, or 0 if it would not fit in `cap`.
+uint64_t nbf_ransc_encode(const uint8_t* in, uint64_t len, uint8_t* out,
+                          uint64_t cap) {
+  if (len == 0 || cap < RANSC_TBL + 4) return 0;
+  uint64_t hist[RANSC_NCTX][256];
+  memset(hist, 0, sizeof(hist));
+  uint64_t total[RANSC_NCTX];
+  memset(total, 0, sizeof(total));
+  for (uint64_t i = 0; i < len; ++i) {
+    int c = i ? ransc_ctx(in[i - 1]) : 0;
+    hist[c][in[i]]++;
+    total[c]++;
+  }
+  uint16_t freq[RANSC_NCTX][256], start[RANSC_NCTX][256];
+  for (int c = 0; c < RANSC_NCTX; ++c) {
+    if (total[c] == 0) {
+      memset(freq[c], 0, sizeof(freq[c]));
+      memset(start[c], 0, sizeof(start[c]));
+      memset(out + c * RANS8_TBL, 0, RANS8_TBL);
+      continue;
+    }
+    if (rans8_quantize(hist[c], total[c], freq[c])) return 0;
+    uint32_t cc = 0;
+    for (int s = 0; s < 256; ++s) {
+      start[c][s] = (uint16_t)cc;
+      cc += freq[c][s];
+    }
+    ransc_pack_table(freq[c], out + c * RANS8_TBL);
+  }
+  uint64_t pos = cap;
+  uint32_t x = RANS_L;
+  for (uint64_t i = len; i-- > 0;) {
+    int c = i ? ransc_ctx(in[i - 1]) : 0;
+    uint8_t s = in[i];
+    uint32_t fr = freq[c][s];
+    uint32_t x_max = ((RANS_L >> RANS_SCALE_BITS) << 8) * fr;
+    while (x >= x_max) {
+      if (pos == RANSC_TBL + 4) return 0;
+      out[--pos] = (uint8_t)(x & 0xFF);
+      x >>= 8;
+    }
+    x = ((x / fr) << RANS_SCALE_BITS) + (x % fr) + start[c][s];
+  }
+  if (pos < RANSC_TBL + 4) return 0;
+  pos -= 4;
+  out[pos] = (uint8_t)(x & 0xFF);
+  out[pos + 1] = (uint8_t)((x >> 8) & 0xFF);
+  out[pos + 2] = (uint8_t)((x >> 16) & 0xFF);
+  out[pos + 3] = (uint8_t)((x >> 24) & 0xFF);
+  uint64_t stream_len = cap - pos;
+  memmove(out + RANSC_TBL, out + pos, stream_len);
+  return RANSC_TBL + stream_len;
+}
+
+// Decode exactly raw_len bytes; 0 ok, nonzero = malformed stream.
+int nbf_ransc_decode(const uint8_t* in, uint64_t inlen, uint8_t* out,
+                     uint64_t raw_len) {
+  if (inlen < RANSC_TBL + 4) return 1;
+  uint16_t freq[RANSC_NCTX][256], start[RANSC_NCTX][256];
+  uint8_t used[RANSC_NCTX];
+  static thread_local uint8_t slot2sym[RANSC_NCTX][RANS_M];
+  for (int c = 0; c < RANSC_NCTX; ++c) {
+    const uint8_t* t = in + c * RANS8_TBL;
+    for (int k = 0; k < 128; ++k) {
+      freq[c][2 * k] = (uint16_t)(t[3 * k]
+                                  | ((uint16_t)(t[3 * k + 1] & 0xF) << 8));
+      freq[c][2 * k + 1] = (uint16_t)((t[3 * k + 1] >> 4)
+                                      | ((uint16_t)t[3 * k + 2] << 4));
+    }
+    uint32_t cc = 0;
+    for (int s = 0; s < 256; ++s) {
+      start[c][s] = (uint16_t)cc;
+      cc += freq[c][s];
+    }
+    if (cc == RANS_M) {
+      used[c] = 1;
+      cc = 0;
+      for (int s = 0; s < 256; ++s) {
+        for (uint32_t i = 0; i < freq[c][s]; ++i)
+          slot2sym[c][cc + i] = (uint8_t)s;
+        cc += freq[c][s];
+      }
+    } else if (cc == 0) {
+      used[c] = 0;  // context absent from the encoded stream
+    } else {
+      return 3;  // corrupt table: slots must cover M exactly or be empty
+    }
+  }
+  const uint8_t* str = in + RANSC_TBL;
+  uint64_t slen = inlen - RANSC_TBL;
+  uint64_t pos = 4;
+  uint32_t x = (uint32_t)str[0] | ((uint32_t)str[1] << 8)
+               | ((uint32_t)str[2] << 16) | ((uint32_t)str[3] << 24);
+  int c = 0;
+  for (uint64_t i = 0; i < raw_len; ++i) {
+    if (!used[c]) return 4;  // stream references an absent context
+    uint32_t slot = x & (RANS_M - 1);
+    uint8_t s = slot2sym[c][slot];
+    out[i] = s;
+    x = freq[c][s] * (x >> RANS_SCALE_BITS) + slot - start[c][s];
+    while (x < RANS_L) {
+      if (pos >= slen) return 2;
+      x = (x << 8) | str[pos++];
+    }
+    c = ransc_ctx(s);
+  }
+  return 0;
+}
+
 // Per-block popcount of the first wcnt[b] witness bits of each padded
 // row (rows x stride bytes) — the decode-side block change counts.
 void nbf_witness_popcounts(const uint8_t* wit, uint64_t rows,

@@ -49,6 +49,8 @@ KEY_DENSITY = 0.45    # scene-cut fallback
 SUPER = bk.IPB * bk.BG  # geometry padding granularity
 RANS8_MIN = 4096      # byte-rANS trial floor: its 384-byte stored
                       # frequency table needs a few KB to amortize
+RANSC_MIN = 16384     # order-1 context rANS floor: 8 conditional
+                      # tables = 3072 stored bytes to amortize
 FILTER_GATE = 0.25    # try filtered-residual (type 14) trials only
                       # when plain DEFLATE stores > this fraction of
                       # the raw bytes (else LZ already won; measured:
@@ -1086,6 +1088,25 @@ class BlockedEncoder:
         # residuals per frame for the whole chunk (~190-370 MB transient)
         # before one big batch; sub-batching keeps the threaded stage
         # while bounding the spike.
+        def _best_rans_sec(raw: bytes, rl: int):
+            """Smallest rANS section for ``raw`` or None: order-0 byte
+            histogram (coding 3) and, on streams large enough to
+            amortize the 8 conditional tables, order-1 context rANS
+            (coding 4 — the previous byte's magnitude bucket selects
+            the histogram, winning 4-15% on heteroscedastic grain and
+            prediction-error streams)."""
+            best = None
+            if rl >= RANS8_MIN:
+                r8 = native.rans8_encode(raw)
+                if r8 is not None:
+                    best = (3, r8, rl)
+            if rl >= RANSC_MIN:
+                rc = native.ransc_encode(raw)
+                if rc is not None and (best is None
+                                       or len(rc) < len(best[1])):
+                    best = (4, rc, rl)
+            return best
+
         res_frames = [j for j in range(f) if kinds[j] in ("key", "pass")]
         frame_bytes = max(1, int(np.asarray(frames[0]).nbytes))
         group_sz = max(1, (48 << 20) // (2 * frame_bytes))
@@ -1125,10 +1146,9 @@ class BlockedEncoder:
                                             filt_outs):
                 rl = meta[idx][3]
                 sec, cost = (1, fz, rl), len(fz)
-                r8 = (native.rans8_encode(fraw)
-                      if rl >= RANS8_MIN else None)
-                if r8 is not None and len(r8) < cost:
-                    sec, cost = (3, r8, rl), len(r8)
+                rsec = _best_rans_sec(fraw, rl)
+                if rsec is not None and len(rsec[1]) < cost:
+                    sec, cost = rsec, len(rsec[1])
                 frec = fc.build_residual_f_record(fid, sec)
                 cur = best_filt.get(idx)
                 if cur is None or len(frec) < len(cur):
@@ -1140,10 +1160,9 @@ class BlockedEncoder:
                 # survives the group, so trial storage stays one record
                 # per frame.
                 rec = fc.build_residual_record(rl, z)
-                r8 = (native.rans8_encode(raw)
-                      if rl >= RANS8_MIN else None)
-                if r8 is not None and len(r8) + 10 < len(rec):
-                    rec = fc.build_residual_s_record((3, r8, rl))
+                rsec = _best_rans_sec(raw, rl)
+                if rsec is not None and len(rsec[1]) + 10 < len(rec):
+                    rec = fc.build_residual_s_record(rsec)
                 frec = best_filt.get(idx)
                 if frec is not None and len(frec) < len(rec):
                     rec = frec
@@ -1184,6 +1203,11 @@ class BlockedEncoder:
                 if r8 is not None and len(r8) + 4 < best_cost:
                     best_cost = len(r8) + 4
                     best = (3, r8, len(raw))
+            if byte_rans and len(raw) >= RANSC_MIN:
+                rc = native.ransc_encode(raw)
+                if rc is not None and len(rc) + 4 < best_cost:
+                    best_cost = len(rc) + 4
+                    best = (4, rc, len(raw))
             return best
 
         # ---- record assembly ------------------------------------------

@@ -604,6 +604,11 @@ def _read_section(buf) -> np.ndarray:
         raw_len = _U32.unpack(buf.read(4))[0]
         raw = native.rans8_decode(buf.read(stored_len), raw_len)
         return np.frombuffer(raw, dtype=np.uint8)
+    if coding == 4:
+        from new_bloom_filter_repo_tpu.utils import native
+        raw_len = _U32.unpack(buf.read(4))[0]
+        raw = native.ransc_decode(buf.read(stored_len), raw_len)
+        return np.frombuffer(raw, dtype=np.uint8)
     raise ValueError(f"unknown section coding {coding}")
 
 

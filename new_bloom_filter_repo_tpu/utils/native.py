@@ -28,6 +28,7 @@ _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 _has_rans8 = False
+_has_ransc = False
 
 
 def _build() -> bool:
@@ -86,7 +87,7 @@ def load() -> Optional[ctypes.CDLL]:
         lib.nbf_rans_encode.argtypes = [p8, u64, i32, p8, u64]
         lib.nbf_rans_decode.restype = i32
         lib.nbf_rans_decode.argtypes = [p8, u64, i32, p8, u64]
-        global _has_rans8
+        global _has_rans8, _has_ransc
         try:  # absent from pre-round-3 builds of libnbf.so
             lib.nbf_rans8_encode.restype = u64
             lib.nbf_rans8_encode.argtypes = [p8, u64, p8, u64]
@@ -95,6 +96,14 @@ def load() -> Optional[ctypes.CDLL]:
             _has_rans8 = True
         except AttributeError:
             _has_rans8 = False
+        try:
+            lib.nbf_ransc_encode.restype = u64
+            lib.nbf_ransc_encode.argtypes = [p8, u64, p8, u64]
+            lib.nbf_ransc_decode.restype = i32
+            lib.nbf_ransc_decode.argtypes = [p8, u64, p8, u64]
+            _has_ransc = True
+        except AttributeError:
+            _has_ransc = False
         _lib = lib
         return _lib
 
@@ -526,6 +535,131 @@ def rans8_decode(data: bytes, raw_len: int) -> bytes:
                 raise ValueError("malformed rANS8 section (underrun)")
             x = (x << 8) | stream[pos]
             pos += 1
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Order-1 context byte rANS (section coding 4; see native/nbf.cpp)
+# ---------------------------------------------------------------------------
+
+_RANSC_NCTX = 8
+_RANSC_TBL = _RANSC_NCTX * _RANS8_TBL
+
+# ctx(prev byte) = log2 bucket of the residual magnitude min(v, 256-v):
+# 0, 1, 2-3, 4-7, 8-15, 16-31, 32-63, >=64 -> buckets 0..7
+_RANSC_CTX_LUT = np.zeros(256, np.uint8)
+for _v in range(256):
+    _mag = _v if _v < 128 else 256 - _v
+    _RANSC_CTX_LUT[_v] = 0 if _mag == 0 else min(7, _mag.bit_length())
+del _v, _mag
+
+
+def ransc_encode(data: bytes) -> Optional[bytes]:
+    """Order-1 context rANS encode: [8 x 384-byte tables][stream].
+    Returns None when coding would not fit under the input size plus
+    table overhead (caller keeps another coding)."""
+    if not data:
+        return None
+    cap = len(data) + _RANSC_TBL + 16
+    lib = load()
+    if lib is not None and _has_ransc:
+        arr = np.frombuffer(data, np.uint8)
+        out = np.empty(cap, np.uint8)
+        n = lib.nbf_ransc_encode(_as_u8p(arr), len(data), _as_u8p(out),
+                                 cap)
+        return out[:n].tobytes() if n else None
+    b = np.frombuffer(data, np.uint8)
+    ctx = np.empty(len(b), np.uint8)
+    ctx[0] = 0
+    ctx[1:] = _RANSC_CTX_LUT[b[:-1]]
+    freqs, starts, tables = [], [], []
+    for c in range(_RANSC_NCTX):
+        sel = b[ctx == c]
+        if sel.size == 0:
+            freqs.append(None)
+            starts.append(None)
+            tables.append(bytes(_RANS8_TBL))
+            continue
+        hist = np.bincount(sel, minlength=256)
+        fr = _rans8_quantize(hist, int(sel.size))
+        if fr is None:
+            return None
+        st, cc = [0] * 256, 0
+        for s in range(256):
+            st[s] = cc
+            cc += fr[s]
+        freqs.append(fr)
+        starts.append(st)
+        tables.append(_rans8_pack_table(fr))
+    buf = bytearray()
+    x = _RANS_L
+    for i in range(len(b) - 1, -1, -1):
+        c = int(ctx[i])
+        s = int(b[i])
+        fr = freqs[c][s]
+        x_max = ((_RANS_L >> _RANS_BITS) << 8) * fr
+        while x >= x_max:
+            buf.append(x & 0xFF)
+            x >>= 8
+        x = ((x // fr) << _RANS_BITS) + (x % fr) + starts[c][s]
+    head = bytes(((x >> (8 * i)) & 0xFF) for i in range(4))
+    out = b"".join(tables) + head + bytes(reversed(buf))
+    return out if len(out) <= cap else None
+
+
+def ransc_decode(data: bytes, raw_len: int) -> bytes:
+    lib = load()
+    if lib is not None and _has_ransc:
+        arr = (np.frombuffer(data, np.uint8) if data
+               else np.zeros(1, np.uint8))
+        out = np.empty(max(1, raw_len), np.uint8)
+        rc = lib.nbf_ransc_decode(_as_u8p(arr), len(data), _as_u8p(out),
+                                  raw_len)
+        if rc != 0:
+            raise ValueError(f"malformed rANSc section (rc={rc})")
+        return out[:raw_len].tobytes()
+    if len(data) < _RANSC_TBL + 4:
+        raise ValueError("malformed rANSc section (too short)")
+    freqs, starts, slots, used = [], [], [], []
+    for c in range(_RANSC_NCTX):
+        fr = _rans8_unpack_table(data[c * _RANS8_TBL:(c + 1) * _RANS8_TBL])
+        tot = sum(fr)
+        if tot == _RANS_M:
+            st, cc = [0] * 256, 0
+            s2s = np.empty(_RANS_M, np.uint8)
+            for s in range(256):
+                st[s] = cc
+                s2s[cc:cc + fr[s]] = s
+                cc += fr[s]
+            freqs.append(fr)
+            starts.append(st)
+            slots.append(s2s)
+            used.append(True)
+        elif tot == 0:
+            freqs.append(None)
+            starts.append(None)
+            slots.append(None)
+            used.append(False)
+        else:
+            raise ValueError("malformed rANSc section (corrupt table)")
+    stream = data[_RANSC_TBL:]
+    x = int.from_bytes(stream[:4], "little")
+    pos = 4
+    out = bytearray()
+    c = 0
+    for _ in range(raw_len):
+        if not used[c]:
+            raise ValueError("malformed rANSc section (absent context)")
+        slot = x & (_RANS_M - 1)
+        s = int(slots[c][slot])
+        out.append(s)
+        x = freqs[c][s] * (x >> _RANS_BITS) + slot - starts[c][s]
+        while x < _RANS_L:
+            if pos >= len(stream):
+                raise ValueError("malformed rANSc section (underrun)")
+            x = (x << 8) | stream[pos]
+            pos += 1
+        c = int(_RANSC_CTX_LUT[s])
     return bytes(out)
 
 

@@ -793,3 +793,97 @@ class TestFilteredResiduals:
         assert inner[fc.RESIDUAL_F] >= 3, dict(inner)
         dec = comp.decompress_video(p)
         assert verify_lossless(frames, dec)["lossless"]
+
+
+class TestContextRans:
+    """Section coding 4: order-1 context rANS (native/nbf.cpp
+    nbf_ransc_*) — the previous byte's magnitude bucket selects one of
+    8 conditional histograms, winning on heteroscedastic grain and
+    prediction-error streams."""
+
+    def _hetero_bytes(self, n_seg=50, seg=2000, seed=0):
+        rng = np.random.default_rng(seed)
+        segs = []
+        for i in range(n_seg):
+            sigma = 1.0 if i % 2 == 0 else 12.0
+            segs.append((rng.laplace(0, sigma, seg).astype(np.int64)
+                         % 256).astype(np.uint8))
+        return np.concatenate(segs).tobytes()
+
+    def test_ransc_roundtrip_and_beats_order0(self):
+        from new_bloom_filter_repo_tpu.utils import native
+        data = self._hetero_bytes()
+        enc = native.ransc_encode(data)
+        assert enc is not None
+        assert native.ransc_decode(enc, len(data)) == data
+        r8 = native.rans8_encode(data)
+        assert len(enc) < len(r8)
+
+    def test_ransc_native_python_bit_parity(self):
+        from new_bloom_filter_repo_tpu.utils import native
+        if native.load() is None or not native._has_ransc:
+            pytest.skip("native ransc unavailable")
+        for seed in (0, 1):
+            data = self._hetero_bytes(seed=seed)
+            enc_c = native.ransc_encode(data)
+            saved = native._has_ransc
+            native._has_ransc = False
+            try:
+                assert native.ransc_encode(data) == enc_c
+                assert native.ransc_decode(enc_c, len(data)) == data
+            finally:
+                native._has_ransc = saved
+
+    def test_ransc_malformed_raises_both_paths(self):
+        from new_bloom_filter_repo_tpu.utils import native
+        data = self._hetero_bytes(n_seg=10)
+        enc = bytearray(native.ransc_encode(data))
+        enc[0] ^= 0xFF  # corrupt table 0
+        for native_path in (True, False):
+            if native_path and (native.load() is None
+                                or not native._has_ransc):
+                continue
+            saved = native._has_ransc
+            native._has_ransc = native_path
+            try:
+                with pytest.raises(ValueError):
+                    native.ransc_decode(bytes(enc), len(data))
+                with pytest.raises(ValueError):
+                    native.ransc_decode(b"\x00" * 10, 5)
+            finally:
+                native._has_ransc = saved
+
+    def test_coding4_section_in_residual_record(self):
+        from new_bloom_filter_repo_tpu.utils import native
+        raw = self._hetero_bytes(n_seg=10)
+        enc = native.ransc_encode(raw)
+        rec = fc.build_residual_s_record((4, enc, len(raw)))
+        got = fc.parse_residual_any(rec, 0)
+        assert got.tobytes() == raw
+
+    def test_subpixel_pan_cif_picks_context_coding(self, tmp_path):
+        """At CIF scale the filtered subpixel-pan residuals choose the
+        order-1 coder (coding 4) and the stream stays bit-exact."""
+        from new_bloom_filter_repo_tpu.utils.synthetic import (
+            generate_frames)
+        frames = [np.asarray(f) for f in generate_frames(
+            8, 352, 288, noise=1.0, noise_frac=0.01, pan=2.5,
+            pan_mode="subpixel", color_space="GRAY")]
+        comp = ImprovedVideoCompressor(verbose=False)
+        p = str(tmp_path / "c4.bfvc")
+        comp.compress_video(frames, p, input_color_space="BGR")
+        _, payloads = container.read_bfvc(p)
+        codings = Counter()
+        for x in payloads:
+            t = x[0]
+            off = 0
+            if t in (fc.MOTION, fc.MOTION_HP):
+                _, _, off = fc.parse_motion(x)
+                t = x[off]
+            if t == fc.RESIDUAL_F:
+                codings[x[off + 2]] += 1
+            elif t == fc.RESIDUAL_S:
+                codings[x[off + 1]] += 1
+        assert codings[4] >= 1, dict(codings)
+        dec = comp.decompress_video(p)
+        assert verify_lossless(frames, dec)["lossless"]
