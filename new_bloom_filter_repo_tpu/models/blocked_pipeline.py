@@ -161,6 +161,26 @@ class _MeshDispatch:
                 check_vma=False))
         return self._progs[ck](prev, curr)[:f]
 
+    def phase_a_auto(self, stacked, stride: int, *, npad: int, nb: int):
+        """dp-sharded fused phase A (motion search + in-graph shift
+        decision + rolled diff — see :func:`_phase_a_auto_pair`); one
+        dispatch, one pull, zero collectives."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        prev, curr, f = self._pairs(stacked)
+        ck = ("phauto", stacked.shape[1:], stride, npad, nb)
+        if ck not in self._progs:
+            body = partial(_phase_a_auto_pair, stride=stride,
+                           npad=npad, nb=nb)
+            self._progs[ck] = jax.jit(jax.shard_map(
+                body, mesh=self.mesh,
+                in_specs=(P("dp"), P("dp")),
+                out_specs=(P("dp"),) * 5,
+                check_vma=False))
+        masks, counts, vals, shifts, best = self._progs[ck](prev, curr)
+        return masks[:f], counts[:f], vals[:f], shifts[:f], best[:f]
+
     def phase_a_motion(self, stacked, shifts, *, npad: int, nb: int):
         """dp-sharded motion diff stage (rows independent — zero
         collectives, like :meth:`phase_a`)."""
@@ -341,6 +361,7 @@ def _phase_a_pair(prev, curr, *, npad: int, nb: int):
 MOTION_RADIUS = 7      # search window: shifts in [-R, R]^2
 MOTION_STRIDE = 4      # subsampled count grid (n/16 samples)
 MOTION_ACCEPT = 0.7    # accept best shift iff count <= 0.7 * count(0,0)
+MOTION_ACCEPT_10 = 7   # ... as exact integer math: cb * 10 <= c0 * 7
 MOTION_MIN_C0 = 64     # ... and the zero-shift count is worth beating
 
 
@@ -413,18 +434,57 @@ def choose_shifts(counts: np.ndarray) -> np.ndarray:
     zero shift wins unless the best candidate beats it by the
     MOTION_ACCEPT margin (a conservative gate — a wrong pick only costs
     ratio, never losslessness, but zero shifts keep static content's
-    streams byte-identical to motion-off encodes)."""
+    streams byte-identical to motion-off encodes).  The gate is exact
+    integer math (cb * 10 <= c0 * 7) so the in-graph decision in
+    :func:`_phase_a_auto_pair` is bit-identical on every backend."""
     f = counts.shape[0]
     side = 2 * MOTION_RADIUS + 1
     zero_idx = MOTION_RADIUS * side + MOTION_RADIUS
     shifts = np.zeros((f, 2), np.int32)
     best = np.argmin(counts, axis=1)
-    c0 = counts[:, zero_idx]
-    cb = counts[np.arange(f), best]
-    take = (c0 >= MOTION_MIN_C0) & (cb <= MOTION_ACCEPT * c0)
+    c0 = counts[:, zero_idx].astype(np.int64)
+    cb = counts[np.arange(f), best].astype(np.int64)
+    take = (c0 >= MOTION_MIN_C0) & (cb * 10 <= c0 * MOTION_ACCEPT_10)
     shifts[take, 0] = best[take] // side - MOTION_RADIUS
     shifts[take, 1] = best[take] % side - MOTION_RADIUS
     return shifts
+
+
+def _phase_a_auto_pair(prev, curr, *, stride: int, npad: int, nb: int):
+    """ONE-dispatch phase A: motion search, shift decision, and the
+    motion-rolled diff fused into a single program so a chunk costs a
+    single device round trip (the separate count pull added a full
+    host<->device RTT per chunk — dominant on high-latency links).
+
+    The in-graph shift gate replicates :func:`choose_shifts` exactly
+    (first-argmin, integer margin math), so fused and two-step encodes
+    emit byte-identical streams.  Every row is independent — zero
+    collectives, shardable over dp like the other pair bodies.
+
+    Returns (masks, counts, vals, shifts, best_shifts)."""
+    counts225 = _motion_counts_pair(prev, curr, stride=stride)
+    side = 2 * MOTION_RADIUS + 1
+    zero_idx = MOTION_RADIUS * side + MOTION_RADIUS
+    best = jnp.argmin(counts225, axis=1)
+    # int32 margin products: counts are subsampled-grid mismatch counts
+    # (< n/stride^2), so cb * 10 stays far below 2^31 at any geometry
+    c0 = counts225[:, zero_idx]
+    cb = jnp.take_along_axis(counts225, best[:, None], axis=1)[:, 0]
+    take = (c0 >= MOTION_MIN_C0) & (cb * 10 <= c0 * MOTION_ACCEPT_10)
+    by = (best // side - MOTION_RADIUS).astype(jnp.int32)
+    bx = (best % side - MOTION_RADIUS).astype(jnp.int32)
+    best_shifts = jnp.stack([by, bx], axis=-1)
+    shifts = jnp.where(take[:, None], best_shifts, 0)
+    masks, counts, vals = _phase_a_motion_pair(prev, curr, shifts,
+                                               npad=npad, nb=nb)
+    return masks, counts, vals, shifts, best_shifts
+
+
+@partial(jax.jit, static_argnames=("stride", "npad", "nb"))
+def _phase_a_auto(stacked, *, stride: int, npad: int, nb: int):
+    """:func:`_phase_a_auto_pair` over a stacked (F+1, h, w[, c]) chunk."""
+    return _phase_a_auto_pair(stacked[:-1], stacked[1:], stride=stride,
+                              npad=npad, nb=nb)
 
 
 TILE_LOG = 5       # 32-px tiles for the per-tile residual trial
@@ -811,48 +871,43 @@ class BlockedEncoder:
         if stacked is None:
             stacked = self.stack_chunk(base, frames)
 
-        # Global-motion search: tiny (F, 225) counts come back from the
-        # device, the shift decision is host-side and deterministic.
+        # Phase A. With motion enabled the search, the shift decision,
+        # and the rolled diff run as ONE fused device program
+        # (_phase_a_auto) and the tiny outputs come back in ONE pull —
+        # the previous two-step flow (pull counts, decide on host,
+        # dispatch the diff) cost an extra host<->device round trip per
+        # chunk, which dominates on high-latency links.  The in-graph
+        # decision is integer-exact, so the streams stay byte-identical
+        # to the host-decided ones.
         shifts = np.zeros((f, 2), np.int32)
         best_shifts = np.zeros((f, 2), np.int32)
         stride = motion_stride(h, w)
         tlog = tile_log(h, w)
-        if (self.motion and h >= 4 * MOTION_RADIUS
-                and w >= 4 * MOTION_RADIUS):
-            counts225 = np.asarray(jax.device_get(
-                self.dispatch.motion_counts(stacked, stride)
-                if self.dispatch is not None
-                else _motion_counts(stacked, stride=stride)))
-            shifts = choose_shifts(counts225)
-            # unconditional per-frame argmin: margin-rejected for the
-            # mask path, but a DPCM residual against the rolled prev can
-            # still win on subpixel motion — tried as a second residual
-            # candidate for dense frames
-            side = 2 * MOTION_RADIUS + 1
-            best = np.argmin(counts225, axis=1)
-            best_shifts[:, 0] = best // side - MOTION_RADIUS
-            best_shifts[:, 1] = best % side - MOTION_RADIUS
-        any_motion = bool(shifts.any())
-
         # device stages run on the kernel geometry (nbk >= nb, see
         # nbk_of); every host byte below is sliced back to nb first.
-        if any_motion:
-            shifts_d = jnp.asarray(shifts)
+        if (self.motion and h >= 4 * MOTION_RADIUS
+                and w >= 4 * MOTION_RADIUS):
             if self.dispatch is not None:
-                masks, counts_d, vals = self.dispatch.phase_a_motion(
-                    stacked, shifts_d, npad=npadk, nb=nbk)
+                masks, counts_d, vals, shifts_d, best_d = \
+                    self.dispatch.phase_a_auto(stacked, stride,
+                                               npad=npadk, nb=nbk)
             else:
-                masks, counts_d, vals = _phase_a_motion(
-                    stacked, shifts_d, npad=npadk, nb=nbk)
-        elif self.dispatch is not None:
-            masks, counts_d, vals = self.dispatch.phase_a(
-                stacked, npad=npadk, nb=nbk)
+                masks, counts_d, vals, shifts_d, best_d = _phase_a_auto(
+                    stacked, stride=stride, npad=npadk, nb=nbk)
+            # ONE pull: per-block counts + both shift arrays together;
+            # packed masks stay lazy (pass-through/sparse records only)
+            counts, shifts, best_shifts = (
+                np.asarray(a) for a in jax.device_get(
+                    (counts_d, shifts_d, best_d)))
         else:
-            masks, counts_d, vals = _phase_a(stacked, npad=npadk, nb=nbk)
-        # Pull only the tiny counts; packed masks are computed and
-        # fetched lazily per frame (pass-through/sparse records only) —
-        # the device->host link, not compute, bounds this pipeline.
-        counts = jax.device_get(counts_d)
+            if self.dispatch is not None:
+                masks, counts_d, vals = self.dispatch.phase_a(
+                    stacked, npad=npadk, nb=nbk)
+            else:
+                masks, counts_d, vals = _phase_a(stacked, npad=npadk,
+                                                 nb=nbk)
+            counts = jax.device_get(counts_d)
+        any_motion = bool(shifts.any())
         if stage_times is not None:
             stage_times["enc_device_phase_a"] = (
                 stage_times.get("enc_device_phase_a", 0.0)
@@ -1088,23 +1143,32 @@ class BlockedEncoder:
         # residuals per frame for the whole chunk (~190-370 MB transient)
         # before one big batch; sub-batching keeps the threaded stage
         # while bounding the spike.
-        def _best_rans_sec(raw: bytes, rl: int):
-            """Smallest rANS section for ``raw`` or None: order-0 byte
-            histogram (coding 3) and, on streams large enough to
-            amortize the 8 conditional tables, order-1 context rANS
-            (coding 4 — the previous byte's magnitude bucket selects
-            the histogram, winning 4-15% on heteroscedastic grain and
-            prediction-error streams)."""
+        def _best_rans_sec(raw: bytes, rl: int, cap: int):
+            """Smallest rANS section for ``raw`` that beats ``cap``
+            bytes, or None: order-0 byte histogram (coding 3) and, on
+            streams large enough to amortize the 8 conditional tables,
+            order-1 context rANS (coding 4 — the previous byte's
+            magnitude bucket selects the histogram, winning 4-15% on
+            heteroscedastic grain and prediction-error streams).
+
+            Entropy pre-gates: H0 lower-bounds the order-0 size and
+            the sampled H1 estimates the context coder, so streams a
+            coder cannot shrink below ``cap`` skip it entirely — at
+            1080p a wasted rANS pass costs 10-60 ms/frame."""
             best = None
             if rl >= RANS8_MIN:
-                r8 = native.rans8_encode(raw)
-                if r8 is not None:
-                    best = (3, r8, rl)
-            if rl >= RANSC_MIN:
-                rc = native.ransc_encode(raw)
-                if rc is not None and (best is None
-                                       or len(rc) < len(best[1])):
-                    best = (4, rc, rl)
+                h0 = native.entropy_bits(raw)
+                if h0 * rl / 8.0 + 388 < cap:
+                    r8 = native.rans8_encode(raw)
+                    if r8 is not None and len(r8) < cap:
+                        best = (3, r8, rl)
+                        cap = len(r8)
+                if rl >= RANSC_MIN:
+                    h1 = native.cond_entropy_bits(raw)
+                    if h1 * rl / 8.0 + 3080 < cap * 1.02:
+                        rc = native.ransc_encode(raw)
+                        if rc is not None and len(rc) < cap:
+                            best = (4, rc, rl)
             return best
 
         res_frames = [j for j in range(f) if kinds[j] in ("key", "pass")]
@@ -1146,7 +1210,7 @@ class BlockedEncoder:
                                             filt_outs):
                 rl = meta[idx][3]
                 sec, cost = (1, fz, rl), len(fz)
-                rsec = _best_rans_sec(fraw, rl)
+                rsec = _best_rans_sec(fraw, rl, cost)
                 if rsec is not None and len(rsec[1]) < cost:
                     sec, cost = rsec, len(rsec[1])
                 frec = fc.build_residual_f_record(fid, sec)
@@ -1160,7 +1224,7 @@ class BlockedEncoder:
                 # survives the group, so trial storage stays one record
                 # per frame.
                 rec = fc.build_residual_record(rl, z)
-                rsec = _best_rans_sec(raw, rl)
+                rsec = _best_rans_sec(raw, rl, len(rec) - 10)
                 if rsec is not None and len(rsec[1]) + 10 < len(rec):
                     rec = fc.build_residual_s_record(rsec)
                 frec = best_filt.get(idx)
@@ -1199,15 +1263,23 @@ class BlockedEncoder:
                     best_cost = len(r) + 5
                     best = (2, r, len(raw), prob)
             if byte_rans and len(raw) >= RANS8_MIN:
-                r8 = native.rans8_encode(raw)
-                if r8 is not None and len(r8) + 4 < best_cost:
-                    best_cost = len(r8) + 4
-                    best = (3, r8, len(raw))
-            if byte_rans and len(raw) >= RANSC_MIN:
-                rc = native.ransc_encode(raw)
-                if rc is not None and len(rc) + 4 < best_cost:
-                    best_cost = len(rc) + 4
-                    best = (4, rc, len(raw))
+                # entropy pre-gates (see _best_rans_sec): skip coders
+                # the stream's H0/H1 already rules out — value streams
+                # are often near-uniform changed-pixel bytes where a
+                # wasted rANS pass costs milliseconds per frame.
+                h0 = native.entropy_bits(raw)
+                if h0 * len(raw) / 8.0 + 392 < best_cost:
+                    r8 = native.rans8_encode(raw)
+                    if r8 is not None and len(r8) + 4 < best_cost:
+                        best_cost = len(r8) + 4
+                        best = (3, r8, len(raw))
+                if len(raw) >= RANSC_MIN:
+                    h1 = native.cond_entropy_bits(raw)
+                    if h1 * len(raw) / 8.0 + 3084 < best_cost * 1.02:
+                        rc = native.ransc_encode(raw)
+                        if rc is not None and len(rc) + 4 < best_cost:
+                            best_cost = len(rc) + 4
+                            best = (4, rc, len(raw))
             return best
 
         # ---- record assembly ------------------------------------------

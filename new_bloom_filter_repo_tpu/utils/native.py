@@ -554,6 +554,37 @@ for _v in range(256):
 del _v, _mag
 
 
+def entropy_bits(data: bytes) -> float:
+    """Order-0 entropy of ``data`` in bits/byte — a true lower bound
+    (up to table quantization) on what :func:`rans8_encode` can store,
+    so callers can skip the coder when it cannot win."""
+    b = np.frombuffer(data, np.uint8)
+    c = np.bincount(b, minlength=256)
+    p = c[c > 0] / b.size
+    return float(-(p * np.log2(p)).sum())
+
+
+def cond_entropy_bits(data: bytes, stride: int = 4) -> float:
+    """Sampled order-1 conditional entropy (bits/byte) under the
+    :func:`ransc_encode` context model — an estimate of what the
+    context coder can reach, for trial gating.  Samples every
+    ``stride``-th (prev, next) byte pair."""
+    b = np.frombuffer(data, np.uint8)
+    if b.size < 2:
+        return 8.0
+    idx = np.arange(1, b.size, stride)
+    ctx = _RANSC_CTX_LUT[b[idx - 1]]
+    nxt = b[idx]
+    tot = 0.0
+    for c in range(_RANSC_NCTX):
+        sel = nxt[ctx == c]
+        if sel.size:
+            cc = np.bincount(sel, minlength=256)
+            p = cc[cc > 0] / sel.size
+            tot += sel.size * float(-(p * np.log2(p)).sum())
+    return tot / idx.size
+
+
 def ransc_encode(data: bytes) -> Optional[bytes]:
     """Order-1 context rANS encode: [8 x 384-byte tables][stream].
     Returns None when coding would not fit under the input size plus
