@@ -783,8 +783,11 @@ class ImprovedVideoCompressor:
         i = 0
         while i < len(payloads):
             rtype = fc.record_type(payloads[i])
-            if rtype in (fc.KEYFRAME, fc.FILTERED):
-                if rtype == fc.FILTERED:
+            if rtype in (fc.KEYFRAME, fc.FILTERED, fc.KEYFRAME_S):
+                if rtype == fc.KEYFRAME_S:
+                    frame, info = fc.decode_keyframe_s(payloads[i],
+                                                       offset=1)
+                elif rtype == fc.FILTERED:
                     fid = payloads[i][1]
                     if fid not in (1, 2):
                         raise ValueError(

@@ -527,11 +527,21 @@ class TestFilteredKeyframes:
         assert np.array_equal(i2["u_plane"], up)
         assert np.array_equal(i2["v_plane"], vp)
 
-    def test_noise_falls_back_to_plain_keyframe(self):
+    def test_noise_falls_back_to_unfiltered_keyframe(self):
+        """Incompressible noise must not pick a spatial filter; since
+        type 15 it stores as a sectioned keyframe whose section is RAW
+        (coding 0) — smaller than DEFLATE-wrapping incompressible
+        bytes — with filter_id 0."""
         rng = np.random.default_rng(8)
         noise = rng.integers(0, 256, (64, 64, 3), np.uint8)
         best = fc.encode_keyframe_best(noise, None)
-        assert best[0] == fc.KEYFRAME
+        assert best[0] in (fc.KEYFRAME, fc.KEYFRAME_S)
+        if best[0] == fc.KEYFRAME_S:
+            assert best[1] == 0  # no spatial filter on pure noise
+            out, info = fc.decode_keyframe_s(best, 1)
+            assert np.array_equal(out, noise) and info is None
+            plain = fc.encode_keyframe(noise, None, typed=True)
+            assert len(best) < len(plain)
 
     def test_scene_cut_clip_emits_type11_and_lossless(self, tmp_path):
         rng = np.random.default_rng(9)
@@ -885,5 +895,87 @@ class TestContextRans:
             elif t == fc.RESIDUAL_S:
                 codings[x[off + 1]] += 1
         assert codings[4] >= 1, dict(codings)
+        dec = comp.decompress_video(p)
+        assert verify_lossless(frames, dec)["lossless"]
+
+
+class TestSectionedKeyframes:
+    """Type-15 records: typed-keyframe streams as coded sections so
+    byte/context rANS can beat DEFLATE on grain-dominated keyframes."""
+
+    def _grain_img(self, h=96, w=128, seed=0):
+        rng = np.random.default_rng(seed)
+        y, x = np.mgrid[0:h, 0:w]
+        return ((np.sin(y / 9.0) * 50 + np.cos(x / 11.0) * 50 + 128)
+                + rng.laplace(0, 4, (h, w))).clip(0, 255).astype(np.uint8)
+
+    def test_best_picks_type15_on_grain_and_roundtrips(self):
+        img = self._grain_img()
+        best = fc.encode_keyframe_best(img, None)
+        plain = fc.encode_keyframe(img, None, typed=True)
+        assert best[0] == fc.KEYFRAME_S
+        assert len(best) < len(plain)
+        out, info = fc.decode_keyframe_s(best, 1)
+        assert np.array_equal(out, img) and info is None
+
+    def test_all_flags_and_filters_roundtrip(self):
+        img = self._grain_img()
+        imgc = np.stack([img, img // 2 + 10, img // 3 + 40], -1)
+        for fid in (0, 1, 2):
+            rec = fc.encode_keyframe_s(img, None, filter_id=fid)
+            out, info = fc.decode_keyframe_s(rec, 1)
+            assert np.array_equal(out, img) and info is None
+        # flag 2: planes are the channels
+        info2 = {"format": "YUV444", "y_plane": imgc[:, :, 0],
+                 "u_plane": imgc[:, :, 1], "v_plane": imgc[:, :, 2]}
+        rec = fc.encode_keyframe_s(imgc, info2, filter_id=0)
+        out, i3 = fc.decode_keyframe_s(rec, 1)
+        assert np.array_equal(out, imgc)
+        assert np.array_equal(i3["u_plane"], imgc[:, :, 1])
+        # flag 3: frame derivable from native planes
+        up, vp = img[::2, ::2], (img // 2)[::2, ::2]
+        f444 = np.stack([img,
+                         np.repeat(np.repeat(up, 2, 0), 2, 1),
+                         np.repeat(np.repeat(vp, 2, 0), 2, 1)], -1)
+        i420 = {"format": "I420", "y_plane": img, "u_plane": up,
+                "v_plane": vp}
+        rec = fc.encode_keyframe_s(f444, i420, filter_id=1)
+        out, i4 = fc.decode_keyframe_s(rec, 1)
+        assert np.array_equal(out, f444)
+        assert np.array_equal(i4["u_plane"], up)
+
+    def test_non_uint8_returns_none(self):
+        assert fc.encode_keyframe_s(np.zeros((8, 8), np.uint16)) is None
+
+    def test_malformed_raises(self):
+        img = self._grain_img(48, 64)
+        rec = bytearray(fc.encode_keyframe_s(img, None, filter_id=1))
+        rec[1] = 7
+        with pytest.raises(ValueError, match="filter id"):
+            fc.decode_keyframe_s(bytes(rec), 1)
+        rec[1] = 1
+        rec[2] = 9
+        with pytest.raises(ValueError, match="plane flag"):
+            fc.decode_keyframe_s(bytes(rec), 1)
+
+    def test_grain_clip_emits_type15_and_lossless(self, tmp_path):
+        """Scene cuts between grain-heavy scenes force keyframe
+        fallback; the sectioned variant must win there and the stream
+        stays bit-exact."""
+        rng = np.random.default_rng(3)
+        frames = []
+        for t in range(8):
+            scene = t // 2
+            y, x = np.mgrid[0:96, 0:128]
+            base = ((np.sin(y / 9.0 + scene * 2) * 50
+                     + np.cos(x / 11.0 + scene) * 50 + 128)
+                    + rng.laplace(0, 4, (96, 128)))
+            frames.append(base.clip(0, 255).astype(np.uint8))
+        comp = ImprovedVideoCompressor(verbose=False)
+        p = str(tmp_path / "k15.bfvc")
+        comp.compress_video(frames, p, input_color_space="BGR")
+        _, payloads = container.read_bfvc(p)
+        types = Counter(x[0] for x in payloads)
+        assert types[fc.KEYFRAME_S] >= 1, dict(types)
         dec = comp.decompress_video(p)
         assert verify_lossless(frames, dec)["lossless"]
