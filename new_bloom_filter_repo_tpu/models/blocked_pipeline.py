@@ -420,10 +420,12 @@ def motion_stride(h: int, w: int) -> int:
 
 
 def tile_log(h: int, w: int) -> int:
-    """Tile side (log2) for the per-tile trial: 32-px tiles below 1MP,
-    64-px above — both keep 8x8 count samples per tile at the matching
-    :func:`motion_stride`, and the bigger tiles keep the 1080p/4K map
-    overhead (and search memory) small."""
+    """Tile side (log2) for the per-tile trial: 16-px tiles below 1MP
+    (finer maps track radial zoom/rotation fields — 4% smaller zoom
+    streams than 32-px, and the map bytes are DEFLATE'd so coherent
+    regions stay cheap), 64-px above — the bigger tiles keep the
+    1080p/4K map overhead (and search memory) small at 8x8 count
+    samples per tile with :func:`motion_stride` = 8."""
     return 6 if h * w >= (1 << 20) else TILE_LOG
 
 
@@ -487,7 +489,7 @@ def _phase_a_auto(stacked, *, stride: int, npad: int, nb: int):
                               npad=npad, nb=nb)
 
 
-TILE_LOG = 5       # 32-px tiles for the per-tile residual trial
+TILE_LOG = 4       # 16-px tiles for the per-tile residual trial (<1MP)
 TILE_ACCEPT = 0.8  # accept a tile's best shift iff count <= 0.8 * c0
 TILE_MIN_C0 = 4    # ... and the tile's zero-shift count is worth beating
 
