@@ -1518,6 +1518,14 @@ class BlockedDecoder:
                 rec = fc.parse_blocked_z(payload, off + 1)
             elif rtype == fc.BLOCKED_S:
                 rec = fc.parse_blocked_s(payload, off + 1)
+            elif rtype in fc.RESIDUAL_TYPES:
+                # DPCM residuals reconstruct on host against the
+                # running frame (models/video.py splits device runs
+                # around them) — reaching here means a caller fed
+                # decode_run a record family it cannot chain
+                raise ValueError(
+                    "residual record routed to blocked decoder "
+                    "(host-applied type; split the run around it)")
             else:
                 rec = fc.parse_interframe(payload, off + 1)
             if rec["n"] != n:

@@ -319,13 +319,56 @@ def test_kernel_geometry_padding_stream_parity(monkeypatch):
         frames.append(nxt)
         cur = nxt
 
+    def decode_all(payloads):
+        """Mirror models/video.py's routing: device runs go through
+        decode_run, DPCM residual records (which the encoder may now
+        prefer for dense-change frames) apply on host against the
+        running reconstruction."""
+        import new_bloom_filter_repo_tpu.models.frame_codec as fc
+        out, run = [], []
+        prev = base
+
+        def flush():
+            nonlocal prev
+            if run:
+                decoded = bp.BlockedDecoder().decode_run(prev, list(run))
+                out.extend(decoded)
+                prev = decoded[-1]
+                run.clear()
+
+        for p in payloads:
+            t = p[0]
+            off = 0
+            tsh = tlog_w = None
+            if t in (fc.MOTION, fc.MOTION_HP):
+                dy, dx, off = fc.parse_motion(p)
+            elif t == fc.TILES:
+                tlog_w, tsh, off = fc.parse_motion_tiles(p)
+            if p[off] in fc.RESIDUAL_TYPES:
+                flush()
+                res = fc.parse_residual_any(p, off, prev.shape)
+                if t == fc.TILES:
+                    frame = fc.apply_residual(
+                        fc.tile_predict(prev, tsh, tlog_w), res)
+                elif t in (fc.MOTION, fc.MOTION_HP):
+                    frame = fc.apply_residual(prev, res, dy, dx,
+                                              halfpel=t == fc.MOTION_HP)
+                else:
+                    frame = fc.apply_residual(prev, res)
+                out.append(frame)
+                prev = frame
+            else:
+                run.append(p)
+        flush()
+        return out
+
     def run():
         bp.blocked_tables.cache_clear()
         enc = bp.BlockedEncoder()
         payloads: list = []
         enc.encode_chunk(base, frames, payloads,
                          keyframe_fn=lambda j: b"")
-        out = bp.BlockedDecoder().decode_run(base, payloads)
+        out = decode_all(payloads)
         return payloads, out
 
     tab = bp.blocked_tables(h * w)
