@@ -657,6 +657,35 @@ int nbf_ransc_decode(const uint8_t* in, uint64_t inlen, uint8_t* out,
   return 0;
 }
 
+// Threaded rANS trials over independent buffers: coder[i] selects the
+// coding per buffer (3 = byte-histogram rANS, 4 = order-1 context
+// rANS); out_len[i] = 0 means the coder declined (would not fit under
+// out_cap[i]).  Same pool shape as nbf_deflate_frames so the host
+// entropy stage threads across frames on multi-core hosts.
+void nbf_rans_trials(int count, const uint8_t** in, const uint64_t* in_len,
+                     uint8_t** out, const uint64_t* out_cap,
+                     uint64_t* out_len, const uint8_t* coder, int threads) {
+  auto work = [&](int i) {
+    if (coder[i] == 3)
+      out_len[i] = nbf_rans8_encode(in[i], in_len[i], out[i], out_cap[i]);
+    else if (coder[i] == 4)
+      out_len[i] = nbf_ransc_encode(in[i], in_len[i], out[i], out_cap[i]);
+    else
+      out_len[i] = 0;
+  };
+  if (threads <= 1 || count == 1) {
+    for (int i = 0; i < count; ++i) work(i);
+  } else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < threads && t < count; ++t) {
+      ts.emplace_back([&, t]() {
+        for (int i = t; i < count; i += threads) work(i);
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+}
+
 // Per-block popcount of the first wcnt[b] witness bits of each padded
 // row (rows x stride bytes) — the decode-side block change counts.
 void nbf_witness_popcounts(const uint8_t* wit, uint64_t rows,

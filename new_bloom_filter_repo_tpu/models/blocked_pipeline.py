@@ -1145,32 +1145,42 @@ class BlockedEncoder:
         # residuals per frame for the whole chunk (~190-370 MB transient)
         # before one big batch; sub-batching keeps the threaded stage
         # while bounding the spike.
-        def _best_rans_sec(raw: bytes, rl: int, cap: int):
-            """Smallest rANS section for ``raw`` that beats ``cap``
-            bytes, or None: order-0 byte histogram (coding 3) and, on
-            streams large enough to amortize the 8 conditional tables,
-            order-1 context rANS (coding 4 — the previous byte's
-            magnitude bucket selects the histogram, winning 4-15% on
-            heteroscedastic grain and prediction-error streams).
+        def _enqueue_rans(tasks: list, tmeta: list, key, raw: bytes,
+                          rl: int, cap: int) -> None:
+            """Entropy-gated trial enqueue: order-0 byte histogram
+            (coding 3) and, on streams large enough to amortize the 8
+            conditional tables, order-1 context rANS (coding 4 — the
+            previous byte's magnitude bucket selects the histogram,
+            winning 4-15% on heteroscedastic grain and prediction-error
+            streams).  H0 lower-bounds the order-0 size and the sampled
+            H1 estimates the context coder, so streams a coder cannot
+            shrink below ``cap`` never reach the pool — at 1080p a
+            wasted rANS pass costs 10-60 ms/frame.  Enqueued tasks run
+            in ONE native threaded call (native.rans_trials), so the
+            trial family scales across host cores like the DEFLATE
+            stage."""
+            if rl < RANS8_MIN:
+                return
+            h0 = native.entropy_bits(raw)
+            if h0 * rl / 8.0 + 388 < cap:
+                tasks.append(raw)
+                tmeta.append((key, 3))
+            if rl >= RANSC_MIN:
+                h1 = native.cond_entropy_bits(raw)
+                if h1 * rl / 8.0 + 3080 < cap * 1.02:
+                    tasks.append(raw)
+                    tmeta.append((key, 4))
 
-            Entropy pre-gates: H0 lower-bounds the order-0 size and
-            the sampled H1 estimates the context coder, so streams a
-            coder cannot shrink below ``cap`` skip it entirely — at
-            1080p a wasted rANS pass costs 10-60 ms/frame."""
+        def _pick_rans(cands, rl: int, cap: int):
+            """Smallest pooled trial result under ``cap``, as a
+            (coding, bytes, raw_len) section, or None.  Candidates
+            arrive coding-3-first, so ties go to the cheaper-to-decode
+            byte-histogram coder."""
             best = None
-            if rl >= RANS8_MIN:
-                h0 = native.entropy_bits(raw)
-                if h0 * rl / 8.0 + 388 < cap:
-                    r8 = native.rans8_encode(raw)
-                    if r8 is not None and len(r8) < cap:
-                        best = (3, r8, rl)
-                        cap = len(r8)
-                if rl >= RANSC_MIN:
-                    h1 = native.cond_entropy_bits(raw)
-                    if h1 * rl / 8.0 + 3080 < cap * 1.02:
-                        rc = native.ransc_encode(raw)
-                        if rc is not None and len(rc) < cap:
-                            best = (4, rc, rl)
+            for c, r in cands or []:
+                if len(r) < cap:
+                    best = (c, r, rl)
+                    cap = len(r)
             return best
 
         res_frames = [j for j in range(f) if kinds[j] in ("key", "pass")]
@@ -1207,26 +1217,48 @@ class BlockedEncoder:
             filt_outs = (native.deflate_frames(
                 filt_raws, level=vlvl, threads=self.num_threads)
                 if filt_raws else [])
-            best_filt: dict = {}
+            # One pooled native call runs every entropy-gated rANS
+            # trial of the group across host threads (filtered and
+            # unfiltered residuals alike), instead of serial
+            # per-stream encodes on the Python thread.
+            rtasks: list = []
+            rmeta: list = []
+            base_recs: list = []
             for (idx, fid), fraw, fz in zip(filt_meta, filt_raws,
                                             filt_outs):
+                _enqueue_rans(rtasks, rmeta, ("f", idx, fid), fraw,
+                              meta[idx][3], len(fz))
+            for idx, ((j, tag, m, rl), raw, z) in enumerate(
+                    zip(meta, raws, outs)):
+                rec = fc.build_residual_record(rl, z)
+                base_recs.append(rec)
+                _enqueue_rans(rtasks, rmeta, ("u", idx), raw, rl,
+                              len(rec) - 10)
+            routs = native.rans_trials(rtasks, [c for _, c in rmeta],
+                                       threads=self.num_threads)
+            rcands: dict = {}
+            for (key, c), r in zip(rmeta, routs):
+                if r is not None:
+                    rcands.setdefault(key, []).append((c, r))
+            best_filt: dict = {}
+            for (idx, fid), fz in zip(filt_meta, filt_outs):
                 rl = meta[idx][3]
                 sec, cost = (1, fz, rl), len(fz)
-                rsec = _best_rans_sec(fraw, rl, cost)
-                if rsec is not None and len(rsec[1]) < cost:
-                    sec, cost = rsec, len(rsec[1])
+                rsec = _pick_rans(rcands.get(("f", idx, fid)), rl, cost)
+                if rsec is not None:
+                    sec = rsec
                 frec = fc.build_residual_f_record(fid, sec)
                 cur = best_filt.get(idx)
                 if cur is None or len(frec) < len(cur):
                     best_filt[idx] = frec
-            for idx, ((j, tag, m, rl), raw, z) in enumerate(
-                    zip(meta, raws, outs)):
+            for idx, (j, tag, m, rl) in enumerate(meta):
                 # type 8 (DEFLATE) vs type 13 (byte-rANS section) vs
                 # type 14 (filtered): only the smallest wrapped record
                 # survives the group, so trial storage stays one record
                 # per frame.
-                rec = fc.build_residual_record(rl, z)
-                rsec = _best_rans_sec(raw, rl, len(rec) - 10)
+                rec = base_recs[idx]
+                rsec = _pick_rans(rcands.get(("u", idx)), rl,
+                                  len(rec) - 10)
                 if rsec is not None and len(rsec[1]) + 10 < len(rec):
                     rec = fc.build_residual_s_record(rsec)
                 frec = best_filt.get(idx)
@@ -1265,7 +1297,7 @@ class BlockedEncoder:
                     best_cost = len(r) + 5
                     best = (2, r, len(raw), prob)
             if byte_rans and len(raw) >= RANS8_MIN:
-                # entropy pre-gates (see _best_rans_sec): skip coders
+                # entropy pre-gates (see _enqueue_rans): skip coders
                 # the stream's H0/H1 already rules out — value streams
                 # are often near-uniform changed-pixel bytes where a
                 # wasted rANS pass costs milliseconds per frame.

@@ -29,6 +29,7 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 _has_rans8 = False
 _has_ransc = False
+_has_rans_trials = False
 
 
 def _build() -> bool:
@@ -104,6 +105,16 @@ def load() -> Optional[ctypes.CDLL]:
             _has_ransc = True
         except AttributeError:
             _has_ransc = False
+        global _has_rans_trials
+        try:
+            pp8 = ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))
+            pu64 = ctypes.POINTER(u64)
+            lib.nbf_rans_trials.restype = None
+            lib.nbf_rans_trials.argtypes = [i32, pp8, pu64, pp8, pu64,
+                                            pu64, p8, i32]
+            _has_rans_trials = True
+        except AttributeError:
+            _has_rans_trials = False
         _lib = lib
         return _lib
 
@@ -692,6 +703,41 @@ def ransc_decode(data: bytes, raw_len: int) -> bytes:
             pos += 1
         c = int(_RANSC_CTX_LUT[s])
     return bytes(out)
+
+
+def rans_trials(buffers, coders, threads: int = 0):
+    """Run rANS encodes over independent buffers in the native thread
+    pool: ``coders[i]`` is 3 (byte-histogram) or 4 (order-1 context).
+    Returns a list of Optional[bytes] — None where the coder declined
+    (would not shrink).  Falls back to the serial per-buffer encoders
+    when the pooled symbol is unavailable."""
+    count = len(buffers)
+    if count == 0:
+        return []
+    lib = load()
+    if lib is None or not _has_rans_trials:
+        out = []
+        for b, c in zip(buffers, coders):
+            out.append(rans8_encode(b) if c == 3 else
+                       ransc_encode(b) if c == 4 else None)
+        return out
+    threads = threads or (os.cpu_count() or 1)
+    ins = [np.frombuffer(b, np.uint8) if b else np.zeros(1, np.uint8)
+           for b in buffers]
+    caps = [len(b) + (_RANSC_TBL if c == 4 else _RANS8_TBL) + 16
+            for b, c in zip(buffers, coders)]
+    outs = [np.empty(c, np.uint8) for c in caps]
+    p8 = ctypes.POINTER(ctypes.c_uint8)
+    in_arr = (p8 * count)(*[_as_u8p(a) for a in ins])
+    out_arr = (p8 * count)(*[_as_u8p(a) for a in outs])
+    in_len = (ctypes.c_uint64 * count)(*[len(b) for b in buffers])
+    out_cap = (ctypes.c_uint64 * count)(*caps)
+    out_len = (ctypes.c_uint64 * count)()
+    coder_arr = np.asarray(coders, np.uint8)
+    lib.nbf_rans_trials(count, in_arr, in_len, out_arr, out_cap,
+                        out_len, _as_u8p(coder_arr), threads)
+    return [outs[i][: out_len[i]].tobytes() if out_len[i] else None
+            for i in range(count)]
 
 
 def witness_popcounts(wit_rows: np.ndarray, wcnt: np.ndarray) -> np.ndarray:
