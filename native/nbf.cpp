@@ -686,6 +686,27 @@ void nbf_rans_trials(int count, const uint8_t** in, const uint64_t* in_len,
   }
 }
 
+// In-place MED (LOCO-I median edge detector) unfilter: reconstructs
+// raster-order over (h, w, c) uint8 residuals — each prediction reads
+// already-reconstructed neighbors (left a, up b, up-left d; 0 outside
+// the frame), matching frame_codec.spatial_filter(fid=3) exactly.
+void nbf_unfilter_med(uint8_t* p, uint64_t h, uint64_t w, uint64_t c) {
+  for (uint64_t y = 0; y < h; ++y) {
+    uint8_t* row = p + y * w * c;
+    const uint8_t* up = row - w * c;  // valid only when y > 0
+    for (uint64_t x = 0; x < w; ++x) {
+      for (uint64_t ch = 0; ch < c; ++ch) {
+        int a = x ? row[(x - 1) * c + ch] : 0;
+        int b = y ? up[x * c + ch] : 0;
+        int d = (x && y) ? up[(x - 1) * c + ch] : 0;
+        int mn = a < b ? a : b, mx = a < b ? b : a;
+        int pred = d >= mx ? mn : (d <= mn ? mx : a + b - d);
+        row[x * c + ch] = (uint8_t)(row[x * c + ch] + pred);
+      }
+    }
+  }
+}
+
 // Per-block popcount of the first wcnt[b] witness bits of each padded
 // row (rows x stride bytes) — the decode-side block change counts.
 void nbf_witness_popcounts(const uint8_t* wit, uint64_t rows,

@@ -1210,7 +1210,7 @@ class BlockedEncoder:
                         continue
                     plane = np.frombuffer(raws[idx], np.uint8).reshape(
                         np.asarray(frames[j]).shape)
-                    for fid in (1, 2):
+                    for fid in (1, 2, 3):
                         filt_raws.append(
                             fc.spatial_filter(plane, fid).tobytes())
                         filt_meta.append((idx, fid))

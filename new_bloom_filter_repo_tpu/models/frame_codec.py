@@ -78,10 +78,12 @@ INTERFRAME = 0
 #     Only wraps residual (type 8) records on direct uint8 content.
 # 11 — filtered keyframe: a typed keyframe whose frame/plane byte
 #     streams are spatially predicted (PNG-style) before DEFLATE —
-#     filter 1 = SUB (left neighbor), 2 = UP (row above), mod-256.
-#     The inverse is an exact uint8 cumsum, so decode is vectorized.
-#     Natural-image keyframes DEFLATE far smaller predicted; the
-#     reference can only zlib raw bytes (fixed_video_compressor.py:31).
+#     filter 1 = SUB (left neighbor), 2 = UP (row above), 3 = MED
+#     (LOCO-I median edge detector), mod-256.  SUB/UP invert as an
+#     exact uint8 cumsum (vectorized); MED reconstructs raster-order
+#     in native code.  Natural-image keyframes DEFLATE far smaller
+#     predicted; the reference can only zlib raw bytes
+#     (fixed_video_compressor.py:31).
 # 12 — blocked record with a SECTIONED value stream: the type-7 layout
 #     but the value bytes are a coded section like bitmap/witness
 #     (coding 0 raw / 1 DEFLATE / 2 binary rANS / 3 byte-histogram
@@ -93,11 +95,11 @@ INTERFRAME = 0
 #     section; byte-rANS beats DEFLATE by 10-15% on grain-like
 #     residuals (Laplacian bytes carry no LZ structure, and Huffman's
 #     integer bit lengths round up what rANS codes fractionally).
-# 14 — spatially-filtered residual: the DPCM plane is SUB/UP-predicted
-#     (spatial_filter) before the coded section.  Fractional-motion
-#     prediction error is spatially correlated (bilinear interpolation
-#     is a low-pass mix), so filtering cuts subpixel-pan residual
-#     streams another 10-15%.
+# 14 — spatially-filtered residual: the DPCM plane is SUB/UP/MED-
+#     predicted (spatial_filter) before the coded section.
+#     Fractional-motion prediction error is spatially correlated
+#     (bilinear interpolation is a low-pass mix), so filtering cuts
+#     subpixel-pan residual streams another 10-15%.
 # 15 — sectioned keyframe: the typed-keyframe streams (frame and/or
 #     Y/U/V planes, optionally SUB/UP-filtered) each stored as a coded
 #     section so byte/context rANS can beat DEFLATE on grain-dominated
@@ -182,13 +184,33 @@ def _planes_are_channels(frame: np.ndarray, yuv_info: dict) -> bool:
 
 
 def spatial_filter(arr: np.ndarray, fid: int) -> np.ndarray:
-    """PNG-style spatial prediction filter, mod-256 over uint8.
+    """Spatial prediction filter, mod-256 over uint8.
 
     fid 1 = SUB (predict from the left neighbor, axis 1), 2 = UP
-    (predict from the row above, axis 0).  (h, w) or (h, w, c) arrays;
-    channels filter independently.  Exactly inverted by
-    :func:`spatial_unfilter`."""
+    (predict from the row above, axis 0), 3 = MED (the LOCO-I /
+    JPEG-LS median edge detector: min(a,b) when the up-left corner
+    c >= max(a,b), max(a,b) when c <= min(a,b), else a+b-c — an
+    edge-adaptive predictor that beats SUB/UP on natural imagery and
+    smooth motion residuals).  Out-of-frame neighbors read as 0, so
+    the top row degenerates to SUB and the left column to UP.
+    (h, w) or (h, w, c) arrays; channels filter independently.
+    Exactly inverted by :func:`spatial_unfilter`."""
     a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if fid == 3:
+        if a.ndim not in (2, 3):
+            raise ValueError("MED filter needs (h, w[, c]) arrays")
+        a16 = a.astype(np.int16)
+        left = np.zeros_like(a16)
+        left[:, 1:] = a16[:, :-1]
+        up = np.zeros_like(a16)
+        up[1:] = a16[:-1]
+        ul = np.zeros_like(a16)
+        ul[1:, 1:] = a16[:-1, :-1]
+        mn = np.minimum(left, up)
+        mx = np.maximum(left, up)
+        pred = np.where(ul >= mx, mn,
+                        np.where(ul <= mn, mx, left + up - ul))
+        return (a16 - pred).astype(np.uint8)  # int16 diff wraps mod 256
     axis = 1 if fid == 1 else 0
     pred = np.zeros_like(a)
     src = [slice(None)] * a.ndim
@@ -200,8 +222,16 @@ def spatial_filter(arr: np.ndarray, fid: int) -> np.ndarray:
 
 
 def spatial_unfilter(arr: np.ndarray, fid: int) -> np.ndarray:
-    """Inverse of :func:`spatial_filter`: mod-256 running sum along the
-    prediction axis (uint8 cumsum accumulates mod 256 — vectorized)."""
+    """Inverse of :func:`spatial_filter`.
+
+    SUB/UP invert as a mod-256 running sum along the prediction axis
+    (uint8 cumsum accumulates mod 256 — vectorized).  MED must
+    reconstruct in raster order (each prediction reads reconstructed
+    neighbors), which runs in native code (utils.native.unfilter_med)
+    with a per-pixel numpy fallback."""
+    if fid == 3:
+        from new_bloom_filter_repo_tpu.utils import native
+        return native.unfilter_med(np.ascontiguousarray(arr, np.uint8))
     axis = 1 if fid == 1 else 0
     return np.cumsum(arr, axis=axis, dtype=np.uint8)
 
@@ -272,8 +302,8 @@ def encode_keyframe(frame: np.ndarray, yuv_info: dict | None = None,
 
 def encode_keyframe_best(frame: np.ndarray, yuv_info: dict | None = None,
                          zlib_level: int = 9) -> bytes:
-    """Smallest of the typed keyframe, its SUB/UP-filtered variants,
-    and the sectioned (type-15) variant of the winner.
+    """Smallest of the typed keyframe, its SUB/UP/MED-filtered
+    variants, and the sectioned (type-15) variant of the winner.
 
     Spatial prediction typically DEFLATEs natural-image keyframes far
     smaller than raw bytes; noise-dominated frames fall back to the
@@ -287,7 +317,7 @@ def encode_keyframe_best(frame: np.ndarray, yuv_info: dict | None = None,
     if np.asarray(frame).dtype != np.uint8:
         return best
     best_fid = 0
-    for fid in (1, 2):
+    for fid in (1, 2, 3):
         cand = encode_keyframe(frame, yuv_info, typed=True,
                                zlib_level=zlib_level, filter_id=fid)
         if len(cand) < len(best):
@@ -339,7 +369,7 @@ def encode_keyframe_s(frame: np.ndarray, yuv_info: dict | None = None,
 
     uint8 frames only; returns None otherwise."""
     frame = np.asarray(frame)
-    if frame.dtype != np.uint8 or filter_id not in (0, 1, 2):
+    if frame.dtype != np.uint8 or filter_id not in (0, 1, 2, 3):
         return None
 
     def _flt(a: np.ndarray) -> bytes:
@@ -381,7 +411,7 @@ def decode_keyframe_s(data: bytes, offset: int = 0):
     buf = io.BytesIO(data)
     buf.seek(offset)
     fid = _U8.unpack(buf.read(1))[0]
-    if fid not in (0, 1, 2):
+    if fid not in (0, 1, 2, 3):
         raise ValueError(f"unknown keyframe filter id: {fid}")
     flag = _U8.unpack(buf.read(1))[0]
     if flag > 3:
@@ -835,10 +865,10 @@ def build_residual_f_record(filter_id: int, sec: tuple) -> bytes:
     """Assemble a type-14 residual record: the DPCM byte plane is
     spatially predicted (:func:`spatial_filter`) before entropy coding.
     Half-pel/fractional prediction error keeps spatial correlation the
-    temporal diff can't remove; SUB/UP filtering cuts those residual
-    streams 10-15% before DEFLATE/rANS.  Layout: <B 14, <B filter_id,
-    section."""
-    if filter_id not in (1, 2):
+    temporal diff can't remove; SUB/UP/MED filtering cuts those
+    residual streams 10-15% before DEFLATE/rANS.  Layout: <B 14,
+    <B filter_id, section."""
+    if filter_id not in (1, 2, 3):
         raise ValueError(f"bad residual filter id {filter_id}")
     buf = io.BytesIO()
     buf.write(_U8.pack(RESIDUAL_F))
@@ -865,7 +895,7 @@ def parse_residual_any(data: bytes, offset: int,
         return _read_section(buf)
     if t == RESIDUAL_F:
         fid = data[offset + 1]
-        if fid not in (1, 2):
+        if fid not in (1, 2, 3):
             raise ValueError(f"bad residual filter id {fid}")
         if shape is None:
             raise ValueError("filtered residual needs the frame shape")

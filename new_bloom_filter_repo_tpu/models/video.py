@@ -789,7 +789,7 @@ class ImprovedVideoCompressor:
                                                        offset=1)
                 elif rtype == fc.FILTERED:
                     fid = payloads[i][1]
-                    if fid not in (1, 2):
+                    if fid not in (1, 2, 3):
                         raise ValueError(
                             f"unknown keyframe filter id: {fid}")
                     frame, info = fc.decode_keyframe(payloads[i],

@@ -30,6 +30,7 @@ _tried = False
 _has_rans8 = False
 _has_ransc = False
 _has_rans_trials = False
+_has_unfilter_med = False
 
 
 def _build() -> bool:
@@ -115,6 +116,13 @@ def load() -> Optional[ctypes.CDLL]:
             _has_rans_trials = True
         except AttributeError:
             _has_rans_trials = False
+        global _has_unfilter_med
+        try:
+            lib.nbf_unfilter_med.restype = None
+            lib.nbf_unfilter_med.argtypes = [p8, u64, u64, u64]
+            _has_unfilter_med = True
+        except AttributeError:
+            _has_unfilter_med = False
         _lib = lib
         return _lib
 
@@ -738,6 +746,35 @@ def rans_trials(buffers, coders, threads: int = 0):
                         out_len, _as_u8p(coder_arr), threads)
     return [outs[i][: out_len[i]].tobytes() if out_len[i] else None
             for i in range(count)]
+
+
+def unfilter_med(arr: np.ndarray) -> np.ndarray:
+    """Invert the MED (LOCO-I) spatial filter over a (h, w) or
+    (h, w, c) uint8 residual array — sequential raster reconstruction
+    (each prediction reads reconstructed neighbors), so the hot path is
+    native (nbf_unfilter_med); the numpy fallback vectorizes over
+    channels only."""
+    a = np.ascontiguousarray(arr, np.uint8)
+    h, w = a.shape[0], a.shape[1]
+    c = a.shape[2] if a.ndim == 3 else 1
+    out = a.copy()
+    lib = load()
+    if lib is not None and _has_unfilter_med:
+        lib.nbf_unfilter_med(_as_u8p(out), h, w, c)
+        return out
+    flat = out.reshape(h, w, c).astype(np.int16)
+    for y in range(h):
+        for x in range(w):
+            left = flat[y, x - 1] if x else np.zeros(c, np.int16)
+            up = flat[y - 1, x] if y else np.zeros(c, np.int16)
+            ul = (flat[y - 1, x - 1] if (x and y)
+                  else np.zeros(c, np.int16))
+            mn = np.minimum(left, up)
+            mx = np.maximum(left, up)
+            pred = np.where(ul >= mx, mn,
+                            np.where(ul <= mn, mx, left + up - ul))
+            flat[y, x] = (flat[y, x] + pred) & 0xFF
+    return flat.astype(np.uint8).reshape(a.shape)
 
 
 def witness_popcounts(wit_rows: np.ndarray, wcnt: np.ndarray) -> np.ndarray:
