@@ -1076,25 +1076,45 @@ class BlockedEncoder:
                 tsh = tile_shifts_row(j)
                 if tsh is not None and tsh.any():
                     cands.append(("tile", tsh))
-            if by == 0 and bx == 0:
+            if by == 0 and bx == 0 and kinds[j] != "key":
+                # zero integer argmin on a non-dense frame: sub-half-
+                # pixel motion cannot be what made the mask cheap, so
+                # skip the half-pel probes.  Dense (key-kind) frames DO
+                # search the 8 half-pel neighbors of zero: slow pans
+                # (< 0.5 px/frame, e.g. chroma planes at half the luma
+                # rate) round to integer zero while a (0, 1) half-pel
+                # prediction collapses the residual — these frames were
+                # about to pay a full keyframe, which dwarfs the probe
+                # cost.
                 return cands
             curr = np.asarray(frames[j], np.uint8)
             prev_arr = np.asarray(frames[j - 1] if j > 0 else base,
                                   np.uint8)
             sub = (slice(None, None, stride),
                    slice(None, None, stride))
-            int_count = None
+            curr_sub = curr[sub].astype(np.int16)
+
+            def _sad(pred: np.ndarray) -> int:
+                # wrap-aware subsampled SAD: |curr - pred| mod 256 with
+                # ±128 folding — tracks DPCM coded size far better than
+                # changed-pixel count on fractional-motion content,
+                # where bilinear prediction leaves near-zero (but
+                # nonzero) error everywhere and counts barely move.
+                d = (curr_sub - pred[sub]) & 0xFF
+                return int(np.minimum(d, 256 - d).sum())
+
+            int_sad = None
             best_c, best_s = None, None
             for oy in (-1, 0, 1):
                 for ox in (-1, 0, 1):
                     sy, sx = 2 * by + oy, 2 * bx + ox
                     pred = fc.halfpel_predict(prev_arr, sy, sx)
-                    c = int(np.count_nonzero(pred[sub] != curr[sub]))
+                    c = _sad(pred)
                     if oy == 0 and ox == 0:
-                        int_count = c
+                        int_sad = c
                     elif best_c is None or c < best_c:
                         best_c, best_s = c, (sy, sx)
-            if best_c is not None and best_c < 0.97 * int_count:
+            if best_c is not None and best_c < 0.995 * int_sad:
                 cands.append(("hp", best_s))
             return cands
 
