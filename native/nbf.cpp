@@ -728,6 +728,32 @@ void nbf_witness_popcounts(const uint8_t* wit, uint64_t rows,
   }
 }
 
+// Byte histogram (256 bins) — feeds the encoder's entropy gates
+// (order-0 entropy, DEFLATE-unwinnable test, bit density).  4-way
+// split counters break the store-to-load dependency on repeated
+// symbols; ~1 GB/s even on low-clock hosts.
+void nbf_byte_hist(const uint8_t* in, uint64_t len, uint64_t* out) {
+  uint64_t h0[256] = {}, h1[256] = {}, h2[256] = {}, h3[256] = {};
+  uint64_t i = 0;
+  for (; i + 4 <= len; i += 4) {
+    h0[in[i]]++; h1[in[i + 1]]++; h2[in[i + 2]]++; h3[in[i + 3]]++;
+  }
+  for (; i < len; ++i) h0[in[i]]++;
+  for (int s = 0; s < 256; ++s) out[s] = h0[s] + h1[s] + h2[s] + h3[s];
+}
+
+// Total set bits of a byte stream (the binary-rANS density probe).
+uint64_t nbf_popcount(const uint8_t* in, uint64_t len) {
+  uint64_t acc = 0, i = 0;
+  for (; i + 8 <= len; i += 8) {
+    uint64_t w;
+    memcpy(&w, in + i, 8);
+    acc += (uint64_t)__builtin_popcountll(w);
+  }
+  for (; i < len; ++i) acc += (uint64_t)__builtin_popcount(in[i]);
+  return acc;
+}
+
 // ---------------------------------------------------------------------------
 // Y4M header probe
 // ---------------------------------------------------------------------------

@@ -817,6 +817,39 @@ def _strip_rows(arr2d: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return flat.view(arr2d.dtype)
 
 
+def _deflate_unwinnable(buf: bytes, bits: bool) -> bool:
+    """True when DEFLATE provably cannot beat the section's iid
+    entropy floor, so the batch skips compressing it.
+
+    Near-uniform byte streams (order-0 entropy >= 7.98 bits/byte) are
+    incompressible at the byte level and store raw.  For packed-bit
+    sections (``bits``: Bloom sub-filter bitmaps, witness streams,
+    pass-through masks), when the empirical byte entropy matches the
+    product-Bernoulli value 8*H(p) of the stream's bit density there
+    is no sub-byte or run structure for LZ/Huffman to exploit — the
+    iid floor n*H(p) bounds every coder, and the binary-rANS trial
+    (section coding 2) already reaches it; sub-filter bitmaps sit at
+    the P* ~ 0.32 density by construction.  Structured masks (runs of
+    changed pixels) show byte entropy well below 8*H(p) and keep their
+    DEFLATE trial.  A wrong skip only costs ratio, never correctness:
+    section coding bytes record whichever coder actually won."""
+    if len(buf) < 4096:
+        return False
+    c = native.byte_hist(buf)
+    p = c[c > 0] / len(buf)
+    hbyte = float(-(p * np.log2(p)).sum())
+    if hbyte >= 7.98:
+        return True
+    if not bits:
+        return False
+    ones = int(c @ native._POP8)
+    pb = min(max(ones / (8.0 * len(buf)), 1e-9), 1 - 1e-9)
+    hbit = -(pb * np.log2(pb) + (1 - pb) * np.log2(1 - pb))
+    # very sparse/dense sections (hbit < 0.15) keep DEFLATE: its run
+    # coding beats the rANS table overhead there and costs ~nothing
+    return hbit >= 0.15 and hbyte >= 8.0 * hbit * 0.985
+
+
 class BlockedEncoder:
     """Encodes chunks of frames into typed records via the Pallas path.
 
@@ -1014,6 +1047,7 @@ class BlockedEncoder:
         # loop once device compute is fast (VERDICT r2 #1/#3).
         sections: List[bytes] = []
         sec_level: List[int] = []
+        sec_bits: List[bool] = []
         vz_idx = [-1] * f
         bz_idx = [-1] * f
         wz_idx = [-1] * f
@@ -1022,9 +1056,10 @@ class BlockedEncoder:
         bm_bytes: List[Optional[bytes]] = [None] * f
         wit_bytes: List[Optional[bytes]] = [None] * f
 
-        def _add(buf: bytes, lvl: int) -> int:
+        def _add(buf: bytes, lvl: int, bits: bool = False) -> int:
             sections.append(buf)
             sec_level.append(lvl)
+            sec_bits.append(bits)
             return len(sections) - 1
 
         def _residual(j: int, tag: str, meta) -> bytes:
@@ -1133,14 +1168,14 @@ class BlockedEncoder:
             vz_idx[j] = _add(val_bytes[j], vlvl)
             if kind == "pass":
                 bm_bytes[j] = packed_row(j)[: (n + 7) // 8].tobytes()
-                bz_idx[j] = _add(bm_bytes[j], 1)
+                bz_idx[j] = _add(bm_bytes[j], 1, bits=True)
             elif kind == "blocked":
                 m = int(m_arr[j])
                 bm_bytes[j] = native.pack_subfilters(words[j], m).tobytes()
-                bz_idx[j] = _add(bm_bytes[j], 1)
+                bz_idx[j] = _add(bm_bytes[j], 1, bits=True)
                 seg_lens = (wcnt[j] + 7) // 8
                 wit_bytes[j] = _strip_rows(wit[j], seg_lens).tobytes()
-                wz_idx[j] = _add(wit_bytes[j], 1)
+                wz_idx[j] = _add(wit_bytes[j], 1, bits=True)
 
         if stage_times is not None:
             stage_times["enc_host_sections"] = (
@@ -1152,8 +1187,11 @@ class BlockedEncoder:
         # over level 1 at 5x the CPU (measured); value streams and DPCM
         # residuals keep the configured level, where modeling does pay.
         zsecs: List[bytes] = [b""] * len(sections)
+        skip = [_deflate_unwinnable(s, bf)
+                for s, bf in zip(sections, sec_bits)]
         for lvl in sorted(set(sec_level)):
-            idxs = [i for i, sl in enumerate(sec_level) if sl == lvl]
+            idxs = [i for i, sl in enumerate(sec_level)
+                    if sl == lvl and not skip[i]]
             outs = native.deflate_frames([sections[i] for i in idxs],
                                          level=lvl,
                                          threads=self.num_threads)
@@ -1308,7 +1346,7 @@ class BlockedEncoder:
                 return (0, b"", 0)
             best_cost, best = len(raw), (0, raw, 0)
             z = zsecs[zi]
-            if len(z) + 4 < best_cost:
+            if z and len(z) + 4 < best_cost:
                 best_cost, best = len(z) + 4, (1, z, len(raw))
             prob = native.rans_bit_prob(raw)
             if prob <= 90 or prob >= 166:

@@ -31,6 +31,7 @@ _has_rans8 = False
 _has_ransc = False
 _has_rans_trials = False
 _has_unfilter_med = False
+_has_hist = False
 
 
 def _build() -> bool:
@@ -123,6 +124,15 @@ def load() -> Optional[ctypes.CDLL]:
             _has_unfilter_med = True
         except AttributeError:
             _has_unfilter_med = False
+        global _has_hist
+        try:
+            lib.nbf_byte_hist.restype = None
+            lib.nbf_byte_hist.argtypes = [p8, u64, pu64]
+            lib.nbf_popcount.restype = u64
+            lib.nbf_popcount.argtypes = [p8, u64]
+            _has_hist = True
+        except AttributeError:
+            _has_hist = False
         _lib = lib
         return _lib
 
@@ -339,13 +349,42 @@ _RANS_M = 1 << _RANS_BITS
 _RANS_L = 1 << 23
 
 
+# popcount-by-byte lookup: bincount + dot touches len(data) + 256
+# elements, vs np.unpackbits materializing an 8x temporary (this fn
+# runs 3x/frame in the encoder's section-coding hot loop).
+_POP8 = np.array([bin(i).count("1") for i in range(256)], np.int64)
+
+
+def byte_hist(data: bytes) -> np.ndarray:
+    """256-bin byte histogram (int64) — native single-pass walk when
+    libnbf is built, np.bincount otherwise.  Shared by the encoder's
+    entropy gates (entropy_bits, rans_bit_prob, DEFLATE-unwinnable)."""
+    arr = np.frombuffer(data, np.uint8)
+    lib = load()
+    if lib is not None and _has_hist and arr.size:
+        out = np.zeros(256, np.uint64)
+        lib.nbf_byte_hist(_as_u8p(arr), arr.size,
+                          out.ctypes.data_as(ctypes.POINTER(
+                              ctypes.c_uint64)))
+        return out.astype(np.int64)
+    return np.bincount(arr, minlength=256).astype(np.int64)
+
+
+def popcount_bytes(data: bytes) -> int:
+    """Total set bits of ``data``."""
+    arr = np.frombuffer(data, np.uint8)
+    lib = load()
+    if lib is not None and _has_hist and arr.size:
+        return int(lib.nbf_popcount(_as_u8p(arr), arr.size))
+    return int(np.bincount(arr, minlength=256) @ _POP8)
+
+
 def rans_bit_prob(data: bytes) -> int:
     """Quantized P(bit = 1) of a packed bit stream, in [1, 255]."""
     if not data:
         return 128
-    arr = np.frombuffer(data, np.uint8)
-    ones = int(np.unpackbits(arr).sum())
-    p = round(256 * ones / (8 * arr.size))
+    ones = popcount_bytes(data)
+    p = round(256 * ones / (8 * len(data)))
     return min(255, max(1, p))
 
 
@@ -577,9 +616,10 @@ def entropy_bits(data: bytes) -> float:
     """Order-0 entropy of ``data`` in bits/byte — a true lower bound
     (up to table quantization) on what :func:`rans8_encode` can store,
     so callers can skip the coder when it cannot win."""
-    b = np.frombuffer(data, np.uint8)
-    c = np.bincount(b, minlength=256)
-    p = c[c > 0] / b.size
+    if not data:
+        return 0.0
+    c = byte_hist(data)
+    p = c[c > 0] / len(data)
     return float(-(p * np.log2(p)).sum())
 
 
@@ -587,21 +627,25 @@ def cond_entropy_bits(data: bytes, stride: int = 4) -> float:
     """Sampled order-1 conditional entropy (bits/byte) under the
     :func:`ransc_encode` context model — an estimate of what the
     context coder can reach, for trial gating.  Samples every
-    ``stride``-th (prev, next) byte pair."""
+    ``stride``-th (prev, next) byte pair; on large streams the stride
+    widens so the sample stays ~32K pairs (a gate with 2% slack does
+    not need more, and the scan was the encoder's costliest host
+    gate).  One joint (ctx, next) bincount replaces the previous
+    8-way masked scans."""
     b = np.frombuffer(data, np.uint8)
     if b.size < 2:
         return 8.0
+    stride = max(stride, b.size >> 15)
     idx = np.arange(1, b.size, stride)
-    ctx = _RANSC_CTX_LUT[b[idx - 1]]
-    nxt = b[idx]
-    tot = 0.0
-    for c in range(_RANSC_NCTX):
-        sel = nxt[ctx == c]
-        if sel.size:
-            cc = np.bincount(sel, minlength=256)
-            p = cc[cc > 0] / sel.size
-            tot += sel.size * float(-(p * np.log2(p)).sum())
-    return tot / idx.size
+    ctx = _RANSC_CTX_LUT[b[idx - 1]].astype(np.int32)
+    joint = np.bincount(ctx * 256 + b[idx],
+                        minlength=_RANSC_NCTX * 256).reshape(
+                            _RANSC_NCTX, 256)
+    ns = joint.sum(axis=1)
+    p = joint / np.maximum(ns, 1)[:, None]
+    plogp = np.where(joint > 0, p * np.log2(np.where(p > 0, p, 1.0)),
+                     0.0)
+    return float(-(ns * plogp.sum(axis=1)).sum() / idx.size)
 
 
 def ransc_encode(data: bytes) -> Optional[bytes]:
