@@ -154,3 +154,60 @@ class TestRansCoder:
     def test_empty_input(self):
         enc = native.rans_encode(b"", 128)
         assert native.rans_decode(enc, 128, 0) == b""
+
+
+class TestEntropyGates:
+    """byte_hist / popcount_bytes and the DEFLATE-unwinnable gate
+    (models/blocked_pipeline._deflate_unwinnable)."""
+
+    def test_hist_and_popcount_match_numpy(self):
+        rng = np.random.default_rng(7)
+        for n in (0, 1, 7, 4096, 100001):
+            d = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            ref = np.bincount(np.frombuffer(d, np.uint8), minlength=256)
+            assert (native.byte_hist(d) == ref).all()
+            assert native.popcount_bytes(d) == int(
+                np.unpackbits(np.frombuffer(d, np.uint8)).sum())
+
+    def test_gate_skips_uniform_and_iid_bits_keeps_structure(self):
+        from new_bloom_filter_repo_tpu.models.blocked_pipeline import (
+            _deflate_unwinnable)
+        rng = np.random.default_rng(11)
+        uniform = rng.integers(0, 256, 65536, dtype=np.uint8).tobytes()
+        assert _deflate_unwinnable(uniform, bits=False)
+        # iid bits at the sub-filter density: nothing beyond the bit
+        # bias for LZ/Huffman to exploit -> skip
+        iid = np.packbits(rng.random(8 * 65536) < 0.32).tobytes()
+        assert _deflate_unwinnable(iid, bits=True)
+        # clustered mask (long zero runs) -> DEFLATE genuinely wins
+        mask = np.zeros(8 * 65536, np.uint8)
+        for s in range(0, mask.size, 4096):
+            mask[s:s + 1310] = 1  # same global density, run-structured
+        runs = np.packbits(mask).tobytes()
+        assert not _deflate_unwinnable(runs, bits=True)
+        # low-density sections keep DEFLATE regardless (rANS table
+        # overhead dominates; run coding is near-free)
+        sparse = np.packbits(rng.random(8 * 65536) < 0.004).tobytes()
+        assert not _deflate_unwinnable(sparse, bits=True)
+        # small sections always keep the trial
+        assert not _deflate_unwinnable(uniform[:1024], bits=False)
+
+    def test_gate_decisions_reach_the_stream(self):
+        """A blocked frame's sub-filter bitmap section must decode
+        identically whether or not its DEFLATE trial was skipped."""
+        from new_bloom_filter_repo_tpu.models import blocked_pipeline as bp
+        rng = np.random.default_rng(3)
+        base = rng.integers(0, 220, (48, 64, 3), np.uint8)
+        frames = []
+        for i in range(4):
+            f = base.copy()
+            nm = rng.random((48, 64)) < 0.04
+            f[nm] = rng.integers(0, 256, (int(nm.sum()), 3))
+            frames.append(f)
+        enc = bp.BlockedEncoder()
+        recs = []
+        enc.encode_chunk(base, frames, recs)
+        dec = bp.BlockedDecoder()
+        out = dec.decode_run(base, recs)
+        for a, b in zip(frames, out):
+            np.testing.assert_array_equal(a, np.asarray(b))
