@@ -1545,6 +1545,20 @@ class BlockedDecoder:
     def __init__(self, mesh=None):
         self.dispatch = (_MeshDispatch(mesh)
                          if mesh is not None and mesh.size > 1 else None)
+        # chunk-batch staging buffers (witness segments, value
+        # segments), reused across decode_run calls: reallocating tens
+        # of MB per chunk costs a fresh mmap + page-fault sweep every
+        # call (measured 1.5-30 ms/frame of pure fault noise on small
+        # hosts).  Every row is either pad_rows-filled or explicitly
+        # zeroed, so reuse never leaks bytes between chunks.
+        self._bufs: dict = {}
+
+    def _batch_buf(self, key: str, shape: tuple) -> np.ndarray:
+        buf = self._bufs.get(key)
+        if buf is None or buf.shape != shape:
+            buf = np.empty(shape, np.uint8)
+            self._bufs[key] = buf
+        return buf
 
     def decode_run(self, base: np.ndarray, payloads: List[bytes],
                    stage_times: Optional[dict] = None
@@ -1681,31 +1695,37 @@ class BlockedDecoder:
         # both native single-pass walks (utils/native.py pad_rows /
         # witness_popcounts); this stage was the decode host hot spot
         # (10.2 -> ~0.5 ms/frame at 1080p).
-        wit = np.zeros((f, nbk, bk.WIT_BYTES), np.uint8)
+        # batch arrays start uninitialized: pad_rows(out=frame slice)
+        # zero-fills and writes each frame in one native pass, and the
+        # rare frames without a stream zero their row explicitly.
+        wit = self._batch_buf("wit", (f, nbk, bk.WIT_BYTES))
         block_counts = np.zeros((f, nbk), np.int32)
         for j in range(f):
             if wit_streams[j] is None:
+                wit[j] = 0
                 if flags[j]:
                     block_counts[j] = raw_mask[j].sum(axis=1)
                 continue
             seg_lens = ((wcnt[j] + 7) // 8).astype(np.uint32)
             buf = np.frombuffer(wit_streams[j], dtype=np.uint8)
-            wit[j] = native.pad_rows(buf, nbk, bk.WIT_BYTES, seg_lens)
+            native.pad_rows(buf, nbk, bk.WIT_BYTES, seg_lens, out=wit[j])
             block_counts[j] = native.witness_popcounts(wit[j], wcnt[j])
 
         vh = _vh_bucket(int(block_counts.max()) if block_counts.size else 1)
         # value segments travel as pixel-major BYTES (c bytes per slot
         # instead of a 4-byte int) and are packed to 24-bit ints on
         # device after the upload (_unpack_vseg_bytes).
-        vseg = np.zeros((f, nbk, vh * 32 * channels), np.uint8)
+        vseg = self._batch_buf("vseg", (f, nbk, vh * 32 * channels))
         for j in range(f):
             vs = value_streams[j]
             if vs is None or vs.size == 0:
+                vseg[j] = 0
                 continue
-            vseg[j] = native.pad_rows(
+            native.pad_rows(
                 np.ascontiguousarray(vs, np.uint8), nbk,
                 vh * 32 * channels,
-                (block_counts[j] * channels).astype(np.uint32))
+                (block_counts[j] * channels).astype(np.uint32),
+                out=vseg[j])
 
         if stage_times is not None:
             stage_times["dec_host_slices"] = (

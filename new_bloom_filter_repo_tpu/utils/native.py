@@ -263,8 +263,15 @@ def strip_rows(arr2d: np.ndarray, lengths: np.ndarray) -> np.ndarray:
 
 
 def pad_rows(stream: np.ndarray, rows: int, stride: int,
-             lengths: np.ndarray) -> np.ndarray:
-    """Inverse of strip_rows: (rows, stride) zero-padded."""
+             lengths: np.ndarray,
+             out: Optional[np.ndarray] = None) -> np.ndarray:
+    """Inverse of strip_rows: (rows, stride) zero-padded.
+
+    ``out`` (optional C-contiguous (rows, stride) uint8, e.g. one
+    frame's slice of a chunk-batch array) receives the result in place
+    — the native walk zero-fills and writes it in one pass, saving the
+    per-call allocation plus the copy-back that dominated the decode
+    slicing stage on large chunks."""
     lib = load()
     stream = np.ascontiguousarray(stream, np.uint8)
     lengths = np.ascontiguousarray(lengths, np.uint32)
@@ -276,8 +283,13 @@ def pad_rows(stream: np.ndarray, rows: int, stride: int,
             f"{int(lengths.sum())}")
     if lengths.size and int(lengths.max()) > stride:
         raise ValueError("row length exceeds stride")
-    out = np.zeros((rows, stride), np.uint8)
+    if out is None:
+        out = np.empty((rows, stride), np.uint8)
+    elif (out.shape != (rows, stride) or out.dtype != np.uint8
+          or not out.flags.c_contiguous):
+        raise ValueError("out must be C-contiguous (rows, stride) uint8")
     if lib is None:
+        out[:] = 0
         cols = np.arange(stride)
         out[cols[None, :] < lengths[:, None]] = stream[: int(lengths.sum())]
         return out
