@@ -262,6 +262,12 @@ def main():
         # host stages overlap (duplex-PCIe host), bounded by the slower.
         "host_stage_fps": round(1.0 / host_s, 2) if host_s > 0 else None,
         "production_pipeline_fps": round(production_fps, 2),
+        # One-directional hosts (an encoding server / a playback node)
+        # only pay their own side of the record pipeline:
+        "production_encode_fps": round(
+            1.0 / max(1.0 / max(codec_fps, 1e-9), enc_host_s), 2),
+        "production_decode_fps": round(
+            1.0 / max(1.0 / max(codec_fps, 1e-9), dec_host_s), 2),
         "host_stage_ms_per_frame": host_detail,
     }
     print(json.dumps(out))

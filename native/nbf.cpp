@@ -657,11 +657,169 @@ int nbf_ransc_decode(const uint8_t* in, uint64_t inlen, uint8_t* out,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// 2D-context byte rANS (section coding 6)
+// ---------------------------------------------------------------------------
+//
+// For raster-order residual PLANES, the stronger of the left and the
+// up neighbor's magnitude bucket selects the conditional histogram:
+// prediction error is 2D-correlated (an edge or grain patch spans
+// rows), so max(bucket(left), bucket(up)) recovers 2-8% that the
+// horizontal-only coder above cannot see, at the same 8-table header
+// cost.  `stride` is the plane's row pitch in bytes (w * channels);
+// both neighbors come from already-(de)coded bytes, so decode is a
+// single forward pass like ransc.
+
+static inline int rans2_ctx(const uint8_t* buf, uint64_t i,
+                            uint64_t stride) {
+  int cl = i ? ransc_ctx(buf[i - 1]) : 0;
+  int cu = i >= stride ? ransc_ctx(buf[i - stride]) : 0;
+  return cl > cu ? cl : cu;
+}
+
+// Encode `len` bytes as [8 x 384-byte tables][rANS stream]; returns
+// stored size, or 0 if it would not fit in `cap`.
+uint64_t nbf_rans2_encode(const uint8_t* in, uint64_t len, uint64_t stride,
+                          uint8_t* out, uint64_t cap) {
+  if (len == 0 || stride == 0 || cap < RANSC_TBL + 4) return 0;
+  uint64_t hist[RANSC_NCTX][256];
+  memset(hist, 0, sizeof(hist));
+  uint64_t total[RANSC_NCTX];
+  memset(total, 0, sizeof(total));
+  for (uint64_t i = 0; i < len; ++i) {
+    int c = rans2_ctx(in, i, stride);
+    hist[c][in[i]]++;
+    total[c]++;
+  }
+  uint16_t freq[RANSC_NCTX][256], start[RANSC_NCTX][256];
+  for (int c = 0; c < RANSC_NCTX; ++c) {
+    if (total[c] == 0) {
+      memset(freq[c], 0, sizeof(freq[c]));
+      memset(start[c], 0, sizeof(start[c]));
+      memset(out + c * RANS8_TBL, 0, RANS8_TBL);
+      continue;
+    }
+    if (rans8_quantize(hist[c], total[c], freq[c])) return 0;
+    uint32_t cc = 0;
+    for (int s = 0; s < 256; ++s) {
+      start[c][s] = (uint16_t)cc;
+      cc += freq[c][s];
+    }
+    ransc_pack_table(freq[c], out + c * RANS8_TBL);
+  }
+  uint64_t pos = cap;
+  uint32_t x = RANS_L;
+  for (uint64_t i = len; i-- > 0;) {
+    int c = rans2_ctx(in, i, stride);
+    uint8_t s = in[i];
+    uint32_t fr = freq[c][s];
+    uint32_t x_max = ((RANS_L >> RANS_SCALE_BITS) << 8) * fr;
+    while (x >= x_max) {
+      if (pos == RANSC_TBL + 4) return 0;
+      out[--pos] = (uint8_t)(x & 0xFF);
+      x >>= 8;
+    }
+    x = ((x / fr) << RANS_SCALE_BITS) + (x % fr) + start[c][s];
+  }
+  if (pos < RANSC_TBL + 4) return 0;
+  pos -= 4;
+  out[pos] = (uint8_t)(x & 0xFF);
+  out[pos + 1] = (uint8_t)((x >> 8) & 0xFF);
+  out[pos + 2] = (uint8_t)((x >> 16) & 0xFF);
+  out[pos + 3] = (uint8_t)((x >> 24) & 0xFF);
+  uint64_t stream_len = cap - pos;
+  memmove(out + RANSC_TBL, out + pos, stream_len);
+  return RANSC_TBL + stream_len;
+}
+
+// Decode exactly raw_len bytes; 0 ok, nonzero = malformed stream.
+int nbf_rans2_decode(const uint8_t* in, uint64_t inlen, uint64_t stride,
+                     uint8_t* out, uint64_t raw_len) {
+  if (inlen < RANSC_TBL + 4 || stride == 0) return 1;
+  uint16_t freq[RANSC_NCTX][256], start[RANSC_NCTX][256];
+  uint8_t used[RANSC_NCTX];
+  static thread_local uint8_t slot2sym[RANSC_NCTX][RANS_M];
+  for (int c = 0; c < RANSC_NCTX; ++c) {
+    const uint8_t* t = in + c * RANS8_TBL;
+    for (int k = 0; k < 128; ++k) {
+      freq[c][2 * k] = (uint16_t)(t[3 * k]
+                                  | ((uint16_t)(t[3 * k + 1] & 0xF) << 8));
+      freq[c][2 * k + 1] = (uint16_t)((t[3 * k + 1] >> 4)
+                                      | ((uint16_t)t[3 * k + 2] << 4));
+    }
+    uint32_t cc = 0;
+    for (int s = 0; s < 256; ++s) {
+      start[c][s] = (uint16_t)cc;
+      cc += freq[c][s];
+    }
+    if (cc == RANS_M) {
+      used[c] = 1;
+      cc = 0;
+      for (int s = 0; s < 256; ++s) {
+        for (uint32_t i = 0; i < freq[c][s]; ++i)
+          slot2sym[c][cc + i] = (uint8_t)s;
+        cc += freq[c][s];
+      }
+    } else if (cc == 0) {
+      used[c] = 0;  // context absent from the encoded stream
+    } else {
+      return 3;  // corrupt table: slots must cover M exactly or be empty
+    }
+  }
+  const uint8_t* str = in + RANSC_TBL;
+  uint64_t slen = inlen - RANSC_TBL;
+  uint64_t pos = 4;
+  uint32_t x = (uint32_t)str[0] | ((uint32_t)str[1] << 8)
+               | ((uint32_t)str[2] << 16) | ((uint32_t)str[3] << 24);
+  for (uint64_t i = 0; i < raw_len; ++i) {
+    int c = rans2_ctx(out, i, stride);
+    if (!used[c]) return 4;  // stream references an absent context
+    uint32_t slot = x & (RANS_M - 1);
+    uint8_t s = slot2sym[c][slot];
+    out[i] = s;
+    x = freq[c][s] * (x >> RANS_SCALE_BITS) + slot - start[c][s];
+    while (x < RANS_L) {
+      if (pos >= slen) return 2;
+      x = (x << 8) | str[pos++];
+    }
+  }
+  return 0;
+}
+
 // Threaded rANS trials over independent buffers: coder[i] selects the
 // coding per buffer (3 = byte-histogram rANS, 4 = order-1 context
-// rANS); out_len[i] = 0 means the coder declined (would not fit under
-// out_cap[i]).  Same pool shape as nbf_deflate_frames so the host
-// entropy stage threads across frames on multi-core hosts.
+// rANS, 6 = 2D-context rANS using strides[i]); out_len[i] = 0 means
+// the coder declined (would not fit under out_cap[i]).  Same pool
+// shape as nbf_deflate_frames so the host entropy stage threads
+// across frames on multi-core hosts.
+void nbf_rans_trials2(int count, const uint8_t** in, const uint64_t* in_len,
+                      const uint64_t* strides, uint8_t** out,
+                      const uint64_t* out_cap, uint64_t* out_len,
+                      const uint8_t* coder, int threads) {
+  auto work = [&](int i) {
+    if (coder[i] == 3)
+      out_len[i] = nbf_rans8_encode(in[i], in_len[i], out[i], out_cap[i]);
+    else if (coder[i] == 4)
+      out_len[i] = nbf_ransc_encode(in[i], in_len[i], out[i], out_cap[i]);
+    else if (coder[i] == 6)
+      out_len[i] = nbf_rans2_encode(in[i], in_len[i], strides[i], out[i],
+                                    out_cap[i]);
+    else
+      out_len[i] = 0;
+  };
+  if (threads <= 1 || count == 1) {
+    for (int i = 0; i < count; ++i) work(i);
+  } else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < threads && t < count; ++t) {
+      ts.emplace_back([&, t]() {
+        for (int i = t; i < count; i += threads) work(i);
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+}
+
 void nbf_rans_trials(int count, const uint8_t** in, const uint64_t* in_len,
                      uint8_t** out, const uint64_t* out_cap,
                      uint64_t* out_len, const uint8_t* coder, int threads) {

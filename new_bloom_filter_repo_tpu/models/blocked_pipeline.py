@@ -1203,41 +1203,51 @@ class BlockedEncoder:
         # residuals per frame for the whole chunk (~190-370 MB transient)
         # before one big batch; sub-batching keeps the threaded stage
         # while bounding the spike.
+        # residual streams are raster frames: the 2D-context coder's
+        # row pitch in bytes
+        res_stride = w * channels
+
         def _enqueue_rans(tasks: list, tmeta: list, key, raw: bytes,
                           rl: int, cap: int) -> None:
             """Entropy-gated trial enqueue: order-0 byte histogram
             (coding 3) and, on streams large enough to amortize the 8
-            conditional tables, order-1 context rANS (coding 4 — the
-            previous byte's magnitude bucket selects the histogram,
-            winning 4-15% on heteroscedastic grain and prediction-error
-            streams).  H0 lower-bounds the order-0 size and the sampled
-            H1 estimates the context coder, so streams a coder cannot
-            shrink below ``cap`` never reach the pool — at 1080p a
-            wasted rANS pass costs 10-60 ms/frame.  Enqueued tasks run
-            in ONE native threaded call (native.rans_trials), so the
-            trial family scales across host cores like the DEFLATE
-            stage."""
+            conditional tables, ONE context rANS trial — 2D (coding 6,
+            max of the left/up magnitude buckets; wins 2-8% on
+            spatially-correlated prediction error) when its sampled
+            conditional entropy meaningfully beats the horizontal
+            model's, order-1 (coding 4) otherwise.  H0 lower-bounds
+            the order-0 size and the sampled H1/H2 estimate the
+            context coders, so streams a coder cannot shrink below
+            ``cap`` never reach the pool — at 1080p a wasted rANS pass
+            costs 10-60 ms/frame.  Enqueued tasks run in ONE native
+            threaded call (native.rans_trials), so the trial family
+            scales across host cores like the DEFLATE stage."""
             if rl < RANS8_MIN:
                 return
             h0 = native.entropy_bits(raw)
             if h0 * rl / 8.0 + 388 < cap:
                 tasks.append(raw)
-                tmeta.append((key, 3))
+                tmeta.append((key, 3, 0))
             if rl >= RANSC_MIN:
                 h1 = native.cond_entropy_bits(raw)
-                if h1 * rl / 8.0 + 3080 < cap * 1.02:
+                h2 = (native.cond2_entropy_bits(raw, res_stride)
+                      if res_stride < rl else 8.0)
+                if h2 < h1 - 0.04 and h2 * rl / 8.0 + 3084 < cap * 1.02:
                     tasks.append(raw)
-                    tmeta.append((key, 4))
+                    tmeta.append((key, 6, res_stride))
+                elif h1 * rl / 8.0 + 3080 < cap * 1.02:
+                    tasks.append(raw)
+                    tmeta.append((key, 4, 0))
 
         def _pick_rans(cands, rl: int, cap: int):
             """Smallest pooled trial result under ``cap``, as a
-            (coding, bytes, raw_len) section, or None.  Candidates
-            arrive coding-3-first, so ties go to the cheaper-to-decode
-            byte-histogram coder."""
+            (coding, bytes, raw_len[, stride]) section, or None.
+            Candidates arrive coding-3-first, so ties go to the
+            cheaper-to-decode byte-histogram coder."""
             best = None
-            for c, r in cands or []:
+            for c, r, st in cands or []:
                 if len(r) < cap:
-                    best = (c, r, rl)
+                    best = (c, r, rl) if c != 6 else (6, r, rl, st)
                     cap = len(r)
             return best
 
@@ -1292,12 +1302,14 @@ class BlockedEncoder:
                 base_recs.append(rec)
                 _enqueue_rans(rtasks, rmeta, ("u", idx), raw, rl,
                               len(rec) - 10)
-            routs = native.rans_trials(rtasks, [c for _, c in rmeta],
-                                       threads=self.num_threads)
+            routs = native.rans_trials(rtasks,
+                                       [c for _, c, _ in rmeta],
+                                       threads=self.num_threads,
+                                       strides=[s for _, _, s in rmeta])
             rcands: dict = {}
-            for (key, c), r in zip(rmeta, routs):
+            for (key, c, s), r in zip(rmeta, routs):
                 if r is not None:
-                    rcands.setdefault(key, []).append((c, r))
+                    rcands.setdefault(key, []).append((c, r, s))
             best_filt: dict = {}
             for (idx, fid), fz in zip(filt_meta, filt_outs):
                 rl = meta[idx][3]

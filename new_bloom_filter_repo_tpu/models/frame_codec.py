@@ -329,11 +329,15 @@ def encode_keyframe_best(frame: np.ndarray, yuv_info: dict | None = None,
     return best
 
 
-def _best_byte_sec(raw: bytes, zlib_level: int) -> tuple:
+def _best_byte_sec(raw: bytes, zlib_level: int, stride: int = 0) -> tuple:
     """Best coded section for a byte stream: raw vs DEFLATE vs byte
-    rANS vs order-1 context rANS, entropy-gated (the H0/H1 bounds skip
-    coders that cannot beat the current best — see
-    blocked_pipeline._best_rans_sec for the same policy)."""
+    rANS vs context rANS, entropy-gated (the H0/H1 bounds skip coders
+    that cannot beat the current best — see blocked_pipeline's
+    _enqueue_rans for the same policy).  ``stride`` (a raster plane's
+    row pitch in bytes) additionally arms the 2D-context coder
+    (coding 6); when its sampled conditional entropy meaningfully
+    beats the horizontal model's, it replaces the order-1 trial —
+    same table cost, so one context trial runs either way."""
     from new_bloom_filter_repo_tpu.utils import native
     z = zlib.compress(raw, zlib_level)
     rl = len(raw)
@@ -349,7 +353,13 @@ def _best_byte_sec(raw: bytes, zlib_level: int) -> tuple:
                 best, cost = (3, r8, rl), len(r8)
         if rl >= 16384:
             h1 = native.cond_entropy_bits(raw)
-            if h1 * rl / 8.0 + 3080 < cost * 1.02:
+            h2 = (native.cond2_entropy_bits(raw, stride)
+                  if 0 < stride <= rl else 8.0)
+            if h2 < h1 - 0.04 and h2 * rl / 8.0 + 3084 < cost * 1.02:
+                r2 = native.rans2_encode(raw, stride)
+                if r2 is not None and len(r2) < cost:
+                    best, cost = (6, r2, rl, stride), len(r2)
+            elif h1 * rl / 8.0 + 3080 < cost * 1.02:
                 rc = native.ransc_encode(raw)
                 if rc is not None and len(rc) < cost:
                     best, cost = (4, rc, rl), len(rc)
@@ -394,13 +404,17 @@ def encode_keyframe_s(frame: np.ndarray, yuv_info: dict | None = None,
         buf.write(_U16.pack(len(fmt)))
         buf.write(fmt)
     if flag != 3:
-        _write_section(buf, _best_byte_sec(_flt(frame), zlib_level))
+        fstride = frame.shape[1] * (
+            frame.shape[2] if frame.ndim == 3 else 1)
+        _write_section(buf, _best_byte_sec(_flt(frame), zlib_level,
+                                           stride=fstride))
     if flag in (1, 3):
         for plane in ("y_plane", "u_plane", "v_plane"):
             arr = np.asarray(yuv_info[plane])
             if arr.dtype != np.uint8:
                 return None
-            _write_section(buf, _best_byte_sec(_flt(arr), zlib_level))
+            _write_section(buf, _best_byte_sec(_flt(arr), zlib_level,
+                                               stride=arr.shape[1]))
             buf.write(struct.pack("<II", *arr.shape))
     return buf.getvalue()
 
@@ -727,9 +741,10 @@ def build_blocked_z_record(p: float, n: int, k: float,
 
 
 def _write_section(buf, sec: tuple) -> None:
-    """Serialize a (coding, stored_bytes, raw_len[, bit_prob]) section:
+    """Serialize a (coding, stored_bytes, raw_len[, param]) section:
     <B coding, <I stored_len, [<I raw_len if coding != 0],
-    [<B bit_prob if coding == 2], bytes."""
+    [<B bit_prob if coding == 2], [<I row_stride if coding == 6],
+    bytes."""
     coding, stored, raw_len = sec[0], sec[1], sec[2]
     buf.write(_U8.pack(coding))
     buf.write(_U32.pack(len(stored)))
@@ -737,6 +752,8 @@ def _write_section(buf, sec: tuple) -> None:
         buf.write(_U32.pack(raw_len))
     if coding == 2:
         buf.write(_U8.pack(sec[3]))  # quantized bit probability
+    elif coding == 6:
+        buf.write(_U32.pack(sec[3]))  # raster row pitch in bytes
     buf.write(stored)
 
 
@@ -790,6 +807,15 @@ def _read_section(buf) -> np.ndarray:
         from new_bloom_filter_repo_tpu.utils import native
         raw_len = _U32.unpack(buf.read(4))[0]
         raw = native.ransc_decode(buf.read(stored_len), raw_len)
+        return np.frombuffer(raw, dtype=np.uint8)
+    if coding == 6:
+        from new_bloom_filter_repo_tpu.utils import native
+        raw_len = _U32.unpack(buf.read(4))[0]
+        stride = _U32.unpack(buf.read(4))[0]
+        if not 0 < stride <= raw_len:
+            raise ValueError(
+                f"rANS2 section stride {stride} out of range")
+        raw = native.rans2_decode(buf.read(stored_len), stride, raw_len)
         return np.frombuffer(raw, dtype=np.uint8)
     raise ValueError(f"unknown section coding {coding}")
 

@@ -32,6 +32,7 @@ _has_ransc = False
 _has_rans_trials = False
 _has_unfilter_med = False
 _has_hist = False
+_has_rans2 = False
 
 
 def _build() -> bool:
@@ -133,6 +134,19 @@ def load() -> Optional[ctypes.CDLL]:
             _has_hist = True
         except AttributeError:
             _has_hist = False
+        global _has_rans2
+        try:
+            lib.nbf_rans2_encode.restype = u64
+            lib.nbf_rans2_encode.argtypes = [p8, u64, u64, p8, u64]
+            lib.nbf_rans2_decode.restype = i32
+            lib.nbf_rans2_decode.argtypes = [p8, u64, u64, p8, u64]
+            lib.nbf_rans_trials2.restype = None
+            lib.nbf_rans_trials2.argtypes = [
+                i32, ctypes.POINTER(p8), pu64, pu64,
+                ctypes.POINTER(p8), pu64, pu64, p8, i32]
+            _has_rans2 = True
+        except AttributeError:
+            _has_rans2 = False
         _lib = lib
         return _lib
 
@@ -769,26 +783,185 @@ def ransc_decode(data: bytes, raw_len: int) -> bytes:
     return bytes(out)
 
 
-def rans_trials(buffers, coders, threads: int = 0):
+# ---------------------------------------------------------------------------
+# 2D-context byte rANS (section coding 6; see native/nbf.cpp)
+# ---------------------------------------------------------------------------
+
+
+def _rans2_ctx_array(b: np.ndarray, stride: int) -> np.ndarray:
+    """Per-byte context of a raster plane under the 2D model:
+    max(bucket(left), bucket(up)); zeros outside the plane."""
+    left = np.zeros(b.size, np.uint8)
+    left[1:] = b[:-1]
+    up = np.zeros(b.size, np.uint8)
+    if stride < b.size:
+        up[stride:] = b[:-stride]
+    return np.maximum(_RANSC_CTX_LUT[left], _RANSC_CTX_LUT[up])
+
+
+def rans2_encode(data: bytes, stride: int) -> Optional[bytes]:
+    """2D-context rANS encode of a raster plane with row pitch
+    ``stride`` bytes: [8 x 384-byte tables][stream].  The stronger of
+    the left/up neighbor's magnitude bucket selects the table —
+    prediction error is 2D-correlated, recovering 2-8% over the
+    horizontal-only coder at the same header cost.  Returns None when
+    coding would not fit under the input size plus overhead."""
+    if not data or stride <= 0:
+        return None
+    cap = len(data) + _RANSC_TBL + 16
+    lib = load()
+    if lib is not None and _has_rans2:
+        arr = np.frombuffer(data, np.uint8)
+        out = np.empty(cap, np.uint8)
+        n = lib.nbf_rans2_encode(_as_u8p(arr), len(data), stride,
+                                 _as_u8p(out), cap)
+        return out[:n].tobytes() if n else None
+    b = np.frombuffer(data, np.uint8)
+    ctx = _rans2_ctx_array(b, stride)
+    freqs, starts, tables = [], [], []
+    for c in range(_RANSC_NCTX):
+        sel = b[ctx == c]
+        if sel.size == 0:
+            freqs.append(None)
+            starts.append(None)
+            tables.append(bytes(_RANS8_TBL))
+            continue
+        hist = np.bincount(sel, minlength=256)
+        fr = _rans8_quantize(hist, int(sel.size))
+        if fr is None:
+            return None
+        st, cc = [0] * 256, 0
+        for s in range(256):
+            st[s] = cc
+            cc += fr[s]
+        freqs.append(fr)
+        starts.append(st)
+        tables.append(_rans8_pack_table(fr))
+    buf = bytearray()
+    x = _RANS_L
+    for i in range(len(b) - 1, -1, -1):
+        c = int(ctx[i])
+        s = int(b[i])
+        fr = freqs[c][s]
+        x_max = ((_RANS_L >> _RANS_BITS) << 8) * fr
+        while x >= x_max:
+            buf.append(x & 0xFF)
+            x >>= 8
+        x = ((x // fr) << _RANS_BITS) + (x % fr) + starts[c][s]
+    head = bytes(((x >> (8 * i)) & 0xFF) for i in range(4))
+    out = b"".join(tables) + head + bytes(reversed(buf))
+    return out if len(out) <= cap else None
+
+
+def rans2_decode(data: bytes, stride: int, raw_len: int) -> bytes:
+    if stride <= 0:
+        raise ValueError("rANS2 section stride must be positive")
+    lib = load()
+    if lib is not None and _has_rans2:
+        arr = (np.frombuffer(data, np.uint8) if data
+               else np.zeros(1, np.uint8))
+        out = np.empty(max(1, raw_len), np.uint8)
+        rc = lib.nbf_rans2_decode(_as_u8p(arr), len(data), stride,
+                                  _as_u8p(out), raw_len)
+        if rc != 0:
+            raise ValueError(f"malformed rANS2 section (rc={rc})")
+        return out[:raw_len].tobytes()
+    if len(data) < _RANSC_TBL + 4:
+        raise ValueError("malformed rANS2 section (too short)")
+    freqs, starts, slots, used = [], [], [], []
+    for c in range(_RANSC_NCTX):
+        fr = _rans8_unpack_table(data[c * _RANS8_TBL:(c + 1) * _RANS8_TBL])
+        tot = sum(fr)
+        if tot == _RANS_M:
+            st, cc = [0] * 256, 0
+            s2s = np.empty(_RANS_M, np.uint8)
+            for s in range(256):
+                st[s] = cc
+                s2s[cc:cc + fr[s]] = s
+                cc += fr[s]
+            freqs.append(fr)
+            starts.append(st)
+            slots.append(s2s)
+            used.append(True)
+        elif tot == 0:
+            freqs.append(None)
+            starts.append(None)
+            slots.append(None)
+            used.append(False)
+        else:
+            raise ValueError("malformed rANS2 section (corrupt table)")
+    stream = data[_RANSC_TBL:]
+    x = int.from_bytes(stream[:4], "little")
+    pos = 4
+    out = bytearray()
+    for i in range(raw_len):
+        cl = int(_RANSC_CTX_LUT[out[i - 1]]) if i else 0
+        cu = int(_RANSC_CTX_LUT[out[i - stride]]) if i >= stride else 0
+        c = cl if cl > cu else cu
+        if not used[c]:
+            raise ValueError("malformed rANS2 section (absent context)")
+        slot = x & (_RANS_M - 1)
+        s = int(slots[c][slot])
+        out.append(s)
+        x = freqs[c][s] * (x >> _RANS_BITS) + slot - starts[c][s]
+        while x < _RANS_L:
+            if pos >= len(stream):
+                raise ValueError("malformed rANS2 section (underrun)")
+            x = (x << 8) | stream[pos]
+            pos += 1
+    return bytes(out)
+
+
+def cond2_entropy_bits(data: bytes, stride: int, sample: int = 4) -> float:
+    """Sampled conditional entropy (bits/byte) under the
+    :func:`rans2_encode` 2D context model, for trial gating — the 2D
+    analogue of :func:`cond_entropy_bits` with the same ~32K-pair
+    sample cap."""
+    b = np.frombuffer(data, np.uint8)
+    if b.size < 2 or stride <= 0:
+        return 8.0
+    sample = max(sample, b.size >> 15)
+    idx = np.arange(1, b.size, sample)
+    left = b[idx - 1]
+    up = np.where(idx >= stride, b[np.maximum(idx - stride, 0)], 0)
+    ctx = np.maximum(_RANSC_CTX_LUT[left],
+                     _RANSC_CTX_LUT[up]).astype(np.int32)
+    joint = np.bincount(ctx * 256 + b[idx],
+                        minlength=_RANSC_NCTX * 256).reshape(
+                            _RANSC_NCTX, 256)
+    ns = joint.sum(axis=1)
+    p = joint / np.maximum(ns, 1)[:, None]
+    plogp = np.where(joint > 0, p * np.log2(np.where(p > 0, p, 1.0)),
+                     0.0)
+    return float(-(ns * plogp.sum(axis=1)).sum() / idx.size)
+
+
+def rans_trials(buffers, coders, threads: int = 0, strides=None):
     """Run rANS encodes over independent buffers in the native thread
-    pool: ``coders[i]`` is 3 (byte-histogram) or 4 (order-1 context).
-    Returns a list of Optional[bytes] — None where the coder declined
-    (would not shrink).  Falls back to the serial per-buffer encoders
-    when the pooled symbol is unavailable."""
+    pool: ``coders[i]`` is 3 (byte-histogram), 4 (order-1 context) or
+    6 (2D context; needs ``strides[i]``).  Returns a list of
+    Optional[bytes] — None where the coder declined (would not
+    shrink).  Falls back to the serial per-buffer encoders when the
+    pooled symbol is unavailable."""
     count = len(buffers)
     if count == 0:
         return []
+    if strides is None:
+        strides = [0] * count
     lib = load()
-    if lib is None or not _has_rans_trials:
+    pooled = (lib is not None and _has_rans_trials
+              and (_has_rans2 or 6 not in coders))
+    if not pooled:
         out = []
-        for b, c in zip(buffers, coders):
+        for b, c, st in zip(buffers, coders, strides):
             out.append(rans8_encode(b) if c == 3 else
-                       ransc_encode(b) if c == 4 else None)
+                       ransc_encode(b) if c == 4 else
+                       rans2_encode(b, st) if c == 6 else None)
         return out
     threads = threads or (os.cpu_count() or 1)
     ins = [np.frombuffer(b, np.uint8) if b else np.zeros(1, np.uint8)
            for b in buffers]
-    caps = [len(b) + (_RANSC_TBL if c == 4 else _RANS8_TBL) + 16
+    caps = [len(b) + (_RANSC_TBL if c in (4, 6) else _RANS8_TBL) + 16
             for b, c in zip(buffers, coders)]
     outs = [np.empty(c, np.uint8) for c in caps]
     p8 = ctypes.POINTER(ctypes.c_uint8)
@@ -798,8 +971,13 @@ def rans_trials(buffers, coders, threads: int = 0):
     out_cap = (ctypes.c_uint64 * count)(*caps)
     out_len = (ctypes.c_uint64 * count)()
     coder_arr = np.asarray(coders, np.uint8)
-    lib.nbf_rans_trials(count, in_arr, in_len, out_arr, out_cap,
-                        out_len, _as_u8p(coder_arr), threads)
+    if _has_rans2:
+        stride_arr = (ctypes.c_uint64 * count)(*[int(s) for s in strides])
+        lib.nbf_rans_trials2(count, in_arr, in_len, stride_arr, out_arr,
+                             out_cap, out_len, _as_u8p(coder_arr), threads)
+    else:
+        lib.nbf_rans_trials(count, in_arr, in_len, out_arr, out_cap,
+                            out_len, _as_u8p(coder_arr), threads)
     return [outs[i][: out_len[i]].tobytes() if out_len[i] else None
             for i in range(count)]
 

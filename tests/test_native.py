@@ -211,3 +211,53 @@ class TestEntropyGates:
         out = dec.decode_run(base, recs)
         for a, b in zip(frames, out):
             np.testing.assert_array_equal(a, np.asarray(b))
+
+
+class TestRans2Coder:
+    """2D-context byte rANS (section coding 6)."""
+
+    def _plane(self, seed=0, h=96, w=130):
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:h, 0:w]
+        return ((8 * np.sin(yy / 7) * np.cos(xx / 9))
+                + rng.normal(0, 3, (h, w))).astype(np.int16).astype(
+                    np.uint8)
+
+    def test_roundtrip_and_fallback_bit_identity(self, monkeypatch):
+        plane = self._plane()
+        data, w = plane.tobytes(), plane.shape[1]
+        enc = native.rans2_encode(data, w)
+        assert enc is not None
+        assert native.rans2_decode(enc, w, len(data)) == data
+        monkeypatch.setattr(native, "load", lambda: None)
+        assert native.rans2_encode(data, w) == enc
+        assert native.rans2_decode(enc, w, len(data)) == data
+
+    def test_beats_order1_on_2d_correlated_residuals(self):
+        plane = self._plane(seed=3, h=160, w=200)
+        data, w = plane.tobytes(), plane.shape[1]
+        e2 = native.rans2_encode(data, w)
+        ec = native.ransc_encode(data)
+        assert e2 is not None and ec is not None
+        assert len(e2) < len(ec)
+
+    def test_malformed_and_edge_inputs(self):
+        with pytest.raises(ValueError):
+            native.rans2_decode(b"\x00" * 10, 16, 100)
+        plane = self._plane(seed=1)
+        data, w = plane.tobytes(), plane.shape[1]
+        enc = native.rans2_encode(data, w)
+        with pytest.raises(ValueError):
+            native.rans2_decode(enc[: len(enc) // 2], w, len(data))
+        with pytest.raises(ValueError):
+            native.rans2_decode(enc, 0, len(data))
+        assert native.rans2_encode(b"", 16) is None
+
+    def test_pooled_trials_match_serial(self):
+        plane = self._plane(seed=2)
+        data, w = plane.tobytes(), plane.shape[1]
+        serial = [native.rans8_encode(data), native.ransc_encode(data),
+                  native.rans2_encode(data, w)]
+        pooled = native.rans_trials([data] * 3, [3, 4, 6],
+                                    strides=[0, 0, w])
+        assert pooled == serial
