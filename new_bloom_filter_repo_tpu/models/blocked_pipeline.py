@@ -1066,8 +1066,15 @@ class BlockedEncoder:
             """DPCM bytes vs the motion-predicted previous frame — the
             type-8 trial for dense-mask frames.  ``tag``/``meta``:
             'int' (dy, dx) integer roll, 'hp' (sy, sx) half-pel
-            bilinear, 'tile' (ty, tx, 2) per-tile map
+            bilinear, 'ref' (ref_back, sy, sx) half-pel against an
+            older reference (type-16), 'tile' (ty, tx, 2) per-tile map
             (fc.tile_predict, type-10)."""
+            if tag == "ref":
+                rb, sy, sx = meta
+                ref = np.asarray(frames[j - rb] if j >= rb else base,
+                                 np.uint8)
+                return (np.asarray(frames[j], np.uint8)
+                        - fc.halfpel_predict(ref, sy, sx)).tobytes()
             prev_arr = np.asarray(frames[j - 1] if j > 0 else base,
                                   np.uint8)
             if tag == "hp":
@@ -1138,6 +1145,30 @@ class BlockedEncoder:
                 d = (curr_sub - pred[sub]) & 0xFF
                 return int(np.minimum(d, 256 - d).sum())
 
+            if kind == "key" and by == 0 and bx == 0:
+                # Interpolated motion (a real camera pan) changes EVERY
+                # pixel, so the changed-pixel count the device search
+                # minimizes is flat across shifts and its argmin is
+                # noise — the sub-pel probes below would anchor at
+                # (0, 0) and miss the true shift entirely (the frames
+                # then pay full keyframes).  A coarse wrap-aware
+                # integer SAD search over +-3 px re-anchors them; the
+                # subsampled gather keeps it a few ms even at 1080p,
+                # and it only runs on dense frames whose alternative
+                # is a keyframe-sized record.
+                ys = np.arange(0, h, stride)
+                xs = np.arange(0, w, stride)
+                best_i = None
+                for iy in range(-3, 4):
+                    for ix in range(-3, 4):
+                        ps = prev_arr[(ys - iy) % h][:, (xs - ix) % w]
+                        d = (curr_sub - ps) & 0xFF
+                        c = int(np.minimum(d, 256 - d).sum())
+                        if best_i is None or c < best_i:
+                            best_i, by, bx = c, iy, ix
+                if (by, bx) != (0, 0) and ("int", (by, bx)) not in cands:
+                    cands.append(("int", (by, bx)))
+
             int_sad = None
             best_c, best_s = None, None
             for oy in (-1, 0, 1):
@@ -1151,6 +1182,28 @@ class BlockedEncoder:
                         best_c, best_s = c, (sy, sx)
             if best_c is not None and best_c < 0.995 * int_sad:
                 cands.append(("hp", best_s))
+            # multi-reference probes (type 16): sub-half-pel motion
+            # (fractional pans; chroma planes pan at half the luma
+            # rate) lands BETWEEN half-pel phases frame-to-frame, but
+            # rb frames back the phase step multiplies back onto the
+            # grid and the bilinear prediction matches — the frames
+            # that were keyframing despite the half-pel search (60% of
+            # the pan_subpixel stream's bytes).
+            for rb in (2, 4):
+                if j < rb - 1:
+                    continue
+                ref = np.asarray(frames[j - rb] if j >= rb else base,
+                                 np.uint8)
+                best2_c, best2_s = None, None
+                for oy in (-1, 0, 1):
+                    for ox in (-1, 0, 1):
+                        sy = 2 * rb * by + oy
+                        sx = 2 * rb * bx + ox
+                        c = _sad(fc.halfpel_predict(ref, sy, sx))
+                        if best2_c is None or c < best2_c:
+                            best2_c, best2_s = c, (sy, sx)
+                if best2_c is not None and best2_c < 0.995 * int_sad:
+                    cands.append(("ref", (rb, *best2_s)))
             return cands
 
 
@@ -1404,6 +1457,8 @@ class BlockedEncoder:
             for tag, m, rec in res_trials[j]:
                 if tag == "hp":
                     rec = fc.wrap_motion_hp(m[0], m[1], rec)
+                elif tag == "ref":
+                    rec = fc.wrap_motion_ref(m[0], m[1], m[2], rec)
                 elif tag == "tile":
                     rec = fc.wrap_motion_tiles(tlog, m, rec)
                 elif m != (0, 0):
@@ -1634,11 +1689,13 @@ class BlockedDecoder:
                 rec = fc.parse_blocked_z(payload, off + 1)
             elif rtype == fc.BLOCKED_S:
                 rec = fc.parse_blocked_s(payload, off + 1)
-            elif rtype in fc.RESIDUAL_TYPES:
-                # DPCM residuals reconstruct on host against the
-                # running frame (models/video.py splits device runs
-                # around them) — reaching here means a caller fed
-                # decode_run a record family it cannot chain
+            elif (rtype in fc.RESIDUAL_TYPES
+                  or rtype in (fc.MOTION_HP, fc.TILES, fc.REF_HP)):
+                # DPCM residuals (and their half-pel/tile/multi-ref
+                # wrappers) reconstruct on host against the running
+                # frame (models/video.py splits device runs around
+                # them) — reaching here means a caller fed decode_run
+                # a record family it cannot chain
                 raise ValueError(
                     "residual record routed to blocked decoder "
                     "(host-applied type; split the run around it)")

@@ -119,6 +119,7 @@ BLOCKED_S = 12
 RESIDUAL_S = 13
 RESIDUAL_F = 14
 KEYFRAME_S = 15
+REF_HP = 16
 
 _HDR_III = struct.Struct("<III")
 _U32 = struct.Struct("<I")
@@ -1001,6 +1002,33 @@ def parse_motion(data: bytes):
 def wrap_motion_hp(sy: int, sx: int, inner: bytes) -> bytes:
     """Wrap a residual record with a HALF-PEL motion header (type 9)."""
     return _U8.pack(MOTION_HP) + struct.pack("<hh", sy, sx) + inner
+
+
+def wrap_motion_ref(ref_back: int, sy: int, sx: int,
+                    inner: bytes) -> bytes:
+    """Wrap a residual record with a MULTI-REFERENCE half-pel motion
+    header (type 16): the prediction reads ``ref_back`` frames back
+    (2-7) instead of the immediately previous frame.  Sub-half-pel
+    per-frame motion (slow pans; chroma planes pan at half the luma
+    rate) is invisible to the half-pel grid frame-to-frame, but a
+    longer temporal baseline doubles/triples the phase step back onto
+    it — the multi-reference idea of H.264's reference picture lists.
+    Layout: <B 16, <B ref_back, <hh sy sx (half-pel units), inner."""
+    if not 2 <= ref_back <= 7:
+        raise ValueError(f"ref_back {ref_back} outside [2, 7]")
+    return (_U8.pack(REF_HP) + _U8.pack(ref_back)
+            + struct.pack("<hh", sy, sx) + inner)
+
+
+def parse_motion_ref(data: bytes):
+    """Returns (ref_back, sy, sx, inner_offset) of a type-16 record."""
+    if len(data) < 6:
+        raise ValueError("truncated multi-reference motion record")
+    ref_back = data[1]
+    if not 2 <= ref_back <= 7:
+        raise ValueError(f"ref_back {ref_back} outside [2, 7]")
+    sy, sx = struct.unpack_from("<hh", data, 2)
+    return ref_back, sy, sx, 6
 
 
 def wrap_motion_tiles(tlog: int, tshifts: np.ndarray, inner: bytes,

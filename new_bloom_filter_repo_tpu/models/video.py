@@ -735,6 +735,11 @@ class ImprovedVideoCompressor:
                 if len(payload) <= 5:
                     raise ValueError("truncated motion record")
                 return payload[5]
+            if t == fc.REF_HP:
+                if len(payload) <= 6:
+                    raise ValueError(
+                        "truncated multi-reference motion record")
+                return payload[6]
             if t == fc.TILES:
                 _, _, off = fc.parse_motion_tiles(payload)
                 if len(payload) <= off:
@@ -753,6 +758,10 @@ class ImprovedVideoCompressor:
         prev: Optional[np.ndarray] = None
         prev_info: Optional[dict] = None
 
+        # short reconstruction history for multi-reference (type 16)
+        # prediction; hist[-1] is always `prev`
+        hist: List[np.ndarray] = []
+
         def _advance(frame):
             """Chain bookkeeping shared by the run and residual paths:
             update prev/prev_info (planes rebuilt at the native geometry
@@ -761,6 +770,8 @@ class ImprovedVideoCompressor:
             their exact inverse) and append the output frame."""
             nonlocal prev, prev_info
             prev = frame
+            hist.append(frame)
+            del hist[:-7]
             if prev_info is None:
                 frames.append(prev)
                 return
@@ -799,6 +810,8 @@ class ImprovedVideoCompressor:
                     frame, info = fc.decode_keyframe(payloads[i],
                                                      offset=1)
                 prev, prev_info = np.asarray(frame), _copy_info(info)
+                hist.append(prev)
+                del hist[:-7]
                 frames.append(YUVFrame(prev, _copy_info(prev_info))
                               if prev_info is not None else prev)
                 i += 1
@@ -806,14 +819,16 @@ class ImprovedVideoCompressor:
             if rtype not in (fc.INTERFRAME, fc.EMPTY, fc.BLOCKED,
                              fc.SPARSE, fc.BLOCKED_Z, fc.BLOCKED_S,
                              fc.MOTION, fc.RESIDUAL, fc.RESIDUAL_S,
-                             fc.RESIDUAL_F, fc.MOTION_HP, fc.TILES):
+                             fc.RESIDUAL_F, fc.MOTION_HP, fc.TILES,
+                             fc.REF_HP):
                 raise ValueError(f"Unknown frame type: {rtype}")
             if prev is None:
                 raise ValueError("inter-frame record before any keyframe")
-            if rtype in (fc.MOTION_HP, fc.TILES) and \
+            if rtype in (fc.MOTION_HP, fc.TILES, fc.REF_HP) and \
                     _inner_type(payloads[i]) not in fc.RESIDUAL_TYPES:
                 raise ValueError(
-                    "half-pel/tile wrapper on non-residual record")
+                    "half-pel/tile/multi-ref wrapper on non-residual "
+                    "record")
             if _inner_type(payloads[i]) in fc.RESIDUAL_TYPES:
                 payload = payloads[i]
                 byte_domain = (prev.dtype != np.uint8
@@ -829,6 +844,24 @@ class ImprovedVideoCompressor:
                                                      prev.shape)
                     pred = fc.tile_predict(prev, tshifts, tlog)
                     frame = fc.apply_residual(pred, residual)
+                    _advance(frame)
+                    i += 1
+                    continue
+                if rtype == fc.REF_HP:
+                    # multi-reference half-pel prediction (uint8 channel
+                    # content only, like the half-pel wrapper)
+                    if byte_domain:
+                        raise ValueError(
+                            "multi-ref wrapper on byte-domain stream")
+                    rb, sy, sx, off = fc.parse_motion_ref(payload)
+                    if rb > len(hist):
+                        raise ValueError(
+                            f"multi-ref record needs {rb} frames of "
+                            f"history, have {len(hist)}")
+                    residual = fc.parse_residual_any(payload, off,
+                                                     prev.shape)
+                    frame = fc.apply_residual(hist[-rb], residual,
+                                              sy, sx, halfpel=True)
                     _advance(frame)
                     i += 1
                     continue

@@ -1023,3 +1023,73 @@ class TestSectionedKeyframes:
         assert types[fc.KEYFRAME_S] >= 1, dict(types)
         dec = comp.decompress_video(p)
         assert verify_lossless(frames, dec)["lossless"]
+
+
+class TestMultiReference:
+    """Type-16 multi-reference half-pel residuals: sub-half-pel motion
+    (slow pans, chroma planes at half the luma rate) is invisible to
+    the half-pel grid frame-to-frame; a 2- or 4-frame baseline lands
+    back on it (frame_codec.wrap_motion_ref)."""
+
+    def _qpel_frames(self, n=14, h=96, w=128, seed=0):
+        rng = np.random.default_rng(seed)
+        src = rng.integers(0, 256, (h + 8, w + 8), np.uint8).astype(
+            np.float64)
+        frames = []
+        for i in range(n):
+            sh = 0.25 * i
+            i0, ph = int(sh), 0.25 * i - int(sh)
+            a = src[2:2 + h, 2 + i0:2 + i0 + w]
+            b = src[2:2 + h, 3 + i0:3 + i0 + w]
+            plane = np.round(a * (1 - ph) + b * ph).astype(np.uint8)
+            frames.append(np.stack([plane] * 3, axis=-1))
+        return frames
+
+    def test_quarter_pel_pan_emits_ref_records_and_roundtrips(
+            self, tmp_path):
+        frames = self._qpel_frames()
+        comp = ImprovedVideoCompressor(verbose=False,
+                                       keyframe_interval=30)
+        p = str(tmp_path / "qpel.bfvc")
+        res = comp.compress_video(frames, p)
+        _, payloads = container.read_bfvc(p)
+        types = Counter(x[0] for x in payloads)
+        assert types[fc.REF_HP] >= 3, dict(types)
+        dec = comp.decompress_video(p)
+        assert verify_lossless(frames, dec)["lossless"]
+        # multi-ref prediction must beat what keyframes would cost
+        assert res["compression_ratio"] < 0.6
+
+    def test_corrupt_ref_depth_raises(self, tmp_path):
+        frames = self._qpel_frames()
+        comp = ImprovedVideoCompressor(verbose=False,
+                                       keyframe_interval=30)
+        p = str(tmp_path / "qpel.bfvc")
+        comp.compress_video(frames, p)
+        _, payloads = container.read_bfvc(p)
+        idx = next(i for i, x in enumerate(payloads)
+                   if x[0] == fc.REF_HP)
+        bad = bytearray(payloads[idx])
+        bad[1] = 99  # ref_back outside [2, 7]
+        payloads[idx] = bytes(bad)
+        p2 = str(tmp_path / "bad.bfvc")
+        container.write_bfvc(p2, payloads, container.MAGIC_BLOOM)
+        with pytest.raises(ValueError):
+            comp.decompress_video(p2)
+
+    def test_ref_depth_beyond_history_raises(self, tmp_path):
+        frames = self._qpel_frames()
+        comp = ImprovedVideoCompressor(verbose=False,
+                                       keyframe_interval=30)
+        p = str(tmp_path / "qpel.bfvc")
+        comp.compress_video(frames, p)
+        _, payloads = container.read_bfvc(p)
+        idx = next(i for i, x in enumerate(payloads)
+                   if x[0] == fc.REF_HP)
+        # a type-16 record right after the keyframe has 1 frame of
+        # history; any ref_back >= 2 must fail loudly
+        moved = [payloads[0], payloads[idx]]
+        p3 = str(tmp_path / "early.bfvc")
+        container.write_bfvc(p3, moved, container.MAGIC_BLOOM)
+        with pytest.raises(ValueError, match="history"):
+            comp.decompress_video(p3)
