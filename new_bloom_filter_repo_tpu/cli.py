@@ -179,6 +179,13 @@ def main(argv=None):
                     help="Multi-chip: 'auto' or a chip count")
     ps.add_argument("--verbose", action="store_true")
 
+    pq = sub.add_parser(
+        "analyze-stream",
+        help="Attribute a .bfvc's bytes by record type / section coding")
+    pq.add_argument("input", help=".bfvc file")
+    pq.add_argument("--json", action="store_true",
+                    help="Machine-readable output")
+
     pa = sub.add_parser("analyze", help="Analyze noise vs compression")
     pa.add_argument("output", help="Output directory")
     pa.add_argument("--frames", type=int, default=90)
@@ -264,6 +271,24 @@ def main(argv=None):
         if v["exact_lossless"]:
             print("Perfect bit-exact reconstruction achieved")
         return 0 if v["lossless"] else 1
+
+    if args.action == "analyze-stream":
+        import json as _json
+
+        from new_bloom_filter_repo_tpu.utils import container, streaminfo
+        magic, payloads = container.read_bfvc(args.input)
+        # planar streams: skip the plane-count header, attribute the
+        # per-plane records themselves
+        body = (payloads[1:] if payloads
+                and payloads[0][:1] == bytes([5]) else payloads)
+        info = streaminfo.attribute_stream(body)
+        if args.json:
+            print(_json.dumps({"path": args.input,
+                               "magic": magic.decode("ascii", "replace"),
+                               **info}))
+        else:
+            print(streaminfo.format_report(args.input, magic, info))
+        return 0
 
     if args.action == "analyze":
         comp = ImprovedVideoCompressor(use_direct_yuv=args.use_direct_yuv,

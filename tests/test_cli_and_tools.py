@@ -82,6 +82,35 @@ class TestCLI:
         assert "Noise Analysis Summary" in out
         assert "Tested 2 noise levels" in out
 
+    def test_analyze_stream_subcommand(self, tmp_path, capsys):
+        import json as _json
+
+        import numpy as np
+        from new_bloom_filter_repo_tpu.models.video import (
+            ImprovedVideoCompressor)
+        rng = np.random.default_rng(0)
+        base = rng.integers(0, 220, (48, 64, 3), np.uint8)
+        frames = []
+        for i in range(6):
+            f = base.copy()
+            nm = rng.random((48, 64)) < 0.04
+            f[nm] = rng.integers(0, 256, (int(nm.sum()), 3))
+            frames.append(f)
+        comp = ImprovedVideoCompressor(verbose=False)
+        bfvc = str(tmp_path / "clip.bfvc")
+        comp.compress_video(frames, bfvc)
+        rc = cli.main(["analyze-stream", bfvc])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "record type" in out and "keyframe" in out
+        rc = cli.main(["analyze-stream", bfvc, "--json"])
+        info = _json.loads(capsys.readouterr().out)
+        assert rc == 0
+        assert info["total_bytes"] > 0
+        assert sum(r["count"] for r in info["records"].values()) == 6
+        assert abs(sum(r["share"] for r in info["records"].values())
+                   - 1.0) < 0.01
+
     def test_no_action_prints_help(self, capsys):
         assert cli.main([]) == 0
         assert "compress" in capsys.readouterr().out
