@@ -51,6 +51,18 @@ FRAMES = 121           # 1 base + 120-frame device batch (RTT amortizes)
 E2E_FRAMES = 16
 H, W = 1080, 1920
 
+# CPU-fallback mode (NBF_BENCH_FALLBACK=1): the axon TPU tunnel on this
+# dev rig has outage windows where backend init hangs for tens of
+# minutes; main() probes it in a subprocess and re-execs CPU-only so a
+# bench artifact is always produced (clearly marked platform=cpu,
+# tpu_fallback=true).  CPU interpret-mode kernels are ~3 orders slower
+# at 1080p, so the fallback shrinks the batch; metric semantics are
+# unchanged.
+_FALLBACK = os.environ.get("NBF_BENCH_FALLBACK") == "1"
+if _FALLBACK:
+    FRAMES = 17
+    E2E_FRAMES = 8
+
 
 def make_clip(n_frames=FRAMES, h=H, w=W, seed=0):
     """Static camera scene: textured background, moving object, sparse
@@ -270,8 +282,35 @@ def main():
             1.0 / max(1.0 / max(codec_fps, 1e-9), dec_host_s), 2),
         "host_stage_ms_per_frame": host_detail,
     }
+    if _FALLBACK:
+        out["tpu_fallback"] = True
+        out["note"] = ("TPU tunnel unavailable at bench time; CPU-only "
+                       "run with a reduced batch (codec fps is NOT a "
+                       "TPU number — see RESULTS.md for the TPU "
+                       "headline)")
     print(json.dumps(out))
 
 
+def _tpu_usable(timeout_s: float = 180.0) -> bool:
+    """Probe backend init in a subprocess: axon tunnel outages HANG
+    jax.devices() (or fail after ~25 min of plugin retries), which
+    would eat the whole bench budget."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return False
+    return r.returncode == 0 and "cpu" not in r.stdout.strip().lower()
+
+
 if __name__ == "__main__":
+    if not _FALLBACK and not _tpu_usable():
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   NBF_BENCH_FALLBACK="1")
+        env.pop("PALLAS_AXON_POOL_IPS", None)  # sitecustomize pin
+        os.execve(sys.executable,
+                  [sys.executable, os.path.abspath(__file__)], env)
     main()
