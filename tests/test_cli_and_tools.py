@@ -275,3 +275,42 @@ def test_synthetic_y4m_suite(tmp_path):
     frames, params = read_y4m(paths[0])
     assert len(frames) == 6
     assert params["width"] == 64 and params["height"] == 48
+
+
+class TestBenchContract:
+    """bench.py's JSON line is a driver artifact: its schema must not
+    drift.  Heavy stages are stubbed; this checks wiring and keys."""
+
+    def test_bench_json_schema(self, monkeypatch, capsys):
+        import importlib
+        import json as _json
+        import sys as _sys
+        _sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        bench = importlib.import_module("bench")
+        monkeypatch.setattr(bench, "make_clip",
+                            lambda *a, **k: [None] * 3)
+        monkeypatch.setattr(bench, "_device_codec_fps",
+                            lambda frames: (500.0, True))
+        monkeypatch.setattr(
+            bench, "_e2e_fps",
+            lambda frames: (1.0, 1.0, 1.0, 0.25, 0.75, True))
+        monkeypatch.setattr(
+            bench, "_host_stage_seconds",
+            lambda frames: (0.010, 0.004, {"enc_deflate": 7.0}))
+        import types
+        monkeypatch.setitem(
+            _sys.modules, "jax",
+            types.SimpleNamespace(default_backend=lambda: "stub"))
+        bench.main()
+        out = _json.loads(capsys.readouterr().out)
+        for key in ("metric", "value", "unit", "vs_baseline", "platform",
+                    "lossless", "compression_ratio",
+                    "transfer_bound_e2e_fps", "host_stage_fps",
+                    "production_pipeline_fps", "production_encode_fps",
+                    "production_decode_fps", "host_stage_ms_per_frame"):
+            assert key in out, key
+        assert out["value"] == 500.0 and out["lossless"] is True
+        # device 500 fps, host 14 ms/f combined -> host-bound
+        assert abs(out["production_pipeline_fps"] - 1 / 0.014) < 0.5
+        assert abs(out["production_encode_fps"] - 100.0) < 0.5
