@@ -886,6 +886,50 @@ void nbf_witness_popcounts(const uint8_t* wit, uint64_t rows,
   }
 }
 
+// Witness bit packing (section coding 7): concatenate the first
+// bits[b] bits of each byte-aligned row into one contiguous MSB-first
+// bit stream, dropping the per-block byte padding (~17% of witness
+// section bytes on sparse-change content) so the binary rANS coder
+// sees the pure iid-biased bits.  Returns packed byte count.
+uint64_t nbf_bitpack_rows(const uint8_t* rows, uint64_t nrows,
+                          uint64_t stride, const int32_t* bits,
+                          uint8_t* out) {
+  uint64_t obit = 0;
+  for (uint64_t r = 0; r < nrows; ++r) {
+    const uint8_t* row = rows + r * stride;
+    int nb = bits[r];
+    for (int i = 0; i < nb; ++i) {
+      uint8_t bit = (row[i >> 3] >> (7 - (i & 7))) & 1;
+      if ((obit & 7) == 0) out[obit >> 3] = 0;
+      out[obit >> 3] |= (uint8_t)(bit << (7 - (obit & 7)));
+      ++obit;
+    }
+  }
+  return (obit + 7) >> 3;
+}
+
+// Inverse: split a packed bit stream back into zero-padded byte-
+// aligned rows.  Returns 0 ok / 1 when the stream is too short.
+int nbf_bitunpack_rows(const uint8_t* in, uint64_t inlen, uint64_t nrows,
+                       uint64_t stride, const int32_t* bits,
+                       uint8_t* out) {
+  uint64_t need = 0;
+  for (uint64_t r = 0; r < nrows; ++r) need += (uint64_t)bits[r];
+  if (inlen * 8 < need) return 1;
+  memset(out, 0, nrows * stride);
+  uint64_t ibit = 0;
+  for (uint64_t r = 0; r < nrows; ++r) {
+    uint8_t* row = out + r * stride;
+    int nb = bits[r];
+    for (int i = 0; i < nb; ++i) {
+      uint8_t bit = (in[ibit >> 3] >> (7 - (ibit & 7))) & 1;
+      row[i >> 3] |= (uint8_t)(bit << (7 - (i & 7)));
+      ++ibit;
+    }
+  }
+  return 0;
+}
+
 // Byte histogram (256 bins) — feeds the encoder's entropy gates
 // (order-0 entropy, DEFLATE-unwinnable test, bit density).  4-way
 // split counters break the store-to-load dependency on repeated

@@ -866,6 +866,11 @@ class BlockedEncoder:
         # of this format reads both; NBF_MOTION=0 / motion=False pins
         # the co-located diff (byte-identical to older encodes).
         self.motion = motion and os.environ.get("NBF_MOTION", "1") == "1"
+        # NBF_WITNESS_PACK=0 pins byte-padded witness sections
+        # (codings 0-2) — streams then stay representable in the raw
+        # type-3 layout for cross-version tooling
+        self.witness_pack = os.environ.get("NBF_WITNESS_PACK",
+                                           "1") == "1"
         self.dispatch = (_MeshDispatch(mesh)
                          if mesh is not None and mesh.size > 1 else None)
 
@@ -1522,6 +1527,22 @@ class BlockedEncoder:
             bsec = _sec(bm_bytes[j], bz_idx[j])
             wsec = _sec(wit_bytes[j], wz_idx[j])
             wbits = int(wcnt[j].sum())
+            # coding-7 witness candidate: strip the per-block byte
+            # padding (~17% of witness bytes on sparse-change content)
+            # and binary-rANS the pure bit stream; the decoder re-pads
+            # from its own membership counts, so only the packed byte
+            # count travels.  Beats the DEFLATE-of-padded-rows trial,
+            # whose only edge WAS the padding structure.
+            if wbits and self.witness_pack:
+                packed = native.bitpack_rows(wit[j], wcnt[j])
+                prob = native.rans_bit_prob(packed)
+                if prob <= 100 or prob >= 156:
+                    r = native.rans_encode(packed, prob)
+                    if r is not None:
+                        w7 = (7, r, len(packed), prob)
+                        if (fc._sec_stored_cost(w7)
+                                < fc._sec_stored_cost(wsec)):
+                            wsec = w7
             if vsec[0] != 1:
                 emit(j, fc.build_blocked_s_record(
                     p, n, ks[j], m * nb, wbits, bsec, wsec, vsec))
@@ -1657,6 +1678,7 @@ class BlockedDecoder:
         tlo = np.zeros(f, np.uint32)
         raw_mask = np.zeros((f, nbk, bk.IPB), np.uint8)
         wit_streams: List[Optional[bytes]] = [None] * f
+        wit_packed = [False] * f  # coding-7: bit-packed, re-pad below
         value_streams: List[Optional[np.ndarray]] = [None] * f
 
         shifts = np.zeros((f, 2), np.int32)
@@ -1734,6 +1756,7 @@ class BlockedDecoder:
             thi[j] = a_hi
             tlo[j] = a_lo
             wit_streams[j] = rec["witness_bytes"].tobytes()
+            wit_packed[j] = bool(rec.get("witness_packed"))
 
         if stage_times is not None:
             stage_times["dec_parse"] = (
@@ -1775,9 +1798,14 @@ class BlockedDecoder:
                 if flags[j]:
                     block_counts[j] = raw_mask[j].sum(axis=1)
                 continue
-            seg_lens = ((wcnt[j] + 7) // 8).astype(np.uint32)
             buf = np.frombuffer(wit_streams[j], dtype=np.uint8)
-            native.pad_rows(buf, nbk, bk.WIT_BYTES, seg_lens, out=wit[j])
+            if wit_packed[j]:
+                wit[j] = native.bitunpack_rows(wit_streams[j], nbk,
+                                               bk.WIT_BYTES, wcnt[j])
+            else:
+                seg_lens = ((wcnt[j] + 7) // 8).astype(np.uint32)
+                native.pad_rows(buf, nbk, bk.WIT_BYTES, seg_lens,
+                                out=wit[j])
             block_counts[j] = native.witness_popcounts(wit[j], wcnt[j])
 
         vh = _vh_bucket(int(block_counts.max()) if block_counts.size else 1)

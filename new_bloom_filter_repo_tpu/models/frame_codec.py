@@ -751,11 +751,20 @@ def _write_section(buf, sec: tuple) -> None:
     buf.write(_U32.pack(len(stored)))
     if coding:
         buf.write(_U32.pack(raw_len))
-    if coding == 2:
+    if coding in (2, 7):
         buf.write(_U8.pack(sec[3]))  # quantized bit probability
     elif coding == 6:
         buf.write(_U32.pack(sec[3]))  # raster row pitch in bytes
     buf.write(stored)
+
+
+def _sec_stored_cost(sec: tuple) -> int:
+    """Serialized byte cost of a (coding, stored, raw_len[, param])
+    section under :func:`_write_section`'s layout."""
+    coding, stored = sec[0], sec[1]
+    return (5 + (4 if coding else 0)
+            + (1 if coding in (2, 7) else 4 if coding == 6 else 0)
+            + len(stored))
 
 
 def build_blocked_s_record(p: float, n: int, k: float,
@@ -818,7 +827,33 @@ def _read_section(buf) -> np.ndarray:
                 f"rANS2 section stride {stride} out of range")
         raw = native.rans2_decode(buf.read(stored_len), stride, raw_len)
         return np.frombuffer(raw, dtype=np.uint8)
+    if coding == 7:
+        raise ValueError(
+            "coding 7 (bit-packed witness) is only valid in a blocked "
+            "record's witness position")
     raise ValueError(f"unknown section coding {coding}")
+
+
+def _read_witness_section(buf) -> tuple:
+    """Witness-position section read: like :func:`_read_section` but
+    also accepts coding 7 (bit-packed binary rANS: the per-block byte
+    padding is stripped; the DECODER re-pads from its membership
+    counts).  Returns (bytes_array, packed_flag)."""
+    pos = buf.tell()
+    coding = buf.read(1)
+    if not coding:
+        raise ValueError("truncated section header")
+    if coding[0] != 7:
+        buf.seek(pos)
+        return _read_section(buf), False
+    from new_bloom_filter_repo_tpu.utils import native
+    stored_len = _U32.unpack(buf.read(4))[0]
+    raw_len = _U32.unpack(buf.read(4))[0]
+    prob = _U8.unpack(buf.read(1))[0]
+    if not 1 <= prob <= 255:
+        raise ValueError(f"rANS section probability {prob} out of range")
+    raw = native.rans_decode(buf.read(stored_len), prob, raw_len)
+    return np.frombuffer(raw, dtype=np.uint8), True
 
 
 def parse_blocked_z(data: bytes, offset: int = 0) -> dict:
@@ -833,7 +868,7 @@ def parse_blocked_z(data: bytes, offset: int = 0) -> dict:
     out["bitmap_bits"] = _U32.unpack(buf.read(4))[0]
     out["witness_bits"] = _U32.unpack(buf.read(4))[0]
     out["bitmap_bytes"] = _read_section(buf)
-    out["witness_bytes"] = _read_section(buf)
+    out["witness_bytes"], out["witness_packed"] = _read_witness_section(buf)
     vz_len = _U32.unpack(buf.read(4))[0]
     out["values_count"] = _U32.unpack(buf.read(4))[0]
     out["values"] = np.frombuffer(
@@ -854,7 +889,7 @@ def parse_blocked_s(data: bytes, offset: int = 0) -> dict:
     out["bitmap_bits"] = _U32.unpack(buf.read(4))[0]
     out["witness_bits"] = _U32.unpack(buf.read(4))[0]
     out["bitmap_bytes"] = _read_section(buf)
-    out["witness_bytes"] = _read_section(buf)
+    out["witness_bytes"], out["witness_packed"] = _read_witness_section(buf)
     out["values"] = _read_section(buf)
     out["values_count"] = out["values"].size
     return out

@@ -33,6 +33,7 @@ _has_rans_trials = False
 _has_unfilter_med = False
 _has_hist = False
 _has_rans2 = False
+_has_bitpack = False
 
 
 def _build() -> bool:
@@ -134,6 +135,16 @@ def load() -> Optional[ctypes.CDLL]:
             _has_hist = True
         except AttributeError:
             _has_hist = False
+        global _has_bitpack
+        try:
+            lib.nbf_bitpack_rows.restype = u64
+            lib.nbf_bitpack_rows.argtypes = [p8, u64, u64, pi32, p8]
+            lib.nbf_bitunpack_rows.restype = i32
+            lib.nbf_bitunpack_rows.argtypes = [p8, u64, u64, u64, pi32,
+                                               p8]
+            _has_bitpack = True
+        except AttributeError:
+            _has_bitpack = False
         global _has_rans2
         try:
             lib.nbf_rans2_encode.restype = u64
@@ -364,6 +375,61 @@ def unpack_subfilters(bitmap: np.ndarray, nb: int, m: int,
          | (by[:, 2::4].astype(np.uint32) << 8)
          | by[:, 3::4].astype(np.uint32))
     return u.view(np.int32)
+
+
+def bitpack_rows(rows: np.ndarray, bits: np.ndarray) -> bytes:
+    """Concatenate the first ``bits[r]`` bits of each byte-aligned row
+    (MSB-first) into one contiguous bit stream — drops the per-block
+    byte padding of witness sections (coding 7)."""
+    rows = np.ascontiguousarray(rows, np.uint8)
+    bits = np.ascontiguousarray(bits, np.int32)
+    nrows, stride = rows.shape
+    if bits.size != nrows:
+        raise ValueError("bits length must match row count")
+    if bits.size and (int(bits.max()) > stride * 8 or int(bits.min()) < 0):
+        raise ValueError("row bit length exceeds stride")
+    lib = load()
+    if lib is not None and _has_bitpack:
+        out = np.empty((int(bits.sum()) + 7) // 8 + 1, np.uint8)
+        n = lib.nbf_bitpack_rows(_as_u8p(rows), nrows, stride,
+                                 bits.ctypes.data_as(
+                                     ctypes.POINTER(ctypes.c_int32)),
+                                 _as_u8p(out))
+        return out[:n].tobytes()
+    expanded = np.unpackbits(rows, axis=1)
+    mask = np.arange(stride * 8) < bits[:, None]
+    return np.packbits(expanded[mask]).tobytes()
+
+
+def bitunpack_rows(packed: bytes, nrows: int, stride: int,
+                   bits: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`bitpack_rows`: (nrows, stride) zero-padded
+    byte-aligned rows.  Raises ValueError on a short stream."""
+    bits = np.ascontiguousarray(bits, np.int32)
+    if bits.size != nrows:
+        raise ValueError("bits length must match row count")
+    if bits.size and (int(bits.max()) > stride * 8 or int(bits.min()) < 0):
+        raise ValueError("row bit length exceeds stride")
+    lib = load()
+    if lib is not None and _has_bitpack:
+        arr = (np.frombuffer(packed, np.uint8) if packed
+               else np.zeros(1, np.uint8))
+        out = np.empty((nrows, stride), np.uint8)
+        rc = lib.nbf_bitunpack_rows(
+            _as_u8p(arr), len(packed), nrows, stride,
+            bits.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            _as_u8p(out))
+        if rc != 0:
+            raise ValueError("bit-packed stream shorter than row bits")
+        return out
+    total = int(bits.sum())
+    allbits = np.unpackbits(np.frombuffer(packed, np.uint8))
+    if allbits.size < total:
+        raise ValueError("bit-packed stream shorter than row bits")
+    expanded = np.zeros((nrows, stride * 8), np.uint8)
+    mask = np.arange(stride * 8) < bits[:, None]
+    expanded[mask] = allbits[:total]
+    return np.packbits(expanded, axis=1)
 
 
 # ---------------------------------------------------------------------------

@@ -38,7 +38,8 @@ RECORD_NAMES = {
 }
 
 CODING_NAMES = {0: "raw", 1: "deflate", 2: "binary-rans",
-                3: "byte-rans", 4: "ctx-rans", 6: "2d-rans"}
+                3: "byte-rans", 4: "ctx-rans", 6: "2d-rans",
+                7: "bitpacked-rans"}
 
 _WRAPPERS = (fc.MOTION, fc.MOTION_HP, fc.TILES, fc.REF_HP)
 
@@ -53,7 +54,7 @@ def _skip_section(data: bytes, off: int, out: Dict[str, List[int]]):
     off += 5
     if coding:
         off += 4
-    if coding == 2:
+    if coding in (2, 7):
         off += 1
     elif coding == 6:
         off += 4
@@ -90,6 +91,14 @@ def _walk_codings(payload: bytes, codings: Dict[str, List[int]]):
         pos = body + 20  # <f p, <I n, <f k, <I bitmap/witness bits
         for _ in range(3):
             pos = _skip_section(payload, pos, codings)
+    elif t == fc.BLOCKED_Z:
+        pos = body + 20
+        for _ in range(2):
+            pos = _skip_section(payload, pos, codings)
+        vz = struct.unpack_from("<I", payload, pos)[0]
+        slot = codings.setdefault("deflate", [0, 0])
+        slot[0] += 1
+        slot[1] += vz
     elif t == fc.RESIDUAL_S:
         _skip_section(payload, body, codings)
     elif t == fc.RESIDUAL_F:

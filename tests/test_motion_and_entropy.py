@@ -142,12 +142,22 @@ class TestBlockedZ:
         # entropy-coded blocked layout is live on this content.
         assert inner_types[fc.BLOCKED_Z] + inner_types[fc.BLOCKED_S] > 0
 
-    def test_type7_and_type3_decode_identically(self, pan_streams, tmp_path):
+    def test_type7_and_type3_decode_identically(self, pan_streams,
+                                                 tmp_path, monkeypatch):
         """Rewrite every type-7 record as raw type-3 (the pre-entropy
         layout) and check both streams reconstruct the same frames —
-        the cross-version decode guarantee (VERDICT r2 #3)."""
+        the cross-version decode guarantee (VERDICT r2 #3).  Encoded
+        with NBF_WITNESS_PACK=0: a coding-7 (bit-packed) witness has
+        no raw type-3 representation (the per-block byte boundaries
+        only exist decode-side), so the rewrite scenario pins the
+        byte-padded codings."""
         frames, out = pan_streams
-        payloads = out[True][1]
+        monkeypatch.setenv("NBF_WITNESS_PACK", "0")
+        comp0 = ImprovedVideoCompressor(verbose=False,
+                                        keyframe_interval=30)
+        p0 = str(tmp_path / "padded.bfvc")
+        comp0.compress_video(frames, p0)
+        _, payloads = container.read_bfvc(p0)
         legacy = []
         for p in payloads:
             prefix = b""
@@ -752,11 +762,15 @@ class TestByteRans:
         dec = comp.decompress_video(p)
         assert verify_lossless(frames, dec)["lossless"]
 
-    def test_type12_and_type7_decode_identically(self, tmp_path):
+    def test_type12_and_type7_decode_identically(self, tmp_path,
+                                                  monkeypatch):
         """Rewrite every type-12 record with its value section as
         mandatory DEFLATE (type 7) and check both streams reconstruct
-        the same frames — the cross-version decode guarantee."""
+        the same frames — the cross-version decode guarantee (encoded
+        with NBF_WITNESS_PACK=0: a bit-packed witness has no raw
+        representation)."""
         import zlib
+        monkeypatch.setenv("NBF_WITNESS_PACK", "0")
         rng = np.random.default_rng(8)
         frames = [np.zeros((72, 96), np.uint8)]
         for t in range(9):

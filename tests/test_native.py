@@ -261,3 +261,64 @@ class TestRans2Coder:
         pooled = native.rans_trials([data] * 3, [3, 4, 6],
                                     strides=[0, 0, w])
         assert pooled == serial
+
+
+class TestBitpackWitness:
+    """Coding-7 witness sections: per-block byte padding stripped,
+    binary rANS over the pure bit stream (nbf_bitpack_rows)."""
+
+    def test_pack_roundtrip_and_fallback(self, monkeypatch):
+        rng = np.random.default_rng(5)
+        nrows, stride = 300, 16
+        bits = rng.integers(0, stride * 8 + 1, nrows).astype(np.int32)
+        rows = np.zeros((nrows, stride), np.uint8)
+        for r in range(nrows):
+            nb = int(bits[r])
+            if nb:
+                raw = np.packbits((rng.random(nb) < 0.8).astype(
+                    np.uint8))
+                rows[r, :len(raw)] = raw
+                if nb % 8:
+                    rows[r, (nb - 1) // 8] &= (0xFF << (8 - nb % 8)) & 0xFF
+        packed = native.bitpack_rows(rows, bits)
+        assert len(packed) == (int(bits.sum()) + 7) // 8
+        back = native.bitunpack_rows(packed, nrows, stride, bits)
+        np.testing.assert_array_equal(back, rows)
+        monkeypatch.setattr(native, "load", lambda: None)
+        assert native.bitpack_rows(rows, bits) == packed
+        np.testing.assert_array_equal(
+            native.bitunpack_rows(packed, nrows, stride, bits), rows)
+
+    def test_short_stream_and_bad_lengths_raise(self):
+        bits = np.full(4, 16, np.int32)
+        rows = np.full((4, 4), 0xAA, np.uint8)
+        packed = native.bitpack_rows(rows, bits)
+        with pytest.raises(ValueError):
+            native.bitunpack_rows(packed[:2], 4, 4, bits)
+        with pytest.raises(ValueError):
+            native.bitpack_rows(rows, np.full(4, 99, np.int32))
+
+    def test_coding7_stream_roundtrip(self, tmp_path):
+        """A blocked stream whose witness sections chose coding 7 must
+        decode bit-exactly, and the analyze-stream walker must see the
+        coding."""
+        from new_bloom_filter_repo_tpu.models.video import (
+            ImprovedVideoCompressor)
+        from new_bloom_filter_repo_tpu.utils import container, streaminfo
+        rng = np.random.default_rng(2)
+        base = rng.integers(0, 220, (64, 96, 3), np.uint8)
+        frames = []
+        for i in range(8):
+            f = base.copy()
+            nm = rng.random((64, 96)) < 0.03
+            f[nm] = rng.integers(0, 256, (int(nm.sum()), 3))
+            frames.append(f)
+        comp = ImprovedVideoCompressor(verbose=False)
+        p = str(tmp_path / "w7.bfvc")
+        comp.compress_video(frames, p)
+        rec = comp.decompress_video(p)
+        assert comp.verify_lossless(frames, rec)["lossless"]
+        _, payloads = container.read_bfvc(p)
+        info = streaminfo.attribute_stream(payloads)
+        assert "bitpacked-rans" in info["section_codings"], (
+            info["section_codings"])
