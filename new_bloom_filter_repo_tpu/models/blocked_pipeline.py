@@ -1060,6 +1060,7 @@ class BlockedEncoder:
         val_bytes: List[bytes] = [b""] * f
         bm_bytes: List[Optional[bytes]] = [None] * f
         wit_bytes: List[Optional[bytes]] = [None] * f
+        wit_pk: List[Optional[bytes]] = [None] * f  # coding-7 bit pack
 
         def _add(buf: bytes, lvl: int, bits: bool = False) -> int:
             sections.append(buf)
@@ -1234,6 +1235,8 @@ class BlockedEncoder:
                 seg_lens = (wcnt[j] + 7) // 8
                 wit_bytes[j] = _strip_rows(wit[j], seg_lens).tobytes()
                 wz_idx[j] = _add(wit_bytes[j], 1, bits=True)
+                if self.witness_pack:
+                    wit_pk[j] = native.bitpack_rows(wit[j], wcnt[j])
 
         if stage_times is not None:
             stage_times["enc_host_sections"] = (
@@ -1247,6 +1250,15 @@ class BlockedEncoder:
         zsecs: List[bytes] = [b""] * len(sections)
         skip = [_deflate_unwinnable(s, bf)
                 for s, bf in zip(sections, sec_bits)]
+        # witness sections whose BIT-PACKED form is iid (no structure
+        # beyond the bit bias once the padding is gone) skip their
+        # DEFLATE trial too: the padding structure was the only thing
+        # LZ could exploit, and the coding-7 rANS candidate reaches the
+        # iid floor the padded DEFLATE cannot beat.
+        for j in range(f):
+            if (wit_pk[j] is not None and wz_idx[j] >= 0
+                    and _deflate_unwinnable(wit_pk[j], True)):
+                skip[wz_idx[j]] = True
         for lvl in sorted(set(sec_level)):
             idxs = [i for i, sl in enumerate(sec_level)
                     if sl == lvl and not skip[i]]
@@ -1533,16 +1545,15 @@ class BlockedEncoder:
             # from its own membership counts, so only the packed byte
             # count travels.  Beats the DEFLATE-of-padded-rows trial,
             # whose only edge WAS the padding structure.
-            if wbits and self.witness_pack:
-                packed = native.bitpack_rows(wit[j], wcnt[j])
+            if wbits and wit_pk[j] is not None:
+                packed = wit_pk[j]
                 prob = native.rans_bit_prob(packed)
-                if prob <= 100 or prob >= 156:
-                    r = native.rans_encode(packed, prob)
-                    if r is not None:
-                        w7 = (7, r, len(packed), prob)
-                        if (fc._sec_stored_cost(w7)
-                                < fc._sec_stored_cost(wsec)):
-                            wsec = w7
+                r = native.rans_encode(packed, prob)
+                if r is not None:
+                    w7 = (7, r, len(packed), prob)
+                    if (fc._sec_stored_cost(w7)
+                            < fc._sec_stored_cost(wsec)):
+                        wsec = w7
             if vsec[0] != 1:
                 emit(j, fc.build_blocked_s_record(
                     p, n, ks[j], m * nb, wbits, bsec, wsec, vsec))
