@@ -142,10 +142,11 @@ def _device_codec_fps(frames):
 
         return prog
 
-    def run(stacked, defer=False):
-        # dispatch 1: diff masks + counts (counts pulled, ~120 KB)
-        masks, counts_d, vals = bp._phase_a(stacked, npad=npadk, nb=nbk)
-        counts = jax.device_get(counts_d)
+    def param_math(counts):
+        """Per-chunk host parameter math (the reference float64
+        formulas) from the pulled per-block counts — exactly what the
+        production pipeline does between phase A and the codec
+        dispatch."""
         frame_counts = counts.sum(axis=1)
         m_arr = np.ones(f, np.int32)
         fk_arr = np.zeros(f, np.int32)
@@ -170,28 +171,48 @@ def _device_codec_fps(frames):
         vh = bp._vh_bucket(max_block)
         k_lanes = int(fk_arr.max())
         nw = bk.nw_bucket(int(m_arr.max()))
-        # dispatch 2: the full fused codec + on-device verify
+        return m_arr, thi, tlo, fk_arr, vh, k_lanes, nw
+
+    def codec_dispatch(stacked, masks, vals, params):
+        m_arr, thi, tlo, fk_arr, vh, k_lanes, nw = params
         prog = codec_prog(k_lanes, vh, nw)
-        out = prog(stacked, masks, vals, jnp.asarray(m_arr),
-                   jnp.asarray(thi), jnp.asarray(tlo),
-                   jnp.asarray(fk_arr))
-        return out if defer else jax.device_get(out)
+        return prog(stacked, masks, vals, jnp.asarray(m_arr),
+                    jnp.asarray(thi), jnp.asarray(tlo),
+                    jnp.asarray(fk_arr))
+
+    def run(stacked):
+        # dispatch 1: diff masks + counts (counts pulled, ~120 KB);
+        # dispatch 2: the full fused codec + on-device verify.
+        masks, counts_d, vals = bp._phase_a(stacked, npad=npadk, nb=nbk)
+        params = param_math(jax.device_get(counts_d))
+        return jax.device_get(codec_dispatch(stacked, masks, vals,
+                                             params))
 
     stacked = jax.device_put(np.stack([base] + chunk))
     ok, _ = run(stacked)                            # compile + correctness
     lossless = bool(ok)
-    # Steady-state pipeline: defer each chunk's (ok, checksum) pull until
-    # after the next chunk's dispatches are issued, like the production
-    # multi-chunk flow — round-trip latency overlaps device compute.
+    # Steady-state pipeline, like the production multi-chunk flow: chunk
+    # i+1's phase A is dispatched before chunk i's codec launch, and the
+    # per-rep blocking pull fetches chunk i's counts together with chunk
+    # i-1's (ok, checksum) in ONE device_get — one host<->device round
+    # trip per chunk instead of two, so steady-state cost approaches
+    # max(device compute, link RTT).  The per-chunk host param math
+    # stays in the measured loop, exactly as production runs it.
     reps = 6
     pending = None
     t0 = time.time()
-    for _ in range(reps):
-        out = run(stacked, defer=True)
-        if pending is not None:
-            ok, _ = jax.device_get(pending)
-            lossless = lossless and bool(ok)
-        pending = out
+    pa = bp._phase_a(stacked, npad=npadk, nb=nbk)
+    for i in range(reps):
+        masks, counts_d, vals = pa
+        if pending is None:
+            counts = jax.device_get(counts_d)
+        else:
+            counts, prev = jax.device_get((counts_d, pending))
+            lossless = lossless and bool(prev[0])
+        if i + 1 < reps:
+            pa = bp._phase_a(stacked, npad=npadk, nb=nbk)
+        pending = codec_dispatch(stacked, masks, vals,
+                                 param_math(counts))
     ok, _ = jax.device_get(pending)
     lossless = lossless and bool(ok)
     dt = (time.time() - t0) / reps
