@@ -169,7 +169,9 @@ def _device_codec_fps(frames):
             thi[j] = a_hi
             tlo[j] = a_lo
         vh = bp._vh_bucket(max_block)
-        k_lanes = int(fk_arr.max())
+        # bucketed exactly like production (blocked_pipeline.encode_chunk)
+        # so the bench compiles and times the variant production dispatches
+        k_lanes = bk.k_bucket(int(fk_arr.max()))
         nw = bk.nw_bucket(int(m_arr.max()))
         return m_arr, thi, tlo, fk_arr, vh, k_lanes, nw
 

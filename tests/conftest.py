@@ -29,6 +29,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 if not os.environ.get("NBF_TEST_TPU"):
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
@@ -36,3 +37,44 @@ if not os.environ.get("NBF_TEST_TPU"):
 
 def cpu_devices():
     return jax.devices("cpu")
+
+
+# -- smoke tier (VERDICT r3 #8) ---------------------------------------------
+# `pytest -m smoke` selects one fast, representative test per subsystem —
+# a <60s gate for CI/judge budgets where even the "not slow" tier (~9 min
+# on a 1-core rig) is too much.  Centralized here so the tier is reviewable
+# in one place; each entry is a node-id substring.
+_SMOKE_NODES = (
+    # L0 hashing + native deps
+    "test_xxh64.py::test_scalar_vs_c_library_known_vector",
+    "test_native.py::test_threaded_deflate_inflate_roundtrip",
+    # L1 probabilistic core
+    "test_bloom_oracle.py::test_no_false_negatives_rational",
+    # L2 binary codec (round trip + density pass-through)
+    "test_binary_codec.py::test_passthrough_above_threshold",
+    "test_binary_codec.py::test_low_density_tiny_k",
+    # L3 frame records (reference byte parity)
+    "test_frames_layer.py::TestKeyframeRecords::"
+    "test_untyped_record_matches_reference_bytes",
+    # Pallas kernel layer (host-math property check)
+    "test_blocked_kernels.py::test_excl_prefix_ladder",
+    # L4 public API end-to-end (blocked pipeline round trip)
+    "test_video_api.py::TestImprovedCompressor::test_bloom_mode_roundtrip",
+    # parallelism (dp-sharded bitstream identity)
+    "test_parallel.py::test_blocked_dp_sharding_matches_single_device",
+    # L5 CLI (planar process-yuv: arg parse + raw-YUV ingest + encode)
+    "test_cli_and_tools.py::TestCLI::test_process_yuv_subcommand",
+    # robustness (corrupt streams fail loudly)
+    "test_robustness.py::TestCorruption::test_unknown_record_type_raises",
+    # motion/entropy extensions (header wrap round trip)
+    "test_motion_and_entropy.py::TestMotion::test_motion_header_roundtrip",
+    # HDR ingest (EXR bit-exact)
+    "test_hdr_and_determinism.py::TestEXR::test_float32_roundtrip_bit_exact",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(item.nodeid.startswith(n) or n in item.nodeid
+               for n in _SMOKE_NODES):
+            item.add_marker(pytest.mark.smoke)
