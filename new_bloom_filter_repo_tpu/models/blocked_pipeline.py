@@ -886,12 +886,37 @@ class BlockedEncoder:
                      stacked=None, stage_times: Optional[dict] = None,
                      byte_view: bool = False) -> int:
         """Encode ``frames`` (diffed against base, then chained); append
-        one record per frame to payload_sink.  ``keyframe_fn(j) -> bytes``
-        supplies a keyframe record for scene-cut fallbacks; ``stacked``
-        may carry a pre-uploaded stack_chunk() result.  Returns the
-        number of keyframes emitted.  ``byte_view``: frames are raw
-        bytes of wider-dtype content — half-pel prediction (which
-        averages neighboring samples) is disabled for them.
+        one record per frame to payload_sink.  Returns the number of
+        keyframes emitted.  Serial convenience wrapper over
+        :meth:`encode_chunk_begin` — the pipelined callers
+        (models/video.py) run the returned host phase on a worker
+        thread instead, overlapped with the next chunk's device phase.
+        """
+        payloads, keyframes = self.encode_chunk_begin(
+            base, frames, keyframe_fn, stacked=stacked,
+            stage_times=stage_times, byte_view=byte_view)()
+        payload_sink.extend(payloads)
+        return keyframes
+
+    def encode_chunk_begin(self, base: np.ndarray,
+                           frames: List[np.ndarray], keyframe_fn=None, *,
+                           stacked=None,
+                           stage_times: Optional[dict] = None,
+                           byte_view: bool = False):
+        """DEVICE phase of the chunk encode: phase-A diff/motion
+        kernels, per-frame parameter math from the pulled counts, the
+        fused Bloom-encode dispatch, and the output pull.  Returns a
+        ``finish() -> (payloads, keyframes)`` closure holding the HOST
+        phase (section gathering, entropy trials, record assembly) —
+        pure host CPU over pulled numpy arrays, safe to run on a worker
+        thread while the caller starts the next chunk's device phase
+        (the production pipeline overlap, SURVEY.md §2 PP row).
+
+        ``keyframe_fn(j) -> bytes`` supplies a keyframe record for
+        scene-cut fallbacks; ``stacked`` may carry a pre-uploaded
+        stack_chunk() result.  ``byte_view``: frames are raw bytes of
+        wider-dtype content — half-pel prediction (which averages
+        neighboring samples) is disabled for them.
 
         ``stage_times`` (optional dict) accumulates wall seconds per
         pipeline stage — device dispatch+sync, output pull, host section
@@ -1034,542 +1059,551 @@ class BlockedEncoder:
                 words[:, :nb], wit[:, :nb], wcnt[:, :nb], vseg[:, :nb],
                 vcnt[:, :nb])
 
-        keyframes = 0
-        zl = self.zlib_level
-        # Value streams and DPCM residuals DEFLATE at level 1 when the
-        # level is defaulted: level 6 buys <1% over level 1 on changed-
-        # pixel bytes at 3-5x the CPU (the host pipeline's hot stage),
-        # and the byte-rANS trial recovers the entropy-side difference.
-        # An explicitly-raised level (>= 7) is honored as stated intent.
-        vlvl = zl if zl >= 7 else 1
+        def finish() -> tuple:
+            """HOST phase: section gathering, entropy coding,
+            record assembly.  Runs on pulled numpy arrays (plus
+            rare lazy device pulls for pass-through masks and the
+            per-tile motion search); thread-safe against a
+            concurrent device phase."""
+            payload_sink: List[bytes] = []
+            keyframes = 0
+            zl = self.zlib_level
+            # Value streams and DPCM residuals DEFLATE at level 1 when the
+            # level is defaulted: level 6 buys <1% over level 1 on changed-
+            # pixel bytes at 3-5x the CPU (the host pipeline's hot stage),
+            # and the byte-rANS trial recovers the entropy-side difference.
+            # An explicitly-raised level (>= 7) is honored as stated intent.
+            vlvl = zl if zl >= 7 else 1
 
-        # ---- host section gathering -----------------------------------
-        # Every DEFLATE-able section (value streams, blocked bitmaps,
-        # witness streams, pass-through masks) is collected first and
-        # compressed in ONE native threaded batch (utils/native.py,
-        # num_threads plumbed from the public API) instead of per-record
-        # zlib calls — the host entropy stage is this pipeline's hot
-        # loop once device compute is fast (VERDICT r2 #1/#3).
-        sections: List[bytes] = []
-        sec_level: List[int] = []
-        sec_bits: List[bool] = []
-        vz_idx = [-1] * f
-        bz_idx = [-1] * f
-        wz_idx = [-1] * f
-        res_trials = [[] for _ in range(f)]  # (tag, meta, raw_len, zbytes)
-        val_bytes: List[bytes] = [b""] * f
-        bm_bytes: List[Optional[bytes]] = [None] * f
-        wit_bytes: List[Optional[bytes]] = [None] * f
-        wit_pk: List[Optional[bytes]] = [None] * f  # coding-7 bit pack
+            # ---- host section gathering -----------------------------------
+            # Every DEFLATE-able section (value streams, blocked bitmaps,
+            # witness streams, pass-through masks) is collected first and
+            # compressed in ONE native threaded batch (utils/native.py,
+            # num_threads plumbed from the public API) instead of per-record
+            # zlib calls — the host entropy stage is this pipeline's hot
+            # loop once device compute is fast (VERDICT r2 #1/#3).
+            sections: List[bytes] = []
+            sec_level: List[int] = []
+            sec_bits: List[bool] = []
+            vz_idx = [-1] * f
+            bz_idx = [-1] * f
+            wz_idx = [-1] * f
+            res_trials = [[] for _ in range(f)]  # (tag, meta, raw_len, zbytes)
+            val_bytes: List[bytes] = [b""] * f
+            bm_bytes: List[Optional[bytes]] = [None] * f
+            wit_bytes: List[Optional[bytes]] = [None] * f
+            wit_pk: List[Optional[bytes]] = [None] * f  # coding-7 bit pack
 
-        def _add(buf: bytes, lvl: int, bits: bool = False) -> int:
-            sections.append(buf)
-            sec_level.append(lvl)
-            sec_bits.append(bits)
-            return len(sections) - 1
+            def _add(buf: bytes, lvl: int, bits: bool = False) -> int:
+                sections.append(buf)
+                sec_level.append(lvl)
+                sec_bits.append(bits)
+                return len(sections) - 1
 
-        def _residual(j: int, tag: str, meta) -> bytes:
-            """DPCM bytes vs the motion-predicted previous frame — the
-            type-8 trial for dense-mask frames.  ``tag``/``meta``:
-            'int' (dy, dx) integer roll, 'hp' (sy, sx) half-pel
-            bilinear, 'ref' (ref_back, sy, sx) half-pel against an
-            older reference (type-16), 'tile' (ty, tx, 2) per-tile map
-            (fc.tile_predict, type-10)."""
-            if tag == "ref":
-                rb, sy, sx = meta
-                ref = np.asarray(frames[j - rb] if j >= rb else base,
-                                 np.uint8)
+            def _residual(j: int, tag: str, meta) -> bytes:
+                """DPCM bytes vs the motion-predicted previous frame — the
+                type-8 trial for dense-mask frames.  ``tag``/``meta``:
+                'int' (dy, dx) integer roll, 'hp' (sy, sx) half-pel
+                bilinear, 'ref' (ref_back, sy, sx) half-pel against an
+                older reference (type-16), 'tile' (ty, tx, 2) per-tile map
+                (fc.tile_predict, type-10)."""
+                if tag == "ref":
+                    rb, sy, sx = meta
+                    ref = np.asarray(frames[j - rb] if j >= rb else base,
+                                     np.uint8)
+                    return (np.asarray(frames[j], np.uint8)
+                            - fc.halfpel_predict(ref, sy, sx)).tobytes()
+                prev_arr = np.asarray(frames[j - 1] if j > 0 else base,
+                                      np.uint8)
+                if tag == "hp":
+                    prev_arr = fc.halfpel_predict(prev_arr, *meta)
+                elif tag == "tile":
+                    prev_arr = fc.tile_predict(prev_arr, meta, tlog)
+                elif meta != (0, 0):
+                    prev_arr = np.roll(np.roll(prev_arr, meta[0], axis=0),
+                                       meta[1], axis=1)
                 return (np.asarray(frames[j], np.uint8)
-                        - fc.halfpel_predict(ref, sy, sx)).tobytes()
-            prev_arr = np.asarray(frames[j - 1] if j > 0 else base,
-                                  np.uint8)
-            if tag == "hp":
-                prev_arr = fc.halfpel_predict(prev_arr, *meta)
-            elif tag == "tile":
-                prev_arr = fc.tile_predict(prev_arr, meta, tlog)
-            elif meta != (0, 0):
-                prev_arr = np.roll(np.roll(prev_arr, meta[0], axis=0),
-                                   meta[1], axis=1)
-            return (np.asarray(frames[j], np.uint8)
-                    - prev_arr).tobytes()
+                        - prev_arr).tobytes()
 
-        tile_cache: dict = {}
+            tile_cache: dict = {}
 
-        def tile_shifts_row(j: int) -> Optional[np.ndarray]:
-            """Per-tile shift map for frame j (lazy: ONE device search
-            per chunk, pulled as a tiny (F, ty, tx, 3) summary)."""
-            if "s" not in tile_cache:
-                tile_cache["s"] = np.asarray(jax.device_get(
-                    _tile_motion_best(stacked, tlog=tlog,
-                                      stride=stride)))
-            return choose_tile_shifts(tile_cache["s"][j])
+            def tile_shifts_row(j: int) -> Optional[np.ndarray]:
+                """Per-tile shift map for frame j (lazy: ONE device search
+                per chunk, pulled as a tiny (F, ty, tx, 3) summary)."""
+                if "s" not in tile_cache:
+                    tile_cache["s"] = np.asarray(jax.device_get(
+                        _tile_motion_best(stacked, tlog=tlog,
+                                          stride=stride)))
+                return choose_tile_shifts(tile_cache["s"][j])
 
-        def _res_candidates(j: int):
-            """Prediction candidates for the residual trials, as
-            (tag, meta) pairs: the accepted mask shift, the
-            unconditional search argmin, the per-tile map (when any
-            tile clears its margin — zoom/rotation content), and — when
-            real global motion is present on direct uint8 content — the
-            best half-pel refinement around the argmin (a fractional
-            pan re-mixes every pixel, so the integer-roll residual is
-            large while the bilinear half-pel residual is near-noise).
-            Every candidate competes by final record size only."""
-            cands = [("int", (int(shifts[j, 0]), int(shifts[j, 1])))]
-            by, bx = int(best_shifts[j, 0]), int(best_shifts[j, 1])
-            if ("int", (by, bx)) not in cands:
-                cands.append(("int", (by, bx)))
-            if byte_view or not self.motion:
-                return cands
-            if min(h, w) >= (1 << tlog):
-                tsh = tile_shifts_row(j)
-                if tsh is not None and tsh.any():
-                    cands.append(("tile", tsh))
-            if by == 0 and bx == 0 and kinds[j] != "key":
-                # zero integer argmin on a non-dense frame: sub-half-
-                # pixel motion cannot be what made the mask cheap, so
-                # skip the half-pel probes.  Dense (key-kind) frames DO
-                # search the 8 half-pel neighbors of zero: slow pans
-                # (< 0.5 px/frame, e.g. chroma planes at half the luma
-                # rate) round to integer zero while a (0, 1) half-pel
-                # prediction collapses the residual — these frames were
-                # about to pay a full keyframe, which dwarfs the probe
-                # cost.
-                return cands
-            curr = np.asarray(frames[j], np.uint8)
-            prev_arr = np.asarray(frames[j - 1] if j > 0 else base,
-                                  np.uint8)
-            sub = (slice(None, None, stride),
-                   slice(None, None, stride))
-            curr_sub = curr[sub].astype(np.int16)
-
-            def _sad(pred: np.ndarray) -> int:
-                # wrap-aware subsampled SAD: |curr - pred| mod 256 with
-                # ±128 folding — tracks DPCM coded size far better than
-                # changed-pixel count on fractional-motion content,
-                # where bilinear prediction leaves near-zero (but
-                # nonzero) error everywhere and counts barely move.
-                d = (curr_sub - pred[sub]) & 0xFF
-                return int(np.minimum(d, 256 - d).sum())
-
-            if kind == "key" and by == 0 and bx == 0:
-                # Interpolated motion (a real camera pan) changes EVERY
-                # pixel, so the changed-pixel count the device search
-                # minimizes is flat across shifts and its argmin is
-                # noise — the sub-pel probes below would anchor at
-                # (0, 0) and miss the true shift entirely (the frames
-                # then pay full keyframes).  A coarse wrap-aware
-                # integer SAD search over +-3 px re-anchors them; the
-                # subsampled gather keeps it a few ms even at 1080p,
-                # and it only runs on dense frames whose alternative
-                # is a keyframe-sized record.
-                ys = np.arange(0, h, stride)
-                xs = np.arange(0, w, stride)
-                best_i = None
-                for iy in range(-3, 4):
-                    for ix in range(-3, 4):
-                        ps = prev_arr[(ys - iy) % h][:, (xs - ix) % w]
-                        d = (curr_sub - ps) & 0xFF
-                        c = int(np.minimum(d, 256 - d).sum())
-                        if best_i is None or c < best_i:
-                            best_i, by, bx = c, iy, ix
-                if (by, bx) != (0, 0) and ("int", (by, bx)) not in cands:
+            def _res_candidates(j: int):
+                """Prediction candidates for the residual trials, as
+                (tag, meta) pairs: the accepted mask shift, the
+                unconditional search argmin, the per-tile map (when any
+                tile clears its margin — zoom/rotation content), and — when
+                real global motion is present on direct uint8 content — the
+                best half-pel refinement around the argmin (a fractional
+                pan re-mixes every pixel, so the integer-roll residual is
+                large while the bilinear half-pel residual is near-noise).
+                Every candidate competes by final record size only."""
+                cands = [("int", (int(shifts[j, 0]), int(shifts[j, 1])))]
+                by, bx = int(best_shifts[j, 0]), int(best_shifts[j, 1])
+                if ("int", (by, bx)) not in cands:
                     cands.append(("int", (by, bx)))
+                if byte_view or not self.motion:
+                    return cands
+                if min(h, w) >= (1 << tlog):
+                    tsh = tile_shifts_row(j)
+                    if tsh is not None and tsh.any():
+                        cands.append(("tile", tsh))
+                if by == 0 and bx == 0 and kinds[j] != "key":
+                    # zero integer argmin on a non-dense frame: sub-half-
+                    # pixel motion cannot be what made the mask cheap, so
+                    # skip the half-pel probes.  Dense (key-kind) frames DO
+                    # search the 8 half-pel neighbors of zero: slow pans
+                    # (< 0.5 px/frame, e.g. chroma planes at half the luma
+                    # rate) round to integer zero while a (0, 1) half-pel
+                    # prediction collapses the residual — these frames were
+                    # about to pay a full keyframe, which dwarfs the probe
+                    # cost.
+                    return cands
+                curr = np.asarray(frames[j], np.uint8)
+                prev_arr = np.asarray(frames[j - 1] if j > 0 else base,
+                                      np.uint8)
+                sub = (slice(None, None, stride),
+                       slice(None, None, stride))
+                curr_sub = curr[sub].astype(np.int16)
 
-            int_sad = None
-            best_c, best_s = None, None
-            for oy in (-1, 0, 1):
-                for ox in (-1, 0, 1):
-                    sy, sx = 2 * by + oy, 2 * bx + ox
-                    pred = fc.halfpel_predict(prev_arr, sy, sx)
-                    c = _sad(pred)
-                    if oy == 0 and ox == 0:
-                        int_sad = c
-                    elif best_c is None or c < best_c:
-                        best_c, best_s = c, (sy, sx)
-            if best_c is not None and best_c < 0.995 * int_sad:
-                cands.append(("hp", best_s))
-            # multi-reference probes (type 16): sub-half-pel motion
-            # (fractional pans; chroma planes pan at half the luma
-            # rate) lands BETWEEN half-pel phases frame-to-frame, but
-            # rb frames back the phase step multiplies back onto the
-            # grid and the bilinear prediction matches — the frames
-            # that were keyframing despite the half-pel search (60% of
-            # the pan_subpixel stream's bytes).
-            for rb in (2, 4):
-                if j < rb - 1:
-                    continue
-                ref = np.asarray(frames[j - rb] if j >= rb else base,
-                                 np.uint8)
-                best2_c, best2_s = None, None
+                def _sad(pred: np.ndarray) -> int:
+                    # wrap-aware subsampled SAD: |curr - pred| mod 256 with
+                    # ±128 folding — tracks DPCM coded size far better than
+                    # changed-pixel count on fractional-motion content,
+                    # where bilinear prediction leaves near-zero (but
+                    # nonzero) error everywhere and counts barely move.
+                    d = (curr_sub - pred[sub]) & 0xFF
+                    return int(np.minimum(d, 256 - d).sum())
+
+                if kind == "key" and by == 0 and bx == 0:
+                    # Interpolated motion (a real camera pan) changes EVERY
+                    # pixel, so the changed-pixel count the device search
+                    # minimizes is flat across shifts and its argmin is
+                    # noise — the sub-pel probes below would anchor at
+                    # (0, 0) and miss the true shift entirely (the frames
+                    # then pay full keyframes).  A coarse wrap-aware
+                    # integer SAD search over +-3 px re-anchors them; the
+                    # subsampled gather keeps it a few ms even at 1080p,
+                    # and it only runs on dense frames whose alternative
+                    # is a keyframe-sized record.
+                    ys = np.arange(0, h, stride)
+                    xs = np.arange(0, w, stride)
+                    best_i = None
+                    for iy in range(-3, 4):
+                        for ix in range(-3, 4):
+                            ps = prev_arr[(ys - iy) % h][:, (xs - ix) % w]
+                            d = (curr_sub - ps) & 0xFF
+                            c = int(np.minimum(d, 256 - d).sum())
+                            if best_i is None or c < best_i:
+                                best_i, by, bx = c, iy, ix
+                    if (by, bx) != (0, 0) and ("int", (by, bx)) not in cands:
+                        cands.append(("int", (by, bx)))
+
+                int_sad = None
+                best_c, best_s = None, None
                 for oy in (-1, 0, 1):
                     for ox in (-1, 0, 1):
-                        sy = 2 * rb * by + oy
-                        sx = 2 * rb * bx + ox
-                        c = _sad(fc.halfpel_predict(ref, sy, sx))
-                        if best2_c is None or c < best2_c:
-                            best2_c, best2_s = c, (sy, sx)
-                if best2_c is not None and best2_c < 0.995 * int_sad:
-                    cands.append(("ref", (rb, *best2_s)))
-            return cands
-
-
-
-        for j in range(f):
-            kind = kinds[j]
-            if kind in ("empty", "sparse"):
-                continue
-            if kind == "key":
-                continue  # residual trial handled in the bounded pass
-            # vseg rows are already pixel-major bytes (device repack);
-            # strip the per-block padding and the stream is done.
-            val_bytes[j] = _strip_rows(vseg[j],
-                                       vcnt[j] * channels).tobytes()
-            vz_idx[j] = _add(val_bytes[j], vlvl)
-            if kind == "pass":
-                bm_bytes[j] = packed_row(j)[: (n + 7) // 8].tobytes()
-                bz_idx[j] = _add(bm_bytes[j], 1, bits=True)
-            elif kind == "blocked":
-                m = int(m_arr[j])
-                bm_bytes[j] = native.pack_subfilters(words[j], m).tobytes()
-                bz_idx[j] = _add(bm_bytes[j], 1, bits=True)
-                seg_lens = (wcnt[j] + 7) // 8
-                wit_bytes[j] = _strip_rows(wit[j], seg_lens).tobytes()
-                wz_idx[j] = _add(wit_bytes[j], 1, bits=True)
-                if self.witness_pack:
-                    wit_pk[j] = native.bitpack_rows(wit[j], wcnt[j])
-
-        if stage_times is not None:
-            stage_times["enc_host_sections"] = (
-                stage_times.get("enc_host_sections", 0.0)
-                + time.time() - _t0)
-            _t0 = time.time()
-        # Bitmap/witness sections DEFLATE at level 1: on near-random
-        # filter bits and biased witness bits, higher levels buy <2%
-        # over level 1 at 5x the CPU (measured); value streams and DPCM
-        # residuals keep the configured level, where modeling does pay.
-        zsecs: List[bytes] = [b""] * len(sections)
-        skip = [_deflate_unwinnable(s, bf)
-                for s, bf in zip(sections, sec_bits)]
-        # witness sections whose BIT-PACKED form is iid (no structure
-        # beyond the bit bias once the padding is gone) skip their
-        # DEFLATE trial too: the padding structure was the only thing
-        # LZ could exploit, and the coding-7 rANS candidate reaches the
-        # iid floor the padded DEFLATE cannot beat.
-        for j in range(f):
-            if (wit_pk[j] is not None and wz_idx[j] >= 0
-                    and _deflate_unwinnable(wit_pk[j], True)):
-                skip[wz_idx[j]] = True
-        for lvl in sorted(set(sec_level)):
-            idxs = [i for i, sl in enumerate(sec_level)
-                    if sl == lvl and not skip[i]]
-            outs = native.deflate_frames([sections[i] for i in idxs],
-                                         level=lvl,
-                                         threads=self.num_threads)
-            for i, z in zip(idxs, outs):
-                zsecs[i] = z
-        # ---- DPCM residual trials (dense/pass frames) -----------------
-        # Gathered and DEFLATE'd in sub-batches of ~48 MB of raw bytes:
-        # grainy 1080p chunks would otherwise buffer two full-frame
-        # residuals per frame for the whole chunk (~190-370 MB transient)
-        # before one big batch; sub-batching keeps the threaded stage
-        # while bounding the spike.
-        # residual streams are raster frames: the 2D-context coder's
-        # row pitch in bytes
-        res_stride = w * channels
-
-        def _enqueue_rans(tasks: list, tmeta: list, key, raw: bytes,
-                          rl: int, cap: int) -> None:
-            """Entropy-gated trial enqueue: order-0 byte histogram
-            (coding 3) and, on streams large enough to amortize the 8
-            conditional tables, ONE context rANS trial — 2D (coding 6,
-            max of the left/up magnitude buckets; wins 2-8% on
-            spatially-correlated prediction error) when its sampled
-            conditional entropy meaningfully beats the horizontal
-            model's, order-1 (coding 4) otherwise.  H0 lower-bounds
-            the order-0 size and the sampled H1/H2 estimate the
-            context coders, so streams a coder cannot shrink below
-            ``cap`` never reach the pool — at 1080p a wasted rANS pass
-            costs 10-60 ms/frame.  Enqueued tasks run in ONE native
-            threaded call (native.rans_trials), so the trial family
-            scales across host cores like the DEFLATE stage."""
-            if rl < RANS8_MIN:
-                return
-            h0 = native.entropy_bits(raw)
-            if h0 * rl / 8.0 + 388 < cap:
-                tasks.append(raw)
-                tmeta.append((key, 3, 0))
-            if rl >= RANSC_MIN:
-                h1 = native.cond_entropy_bits(raw)
-                h2 = (native.cond2_entropy_bits(raw, res_stride)
-                      if res_stride < rl else 8.0)
-                if h2 < h1 - 0.04 and h2 * rl / 8.0 + 3084 < cap * 1.02:
-                    tasks.append(raw)
-                    tmeta.append((key, 6, res_stride))
-                elif h1 * rl / 8.0 + 3080 < cap * 1.02:
-                    tasks.append(raw)
-                    tmeta.append((key, 4, 0))
-
-        def _pick_rans(cands, rl: int, cap: int):
-            """Smallest pooled trial result under ``cap``, as a
-            (coding, bytes, raw_len[, stride]) section, or None.
-            Candidates arrive coding-3-first, so ties go to the
-            cheaper-to-decode byte-histogram coder."""
-            best = None
-            for c, r, st in cands or []:
-                if len(r) < cap:
-                    best = (c, r, rl) if c != 6 else (6, r, rl, st)
-                    cap = len(r)
-            return best
-
-        res_frames = [j for j in range(f) if kinds[j] in ("key", "pass")]
-        frame_bytes = max(1, int(np.asarray(frames[0]).nbytes))
-        group_sz = max(1, (48 << 20) // (2 * frame_bytes))
-        for g in range(0, len(res_frames), group_sz):
-            raws, meta = [], []
-            for j in res_frames[g: g + group_sz]:
-                for tag, m in _res_candidates(j):
-                    r = _residual(j, tag, m)
-                    raws.append(r)
-                    meta.append((j, tag, m, len(r)))
-            outs = native.deflate_frames(raws, level=vlvl,
-                                         threads=self.num_threads)
-            # Spatially-filtered variants (type 14) where DEFLATE left
-            # headroom: fractional-motion prediction error is spatially
-            # correlated (bilinear interpolation low-passes the frame),
-            # so SUB/UP filtering cuts subpixel-pan residuals 10-15%.
-            # The gate skips trials DEFLATE already crushed (film grain
-            # LZ structure), bounding the extra host CPU to content
-            # where filtering can actually win.
-            filt_raws, filt_meta = [], []
-            if not byte_view:
-                for idx, ((j, tag, m, rl), z) in enumerate(
-                        zip(meta, outs)):
-                    if len(z) <= FILTER_GATE * rl:
+                        sy, sx = 2 * by + oy, 2 * bx + ox
+                        pred = fc.halfpel_predict(prev_arr, sy, sx)
+                        c = _sad(pred)
+                        if oy == 0 and ox == 0:
+                            int_sad = c
+                        elif best_c is None or c < best_c:
+                            best_c, best_s = c, (sy, sx)
+                if best_c is not None and best_c < 0.995 * int_sad:
+                    cands.append(("hp", best_s))
+                # multi-reference probes (type 16): sub-half-pel motion
+                # (fractional pans; chroma planes pan at half the luma
+                # rate) lands BETWEEN half-pel phases frame-to-frame, but
+                # rb frames back the phase step multiplies back onto the
+                # grid and the bilinear prediction matches — the frames
+                # that were keyframing despite the half-pel search (60% of
+                # the pan_subpixel stream's bytes).
+                for rb in (2, 4):
+                    if j < rb - 1:
                         continue
-                    plane = np.frombuffer(raws[idx], np.uint8).reshape(
-                        np.asarray(frames[j]).shape)
-                    for fid in (1, 2, 3):
-                        filt_raws.append(
-                            fc.spatial_filter(plane, fid).tobytes())
-                        filt_meta.append((idx, fid))
-            filt_outs = (native.deflate_frames(
-                filt_raws, level=vlvl, threads=self.num_threads)
-                if filt_raws else [])
-            # One pooled native call runs every entropy-gated rANS
-            # trial of the group across host threads (filtered and
-            # unfiltered residuals alike), instead of serial
-            # per-stream encodes on the Python thread.
-            rtasks: list = []
-            rmeta: list = []
-            base_recs: list = []
-            for (idx, fid), fraw, fz in zip(filt_meta, filt_raws,
-                                            filt_outs):
-                _enqueue_rans(rtasks, rmeta, ("f", idx, fid), fraw,
-                              meta[idx][3], len(fz))
-            for idx, ((j, tag, m, rl), raw, z) in enumerate(
-                    zip(meta, raws, outs)):
-                rec = fc.build_residual_record(rl, z)
-                base_recs.append(rec)
-                _enqueue_rans(rtasks, rmeta, ("u", idx), raw, rl,
-                              len(rec) - 10)
-            routs = native.rans_trials(rtasks,
-                                       [c for _, c, _ in rmeta],
-                                       threads=self.num_threads,
-                                       strides=[s for _, _, s in rmeta])
-            rcands: dict = {}
-            for (key, c, s), r in zip(rmeta, routs):
-                if r is not None:
-                    rcands.setdefault(key, []).append((c, r, s))
-            best_filt: dict = {}
-            for (idx, fid), fz in zip(filt_meta, filt_outs):
-                rl = meta[idx][3]
-                sec, cost = (1, fz, rl), len(fz)
-                rsec = _pick_rans(rcands.get(("f", idx, fid)), rl, cost)
-                if rsec is not None:
-                    sec = rsec
-                frec = fc.build_residual_f_record(fid, sec)
-                cur = best_filt.get(idx)
-                if cur is None or len(frec) < len(cur):
-                    best_filt[idx] = frec
-            for idx, (j, tag, m, rl) in enumerate(meta):
-                # type 8 (DEFLATE) vs type 13 (byte-rANS section) vs
-                # type 14 (filtered): only the smallest wrapped record
-                # survives the group, so trial storage stays one record
-                # per frame.
-                rec = base_recs[idx]
-                rsec = _pick_rans(rcands.get(("u", idx)), rl,
-                                  len(rec) - 10)
-                if rsec is not None and len(rsec[1]) + 10 < len(rec):
-                    rec = fc.build_residual_s_record(rsec)
-                frec = best_filt.get(idx)
-                if frec is not None and len(frec) < len(rec):
-                    rec = frec
-                res_trials[j].append((tag, m, rec))
+                    ref = np.asarray(frames[j - rb] if j >= rb else base,
+                                     np.uint8)
+                    best2_c, best2_s = None, None
+                    for oy in (-1, 0, 1):
+                        for ox in (-1, 0, 1):
+                            sy = 2 * rb * by + oy
+                            sx = 2 * rb * bx + ox
+                            c = _sad(fc.halfpel_predict(ref, sy, sx))
+                            if best2_c is None or c < best2_c:
+                                best2_c, best2_s = c, (sy, sx)
+                    if best2_c is not None and best2_c < 0.995 * int_sad:
+                        cands.append(("ref", (rb, *best2_s)))
+                return cands
 
-        if stage_times is not None:
-            stage_times["enc_deflate"] = (
-                stage_times.get("enc_deflate", 0.0) + time.time() - _t0)
-            _t0 = time.time()
 
-        def _sec(raw: Optional[bytes], zi: int, byte_rans: bool = False):
-            """Per-section coding choice: raw vs DEFLATE vs static
-            binary rANS vs (``byte_rans``) byte-histogram rANS,
-            whichever stores fewest bytes (header cost included).
-            Binary rANS — the near-entropy coder for iid-biased bit
-            streams (native/nbf.cpp) — is only attempted when the
-            stream's bit density is away from 0.5 (quantized prob
-            outside [0.35, 0.65]), where H(p) < 1 leaves room to win;
-            witness streams (~0.8 ones) and sparse pass-through masks
-            are the targets.  Byte rANS targets value streams and DPCM
-            residuals, where DEFLATE's Huffman stage leaves 5-15% on
-            the table and runs 5-10x slower; its 384-byte stored table
-            needs sections of a few KB to amortize."""
-            if raw is None:
-                return (0, b"", 0)
-            best_cost, best = len(raw), (0, raw, 0)
-            z = zsecs[zi]
-            if z and len(z) + 4 < best_cost:
-                best_cost, best = len(z) + 4, (1, z, len(raw))
-            prob = native.rans_bit_prob(raw)
-            if prob <= 90 or prob >= 166:
-                r = native.rans_encode(raw, prob)
-                if r is not None and len(r) + 5 < best_cost:
-                    best_cost = len(r) + 5
-                    best = (2, r, len(raw), prob)
-            if byte_rans and len(raw) >= RANS8_MIN:
-                # entropy pre-gates (see _enqueue_rans): skip coders
-                # the stream's H0/H1 already rules out — value streams
-                # are often near-uniform changed-pixel bytes where a
-                # wasted rANS pass costs milliseconds per frame.
+
+            for j in range(f):
+                kind = kinds[j]
+                if kind in ("empty", "sparse"):
+                    continue
+                if kind == "key":
+                    continue  # residual trial handled in the bounded pass
+                # vseg rows are already pixel-major bytes (device repack);
+                # strip the per-block padding and the stream is done.
+                val_bytes[j] = _strip_rows(vseg[j],
+                                           vcnt[j] * channels).tobytes()
+                vz_idx[j] = _add(val_bytes[j], vlvl)
+                if kind == "pass":
+                    bm_bytes[j] = packed_row(j)[: (n + 7) // 8].tobytes()
+                    bz_idx[j] = _add(bm_bytes[j], 1, bits=True)
+                elif kind == "blocked":
+                    m = int(m_arr[j])
+                    bm_bytes[j] = native.pack_subfilters(words[j], m).tobytes()
+                    bz_idx[j] = _add(bm_bytes[j], 1, bits=True)
+                    seg_lens = (wcnt[j] + 7) // 8
+                    wit_bytes[j] = _strip_rows(wit[j], seg_lens).tobytes()
+                    wz_idx[j] = _add(wit_bytes[j], 1, bits=True)
+                    if self.witness_pack:
+                        wit_pk[j] = native.bitpack_rows(wit[j], wcnt[j])
+
+            if stage_times is not None:
+                stage_times["enc_host_sections"] = (
+                    stage_times.get("enc_host_sections", 0.0)
+                    + time.time() - _t0)
+                _t0 = time.time()
+            # Bitmap/witness sections DEFLATE at level 1: on near-random
+            # filter bits and biased witness bits, higher levels buy <2%
+            # over level 1 at 5x the CPU (measured); value streams and DPCM
+            # residuals keep the configured level, where modeling does pay.
+            zsecs: List[bytes] = [b""] * len(sections)
+            skip = [_deflate_unwinnable(s, bf)
+                    for s, bf in zip(sections, sec_bits)]
+            # witness sections whose BIT-PACKED form is iid (no structure
+            # beyond the bit bias once the padding is gone) skip their
+            # DEFLATE trial too: the padding structure was the only thing
+            # LZ could exploit, and the coding-7 rANS candidate reaches the
+            # iid floor the padded DEFLATE cannot beat.
+            for j in range(f):
+                if (wit_pk[j] is not None and wz_idx[j] >= 0
+                        and _deflate_unwinnable(wit_pk[j], True)):
+                    skip[wz_idx[j]] = True
+            for lvl in sorted(set(sec_level)):
+                idxs = [i for i, sl in enumerate(sec_level)
+                        if sl == lvl and not skip[i]]
+                outs = native.deflate_frames([sections[i] for i in idxs],
+                                             level=lvl,
+                                             threads=self.num_threads)
+                for i, z in zip(idxs, outs):
+                    zsecs[i] = z
+            # ---- DPCM residual trials (dense/pass frames) -----------------
+            # Gathered and DEFLATE'd in sub-batches of ~48 MB of raw bytes:
+            # grainy 1080p chunks would otherwise buffer two full-frame
+            # residuals per frame for the whole chunk (~190-370 MB transient)
+            # before one big batch; sub-batching keeps the threaded stage
+            # while bounding the spike.
+            # residual streams are raster frames: the 2D-context coder's
+            # row pitch in bytes
+            res_stride = w * channels
+
+            def _enqueue_rans(tasks: list, tmeta: list, key, raw: bytes,
+                              rl: int, cap: int) -> None:
+                """Entropy-gated trial enqueue: order-0 byte histogram
+                (coding 3) and, on streams large enough to amortize the 8
+                conditional tables, ONE context rANS trial — 2D (coding 6,
+                max of the left/up magnitude buckets; wins 2-8% on
+                spatially-correlated prediction error) when its sampled
+                conditional entropy meaningfully beats the horizontal
+                model's, order-1 (coding 4) otherwise.  H0 lower-bounds
+                the order-0 size and the sampled H1/H2 estimate the
+                context coders, so streams a coder cannot shrink below
+                ``cap`` never reach the pool — at 1080p a wasted rANS pass
+                costs 10-60 ms/frame.  Enqueued tasks run in ONE native
+                threaded call (native.rans_trials), so the trial family
+                scales across host cores like the DEFLATE stage."""
+                if rl < RANS8_MIN:
+                    return
                 h0 = native.entropy_bits(raw)
-                if h0 * len(raw) / 8.0 + 392 < best_cost:
-                    r8 = native.rans8_encode(raw)
-                    if r8 is not None and len(r8) + 4 < best_cost:
-                        best_cost = len(r8) + 4
-                        best = (3, r8, len(raw))
-                if len(raw) >= RANSC_MIN:
+                if h0 * rl / 8.0 + 388 < cap:
+                    tasks.append(raw)
+                    tmeta.append((key, 3, 0))
+                if rl >= RANSC_MIN:
                     h1 = native.cond_entropy_bits(raw)
-                    if h1 * len(raw) / 8.0 + 3084 < best_cost * 1.02:
-                        rc = native.ransc_encode(raw)
-                        if rc is not None and len(rc) + 4 < best_cost:
-                            best_cost = len(rc) + 4
-                            best = (4, rc, len(raw))
-            return best
+                    h2 = (native.cond2_entropy_bits(raw, res_stride)
+                          if res_stride < rl else 8.0)
+                    if h2 < h1 - 0.04 and h2 * rl / 8.0 + 3084 < cap * 1.02:
+                        tasks.append(raw)
+                        tmeta.append((key, 6, res_stride))
+                    elif h1 * rl / 8.0 + 3080 < cap * 1.02:
+                        tasks.append(raw)
+                        tmeta.append((key, 4, 0))
 
-        # ---- record assembly ------------------------------------------
-        def emit(j: int, rec: bytes):
-            """Append ``rec``, motion-wrapped when frame j carries a
-            nonzero shift (keyframes never wrap — they reset)."""
-            dy, dx = int(shifts[j, 0]), int(shifts[j, 1])
-            if dy or dx:
-                rec = fc.wrap_motion(dy, dx, rec)
-            payload_sink.append(rec)
+            def _pick_rans(cands, rl: int, cap: int):
+                """Smallest pooled trial result under ``cap``, as a
+                (coding, bytes, raw_len[, stride]) section, or None.
+                Candidates arrive coding-3-first, so ties go to the
+                cheaper-to-decode byte-histogram coder."""
+                best = None
+                for c, r, st in cands or []:
+                    if len(r) < cap:
+                        best = (c, r, rl) if c != 6 else (6, r, rl, st)
+                        cap = len(r)
+                return best
 
-        def _residual_rec(j: int) -> bytes:
-            """Smallest residual trial, motion-wrapped with ITS OWN
-            prediction (which may differ from the mask path's
-            shifts[j]): none/type-6 roll, type-9 half-pel, or type-10
-            per-tile map."""
-            best = None
-            for tag, m, rec in res_trials[j]:
-                if tag == "hp":
-                    rec = fc.wrap_motion_hp(m[0], m[1], rec)
-                elif tag == "ref":
-                    rec = fc.wrap_motion_ref(m[0], m[1], m[2], rec)
-                elif tag == "tile":
-                    rec = fc.wrap_motion_tiles(tlog, m, rec)
-                elif m != (0, 0):
-                    rec = fc.wrap_motion(m[0], m[1], rec)
-                if best is None or len(rec) < len(best):
-                    best = rec
-            return best
+            res_frames = [j for j in range(f) if kinds[j] in ("key", "pass")]
+            frame_bytes = max(1, int(np.asarray(frames[0]).nbytes))
+            group_sz = max(1, (48 << 20) // (2 * frame_bytes))
+            for g in range(0, len(res_frames), group_sz):
+                raws, meta = [], []
+                for j in res_frames[g: g + group_sz]:
+                    for tag, m in _res_candidates(j):
+                        r = _residual(j, tag, m)
+                        raws.append(r)
+                        meta.append((j, tag, m, len(r)))
+                outs = native.deflate_frames(raws, level=vlvl,
+                                             threads=self.num_threads)
+                # Spatially-filtered variants (type 14) where DEFLATE left
+                # headroom: fractional-motion prediction error is spatially
+                # correlated (bilinear interpolation low-passes the frame),
+                # so SUB/UP filtering cuts subpixel-pan residuals 10-15%.
+                # The gate skips trials DEFLATE already crushed (film grain
+                # LZ structure), bounding the extra host CPU to content
+                # where filtering can actually win.
+                filt_raws, filt_meta = [], []
+                if not byte_view:
+                    for idx, ((j, tag, m, rl), z) in enumerate(
+                            zip(meta, outs)):
+                        if len(z) <= FILTER_GATE * rl:
+                            continue
+                        plane = np.frombuffer(raws[idx], np.uint8).reshape(
+                            np.asarray(frames[j]).shape)
+                        for fid in (1, 2, 3):
+                            filt_raws.append(
+                                fc.spatial_filter(plane, fid).tobytes())
+                            filt_meta.append((idx, fid))
+                filt_outs = (native.deflate_frames(
+                    filt_raws, level=vlvl, threads=self.num_threads)
+                    if filt_raws else [])
+                # One pooled native call runs every entropy-gated rANS
+                # trial of the group across host threads (filtered and
+                # unfiltered residuals alike), instead of serial
+                # per-stream encodes on the Python thread.
+                rtasks: list = []
+                rmeta: list = []
+                base_recs: list = []
+                for (idx, fid), fraw, fz in zip(filt_meta, filt_raws,
+                                                filt_outs):
+                    _enqueue_rans(rtasks, rmeta, ("f", idx, fid), fraw,
+                                  meta[idx][3], len(fz))
+                for idx, ((j, tag, m, rl), raw, z) in enumerate(
+                        zip(meta, raws, outs)):
+                    rec = fc.build_residual_record(rl, z)
+                    base_recs.append(rec)
+                    _enqueue_rans(rtasks, rmeta, ("u", idx), raw, rl,
+                                  len(rec) - 10)
+                routs = native.rans_trials(rtasks,
+                                           [c for _, c, _ in rmeta],
+                                           threads=self.num_threads,
+                                           strides=[s for _, _, s in rmeta])
+                rcands: dict = {}
+                for (key, c, s), r in zip(rmeta, routs):
+                    if r is not None:
+                        rcands.setdefault(key, []).append((c, r, s))
+                best_filt: dict = {}
+                for (idx, fid), fz in zip(filt_meta, filt_outs):
+                    rl = meta[idx][3]
+                    sec, cost = (1, fz, rl), len(fz)
+                    rsec = _pick_rans(rcands.get(("f", idx, fid)), rl, cost)
+                    if rsec is not None:
+                        sec = rsec
+                    frec = fc.build_residual_f_record(fid, sec)
+                    cur = best_filt.get(idx)
+                    if cur is None or len(frec) < len(cur):
+                        best_filt[idx] = frec
+                for idx, (j, tag, m, rl) in enumerate(meta):
+                    # type 8 (DEFLATE) vs type 13 (byte-rANS section) vs
+                    # type 14 (filtered): only the smallest wrapped record
+                    # survives the group, so trial storage stays one record
+                    # per frame.
+                    rec = base_recs[idx]
+                    rsec = _pick_rans(rcands.get(("u", idx)), rl,
+                                      len(rec) - 10)
+                    if rsec is not None and len(rsec[1]) + 10 < len(rec):
+                        rec = fc.build_residual_s_record(rsec)
+                    frec = best_filt.get(idx)
+                    if frec is not None and len(frec) < len(rec):
+                        rec = frec
+                    res_trials[j].append((tag, m, rec))
 
-        for j in range(f):
-            kind = kinds[j]
-            if kind == "empty":
-                emit(j, fc.encode_empty_frame())
-                continue
-            if kind == "key":
-                # dense fallback: DPCM residual vs full keyframe — the
-                # keyframe wins on true scene cuts (residual ~ random),
-                # the residual on grain/subpixel motion
-                key_rec = keyframe_fn(j)
-                res_rec = _residual_rec(j)
-                if len(res_rec) < len(key_rec):
-                    payload_sink.append(res_rec)  # carries its own wrap
-                else:
-                    payload_sink.append(key_rec)
-                    keyframes += 1
-                continue
-            cnt = int(frame_counts[j])
-            p = cnt / n
-            if kind == "sparse":
-                values = _strip_rows(vseg[j], vcnt[j] * channels)
-                mask_bits = np.unpackbits(packed_row(j))[:n]
-                indices = np.flatnonzero(mask_bits)
-                emit(j, fc.encode_sparse_frame(
-                    n, indices, values, zlib_level=zl))
-                continue
-            values_z = zsecs[vz_idx[j]]
-            vcount = len(val_bytes[j])
-            vsec = _sec(val_bytes[j], vz_idx[j], byte_rans=True)
-            if kind == "pass":
+            if stage_times is not None:
+                stage_times["enc_deflate"] = (
+                    stage_times.get("enc_deflate", 0.0) + time.time() - _t0)
+                _t0 = time.time()
+
+            def _sec(raw: Optional[bytes], zi: int, byte_rans: bool = False):
+                """Per-section coding choice: raw vs DEFLATE vs static
+                binary rANS vs (``byte_rans``) byte-histogram rANS,
+                whichever stores fewest bytes (header cost included).
+                Binary rANS — the near-entropy coder for iid-biased bit
+                streams (native/nbf.cpp) — is only attempted when the
+                stream's bit density is away from 0.5 (quantized prob
+                outside [0.35, 0.65]), where H(p) < 1 leaves room to win;
+                witness streams (~0.8 ones) and sparse pass-through masks
+                are the targets.  Byte rANS targets value streams and DPCM
+                residuals, where DEFLATE's Huffman stage leaves 5-15% on
+                the table and runs 5-10x slower; its 384-byte stored table
+                needs sections of a few KB to amortize."""
+                if raw is None:
+                    return (0, b"", 0)
+                best_cost, best = len(raw), (0, raw, 0)
+                z = zsecs[zi]
+                if z and len(z) + 4 < best_cost:
+                    best_cost, best = len(z) + 4, (1, z, len(raw))
+                prob = native.rans_bit_prob(raw)
+                if prob <= 90 or prob >= 166:
+                    r = native.rans_encode(raw, prob)
+                    if r is not None and len(r) + 5 < best_cost:
+                        best_cost = len(r) + 5
+                        best = (2, r, len(raw), prob)
+                if byte_rans and len(raw) >= RANS8_MIN:
+                    # entropy pre-gates (see _enqueue_rans): skip coders
+                    # the stream's H0/H1 already rules out — value streams
+                    # are often near-uniform changed-pixel bytes where a
+                    # wasted rANS pass costs milliseconds per frame.
+                    h0 = native.entropy_bits(raw)
+                    if h0 * len(raw) / 8.0 + 392 < best_cost:
+                        r8 = native.rans8_encode(raw)
+                        if r8 is not None and len(r8) + 4 < best_cost:
+                            best_cost = len(r8) + 4
+                            best = (3, r8, len(raw))
+                    if len(raw) >= RANSC_MIN:
+                        h1 = native.cond_entropy_bits(raw)
+                        if h1 * len(raw) / 8.0 + 3084 < best_cost * 1.02:
+                            rc = native.ransc_encode(raw)
+                            if rc is not None and len(rc) + 4 < best_cost:
+                                best_cost = len(rc) + 4
+                                best = (4, rc, len(raw))
+                return best
+
+            # ---- record assembly ------------------------------------------
+            def emit(j: int, rec: bytes):
+                """Append ``rec``, motion-wrapped when frame j carries a
+                nonzero shift (keyframes never wrap — they reset)."""
+                dy, dx = int(shifts[j, 0]), int(shifts[j, 1])
+                if dy or dx:
+                    rec = fc.wrap_motion(dy, dx, rec)
+                payload_sink.append(rec)
+
+            def _residual_rec(j: int) -> bytes:
+                """Smallest residual trial, motion-wrapped with ITS OWN
+                prediction (which may differ from the mask path's
+                shifts[j]): none/type-6 roll, type-9 half-pel, or type-10
+                per-tile map."""
+                best = None
+                for tag, m, rec in res_trials[j]:
+                    if tag == "hp":
+                        rec = fc.wrap_motion_hp(m[0], m[1], rec)
+                    elif tag == "ref":
+                        rec = fc.wrap_motion_ref(m[0], m[1], m[2], rec)
+                    elif tag == "tile":
+                        rec = fc.wrap_motion_tiles(tlog, m, rec)
+                    elif m != (0, 0):
+                        rec = fc.wrap_motion(m[0], m[1], rec)
+                    if best is None or len(rec) < len(best):
+                        best = rec
+                return best
+
+            for j in range(f):
+                kind = kinds[j]
+                if kind == "empty":
+                    emit(j, fc.encode_empty_frame())
+                    continue
+                if kind == "key":
+                    # dense fallback: DPCM residual vs full keyframe — the
+                    # keyframe wins on true scene cuts (residual ~ random),
+                    # the residual on grain/subpixel motion
+                    key_rec = keyframe_fn(j)
+                    res_rec = _residual_rec(j)
+                    if len(res_rec) < len(key_rec):
+                        payload_sink.append(res_rec)  # carries its own wrap
+                    else:
+                        payload_sink.append(key_rec)
+                        keyframes += 1
+                    continue
+                cnt = int(frame_counts[j])
+                p = cnt / n
+                if kind == "sparse":
+                    values = _strip_rows(vseg[j], vcnt[j] * channels)
+                    mask_bits = np.unpackbits(packed_row(j))[:n]
+                    indices = np.flatnonzero(mask_bits)
+                    emit(j, fc.encode_sparse_frame(
+                        n, indices, values, zlib_level=zl))
+                    continue
+                values_z = zsecs[vz_idx[j]]
+                vcount = len(val_bytes[j])
+                vsec = _sec(val_bytes[j], vz_idx[j], byte_rans=True)
+                if kind == "pass":
+                    bsec = _sec(bm_bytes[j], bz_idx[j])
+                    if vsec[0] != 1:
+                        rec = fc.build_blocked_s_record(
+                            p, n, ks[j], n, 0, bsec, (0, b"", 0), vsec)
+                    elif bsec[0]:
+                        rec = fc.build_blocked_z_record(
+                            p, n, ks[j], n, 0, bsec, (0, b"", 0),
+                            values_z, vcount)
+                    else:
+                        rec = fc.build_interframe_record(
+                            p, n, ks[j], bm_bytes[j], n, b"", 0,
+                            values_z=values_z, values_count=vcount)
+                    res_rec = _residual_rec(j)
+                    if len(res_rec) < len(rec) + (
+                            5 if (shifts[j, 0] or shifts[j, 1]) else 0):
+                        payload_sink.append(res_rec)  # carries its own wrap
+                    else:
+                        emit(j, rec)
+                    continue
+                # blocked record: per-section entropy choice; all-raw falls
+                # back to the type-3 layout (decodes in older readers).
+                m = int(m_arr[j])
                 bsec = _sec(bm_bytes[j], bz_idx[j])
+                wsec = _sec(wit_bytes[j], wz_idx[j])
+                wbits = int(wcnt[j].sum())
+                # coding-7 witness candidate: strip the per-block byte
+                # padding (~17% of witness bytes on sparse-change content)
+                # and binary-rANS the pure bit stream; the decoder re-pads
+                # from its own membership counts, so only the packed byte
+                # count travels.  Beats the DEFLATE-of-padded-rows trial,
+                # whose only edge WAS the padding structure.
+                if wbits and wit_pk[j] is not None:
+                    packed = wit_pk[j]
+                    prob = native.rans_bit_prob(packed)
+                    r = native.rans_encode(packed, prob)
+                    if r is not None:
+                        w7 = (7, r, len(packed), prob)
+                        if (fc._sec_stored_cost(w7)
+                                < fc._sec_stored_cost(wsec)):
+                            wsec = w7
                 if vsec[0] != 1:
-                    rec = fc.build_blocked_s_record(
-                        p, n, ks[j], n, 0, bsec, (0, b"", 0), vsec)
-                elif bsec[0]:
-                    rec = fc.build_blocked_z_record(
-                        p, n, ks[j], n, 0, bsec, (0, b"", 0),
-                        values_z, vcount)
+                    emit(j, fc.build_blocked_s_record(
+                        p, n, ks[j], m * nb, wbits, bsec, wsec, vsec))
+                elif bsec[0] or wsec[0]:
+                    emit(j, fc.build_blocked_z_record(
+                        p, n, ks[j], m * nb, wbits, bsec, wsec,
+                        values_z, vcount))
                 else:
-                    rec = fc.build_interframe_record(
-                        p, n, ks[j], bm_bytes[j], n, b"", 0,
-                        values_z=values_z, values_count=vcount)
-                res_rec = _residual_rec(j)
-                if len(res_rec) < len(rec) + (
-                        5 if (shifts[j, 0] or shifts[j, 1]) else 0):
-                    payload_sink.append(res_rec)  # carries its own wrap
-                else:
-                    emit(j, rec)
-                continue
-            # blocked record: per-section entropy choice; all-raw falls
-            # back to the type-3 layout (decodes in older readers).
-            m = int(m_arr[j])
-            bsec = _sec(bm_bytes[j], bz_idx[j])
-            wsec = _sec(wit_bytes[j], wz_idx[j])
-            wbits = int(wcnt[j].sum())
-            # coding-7 witness candidate: strip the per-block byte
-            # padding (~17% of witness bytes on sparse-change content)
-            # and binary-rANS the pure bit stream; the decoder re-pads
-            # from its own membership counts, so only the packed byte
-            # count travels.  Beats the DEFLATE-of-padded-rows trial,
-            # whose only edge WAS the padding structure.
-            if wbits and wit_pk[j] is not None:
-                packed = wit_pk[j]
-                prob = native.rans_bit_prob(packed)
-                r = native.rans_encode(packed, prob)
-                if r is not None:
-                    w7 = (7, r, len(packed), prob)
-                    if (fc._sec_stored_cost(w7)
-                            < fc._sec_stored_cost(wsec)):
-                        wsec = w7
-            if vsec[0] != 1:
-                emit(j, fc.build_blocked_s_record(
-                    p, n, ks[j], m * nb, wbits, bsec, wsec, vsec))
-            elif bsec[0] or wsec[0]:
-                emit(j, fc.build_blocked_z_record(
-                    p, n, ks[j], m * nb, wbits, bsec, wsec,
-                    values_z, vcount))
-            else:
-                emit(j, fc.build_interframe_record(
-                    p, n, ks[j], bm_bytes[j], m * nb,
-                    wit_bytes[j], wbits, values_z=values_z,
-                    values_count=vcount, rtype=fc.BLOCKED))
-        if stage_times is not None:
-            stage_times["enc_assembly"] = (
-                stage_times.get("enc_assembly", 0.0) + time.time() - _t0)
-        return keyframes
+                    emit(j, fc.build_interframe_record(
+                        p, n, ks[j], bm_bytes[j], m * nb,
+                        wit_bytes[j], wbits, values_z=values_z,
+                        values_count=vcount, rtype=fc.BLOCKED))
+            if stage_times is not None:
+                stage_times["enc_assembly"] = (
+                    stage_times.get("enc_assembly", 0.0) + time.time() - _t0)
+            return payload_sink, keyframes
+
+        return finish
 
 
 @partial(jax.jit, static_argnames=("shape",))
@@ -1666,7 +1700,23 @@ class BlockedDecoder:
         (optional dict) accumulates wall seconds per stage — record
         parse (incl. section INFLATE + bitmap unpack), device
         membership, host witness/value slicing, expansion + frame pull
-        — for bench.py's production-throughput report."""
+        — for bench.py's production-throughput report.
+
+        Serial convenience wrapper over :meth:`decode_run_begin` — the
+        pipelined caller (models/video.py) chains runs on the returned
+        device-resident last frame and defers each run's frame pull
+        until the next run's device work is in flight."""
+        _, finish = self.decode_run_begin(base, payloads, stage_times)
+        return finish()
+
+    def decode_run_begin(self, base, payloads: List[bytes],
+                         stage_times: Optional[dict] = None):
+        """Parse + dispatch phase of a run decode.  ``base`` may be a
+        host ndarray or a device array (the previous run's chained last
+        frame).  Returns ``(last_dev, finish)``: ``last_dev`` is the
+        device array of the final decoded frame — the next run can
+        chain on it without a host round trip — and ``finish()`` pulls
+        and returns the decoded frames."""
         _t0 = time.time()
         f = len(payloads)
         shape = base.shape
@@ -1852,27 +1902,32 @@ class BlockedDecoder:
                 jnp.asarray(flags), jnp.asarray(vseg), vh=vh,
                 channels=channels)
             if any_motion:
-                frames = jax.device_get(_chain_apply_motion(
+                frames_d = _chain_apply_motion(
                     jnp.asarray(base), mask_d, vals_d,
-                    jnp.asarray(shifts), shape=tuple(shape)))
+                    jnp.asarray(shifts), shape=tuple(shape))
             else:
-                frames = jax.device_get(_chain_apply(
+                frames_d = _chain_apply(
                     jnp.asarray(base), mask_d, vals_d,
-                    shape=tuple(shape)))
+                    shape=tuple(shape))
         elif any_motion:
             prog = _fused_expand_motion_prog(vh, tuple(shape), channels)
-            frames = jax.device_get(prog(
+            frames_d = prog(
                 passes_d, jnp.asarray(wit), raw_dev,
                 jnp.asarray(flags), jnp.asarray(vseg), jnp.asarray(base),
-                jnp.asarray(shifts)))
+                jnp.asarray(shifts))
         else:
             prog = _fused_expand_chain_prog(vh, tuple(shape), npadk, nbk,
                                             channels)
-            frames = jax.device_get(prog(
+            frames_d = prog(
                 passes_d, jnp.asarray(wit), raw_dev,
-                jnp.asarray(flags), jnp.asarray(vseg), jnp.asarray(base)))
-        if stage_times is not None:
-            stage_times["dec_expand_pull"] = (
-                stage_times.get("dec_expand_pull", 0.0)
-                + time.time() - _t0)
-        return [np.asarray(frames[j]) for j in range(f)]
+                jnp.asarray(flags), jnp.asarray(vseg), jnp.asarray(base))
+
+        def finish() -> List[np.ndarray]:
+            frames = jax.device_get(frames_d)
+            if stage_times is not None:
+                stage_times["dec_expand_pull"] = (
+                    stage_times.get("dec_expand_pull", 0.0)
+                    + time.time() - _t0)
+            return [np.asarray(frames[j]) for j in range(f)]
+
+        return frames_d[f - 1], finish

@@ -32,6 +32,7 @@ from __future__ import annotations
 import os
 import struct
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -368,37 +369,63 @@ class ImprovedVideoCompressor:
             return cf, blocked_pipeline.BlockedEncoder.stack_chunk(
                 darrs[s - 1], cf)
 
-        pending: dict = {}
-        for i, (kind, start, end) in enumerate(segments):
-            if kind == "key":
-                payloads.append(fc.encode_keyframe_best(
-                    arrs[start], infos[start],
-                    zlib_level=self._keyframe_zlib_level))
-                keyframes += 1
-                continue
-            real = end - start
+        # Production pipeline overlap: chunk i's HOST phase (section
+        # gathering, entropy trials, record assembly — the finish()
+        # closure from encode_chunk_begin) runs on ONE worker thread
+        # while the main thread drives chunk i+1's device phase
+        # (dispatches + pulls, which release the GIL).  A single worker
+        # keeps host phases in submit order, so payload assembly below
+        # is a plain in-order drain.  NBF_OVERLAP=0 pins the serial
+        # schedule (byte-identical output either way).
+        overlap = os.environ.get("NBF_OVERLAP", "1") == "1"
+        inflight = None  # (future-or-thunk, real): at most ONE queued
+        with ThreadPoolExecutor(max_workers=1) as ex:
 
-            def keyframe_fn(j, _pos=start):
-                idx = _pos + j
-                return fc.encode_keyframe_best(
-                    arrs[idx], infos[idx],
-                    zlib_level=self._keyframe_zlib_level)
+            def drain(job, real):
+                nonlocal keyframes
+                chunk_payloads, kf = job.result() if overlap else job()
+                payloads.extend(chunk_payloads[:real])
+                keyframes += kf
 
-            chunk_frames, stacked = pending.pop(i, (None, None))
-            if stacked is None:
-                chunk_frames, stacked = stack_for((kind, start, end))
-            if self.prefetch:
-                for j in range(i + 1, len(segments)):
-                    if segments[j][0] == "run":
-                        if j not in pending:   # don't re-upload a chunk
-                            pending[j] = stack_for(segments[j])
-                        break
+            pending: dict = {}
+            for i, (kind, start, end) in enumerate(segments):
+                if kind == "key":
+                    def key_job(_a=arrs[start], _i=infos[start]):
+                        return [fc.encode_keyframe_best(
+                            _a, _i,
+                            zlib_level=self._keyframe_zlib_level)], 1
+                    job = ex.submit(key_job) if overlap else key_job
+                    if inflight is not None:
+                        drain(*inflight)
+                    inflight = (job, 1)
+                    continue
+                real = end - start
 
-            before = len(payloads)
-            keyframes += self._blocked_enc.encode_chunk(
-                darrs[start - 1], chunk_frames, payloads, keyframe_fn,
-                stacked=stacked, byte_view=byte_view)
-            del payloads[before + real:]  # drop padded-frame records
+                def keyframe_fn(j, _pos=start):
+                    idx = _pos + j
+                    return fc.encode_keyframe_best(
+                        arrs[idx], infos[idx],
+                        zlib_level=self._keyframe_zlib_level)
+
+                chunk_frames, stacked = pending.pop(i, (None, None))
+                if stacked is None:
+                    chunk_frames, stacked = stack_for((kind, start, end))
+                if self.prefetch:
+                    for j in range(i + 1, len(segments)):
+                        if segments[j][0] == "run":
+                            if j not in pending:  # don't re-upload
+                                pending[j] = stack_for(segments[j])
+                            break
+
+                finish = self._blocked_enc.encode_chunk_begin(
+                    darrs[start - 1], chunk_frames, keyframe_fn,
+                    stacked=stacked, byte_view=byte_view)
+                job = ex.submit(finish) if overlap else finish
+                if inflight is not None:
+                    drain(*inflight)
+                inflight = (job, real)
+            if inflight is not None:
+                drain(*inflight)
         return payloads, keyframes
 
     def _encode_frames_batched_bfv2(self, arrs, infos
@@ -791,10 +818,30 @@ class ImprovedVideoCompressor:
             }
             frames.append(YUVFrame(prev, _copy_info(prev_info)))
 
+        # Decode-run pipelining (the production decode overlap): a
+        # device run's frame pull — the dominant decode cost on hosts
+        # with a slow device->host link — is deferred until the NEXT
+        # run's device work is dispatched, and consecutive runs chain on
+        # the device-resident last frame (decode_run_begin), so the
+        # device never waits on a host round trip between runs.
+        # Host-applied records (keyframes, DPCM residuals) flush first:
+        # they need the reconstruction on host.
+        run_pending = None   # finish() -> decoded frames of prior run
+        chain_dev = None     # device last frame of that run
+
+        def _flush_runs():
+            nonlocal run_pending, chain_dev
+            if run_pending is None:
+                return
+            fin, run_pending, chain_dev = run_pending, None, None
+            for frame in fin():
+                _advance(frame)
+
         i = 0
         while i < len(payloads):
             rtype = fc.record_type(payloads[i])
             if rtype in (fc.KEYFRAME, fc.FILTERED, fc.KEYFRAME_S):
+                _flush_runs()
                 if rtype == fc.KEYFRAME_S:
                     frame, info = fc.decode_keyframe_s(payloads[i],
                                                        offset=1)
@@ -830,6 +877,7 @@ class ImprovedVideoCompressor:
                     "half-pel/tile/multi-ref wrapper on non-residual "
                     "record")
             if _inner_type(payloads[i]) in fc.RESIDUAL_TYPES:
+                _flush_runs()
                 payload = payloads[i]
                 byte_domain = (prev.dtype != np.uint8
                                or (prev.ndim == 3 and prev.shape[2] > 3))
@@ -899,19 +947,48 @@ class ImprovedVideoCompressor:
                 raise ValueError(
                     f"motion record wraps invalid inner type "
                     f"{_inner_type(payloads[i])}")
+            run = payloads[i:j]
+            # dtype/shape are invariant along an inter chain, so the
+            # (possibly still-pending) prev is a valid witness for both
             byte_domain = (prev.dtype != np.uint8
                            or (prev.ndim == 3 and prev.shape[2] > 3))
-            if byte_domain:
-                decoded_b = self._decode_inter_run(
-                    self._byte_view(prev), payloads[i:j])
-                decoded = [np.ascontiguousarray(d).reshape(-1)
-                           .view(prev.dtype).reshape(prev.shape)
-                           for d in decoded_b]
+            if any(self._is_legacy_bloom(p) for p in run):
+                # legacy BFV2 segments decode via the XLA gop path on a
+                # host base — no device chaining, flush first
+                _flush_runs()
+                if byte_domain:
+                    decoded_b = self._decode_inter_run(
+                        self._byte_view(prev), run)
+                    decoded = [np.ascontiguousarray(d).reshape(-1)
+                               .view(prev.dtype).reshape(prev.shape)
+                               for d in decoded_b]
+                else:
+                    decoded = self._decode_inter_run(prev, run)
+                for frame in decoded:
+                    _advance(frame)
+                i = j
+                continue
+            real = len(run)
+            seg = run + [fc.encode_empty_frame()] * (self._chunk - real)
+            if chain_dev is not None:
+                base_in = chain_dev
             else:
-                decoded = self._decode_inter_run(prev, payloads[i:j])
-            for frame in decoded:
-                _advance(frame)
+                base_in = self._byte_view(prev) if byte_domain else prev
+            last_dev, fin = self._blocked_dec.decode_run_begin(base_in,
+                                                               seg)
+
+            def run_finish(_fin=fin, _real=real, _bd=byte_domain,
+                           _shp=prev.shape, _dt=prev.dtype):
+                out = _fin()[:_real]
+                if _bd:
+                    out = [np.ascontiguousarray(d).reshape(-1)
+                           .view(_dt).reshape(_shp) for d in out]
+                return out
+
+            _flush_runs()  # pull the prior run while this one computes
+            run_pending, chain_dev = run_finish, last_dev
             i = j
+        _flush_runs()
         return frames
 
     @staticmethod
