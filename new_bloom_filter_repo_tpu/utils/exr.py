@@ -1,17 +1,22 @@
-"""Minimal first-party OpenEXR reader/writer (uncompressed scanline).
+"""Minimal first-party OpenEXR reader/writer (scanline).
 
 The reference advertises HDR support and declares pyexr as a dependency
 but never imports it (SURVEY.md §2 dead-code notes: the only HDR
 adjacency is the itemsize->float32 decode rule).  This module provides
 real EXR ingest/egress without external imaging libraries: version-2
-single-part scanline files, compression NONE, FLOAT or HALF channels.
-That covers lossless HDR round trips — bit-pattern exact, which is what
-the codec's verification requires (bit equality, not numeric closeness).
+single-part scanline files, FLOAT or HALF channels, compression NONE,
+ZIPS (zlib, 1 scanline/chunk, code 2) and ZIP (zlib, 16 scanlines/chunk,
+code 3 — the most common lossless production setting).  ZIP chunks use
+OpenEXR's exact pre-filter (interleave split + byte delta, ImfZip.cpp)
+so files interoperate with the official library both directions.  That
+covers lossless HDR round trips — bit-pattern exact, which is what the
+codec's verification requires (bit equality, not numeric closeness).
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -20,7 +25,37 @@ MAGIC = 0x01312F76
 PIXELTYPE_HALF = 1
 PIXELTYPE_FLOAT = 2
 
+COMPRESSION_NONE = 0
+COMPRESSION_ZIPS = 2   # zlib, one scanline per chunk
+COMPRESSION_ZIP = 3    # zlib, 16 scanlines per chunk
+_COMP_CODES = {"none": COMPRESSION_NONE, "zips": COMPRESSION_ZIPS,
+               "zip": COMPRESSION_ZIP}
+_BLOCK_LINES = {COMPRESSION_NONE: 1, COMPRESSION_ZIPS: 1,
+                COMPRESSION_ZIP: 16}
+
 _DTYPES = {PIXELTYPE_HALF: np.dtype("<f2"), PIXELTYPE_FLOAT: np.dtype("<f4")}
+
+
+def _zip_prefilter(raw: bytes) -> bytes:
+    """OpenEXR's ZIP pre-filter (ImfZip::compress): split even/odd
+    bytes into two halves, then byte-delta the whole buffer — floats'
+    slowly-varying high bytes become near-constant runs zlib crushes."""
+    b = np.frombuffer(raw, np.uint8)
+    t = np.concatenate([b[0::2], b[1::2]]).astype(np.int16)
+    t[1:] = (t[1:] - t[:-1]) + (128 + 256)
+    return t.astype(np.uint8).tobytes()
+
+
+def _zip_postfilter(buf: bytes) -> bytes:
+    """Inverse of :func:`_zip_prefilter` (ImfZip::uncompress)."""
+    d = np.frombuffer(buf, np.uint8).astype(np.int64)
+    d[1:] -= 128
+    t = np.cumsum(d).astype(np.uint8)
+    out = np.empty(len(buf), np.uint8)
+    half = (len(buf) + 1) // 2
+    out[0::2] = t[:half]
+    out[1::2] = t[half:]
+    return out.tobytes()
 
 
 def _write_attr(buf: List[bytes], name: str, type_: str, value: bytes):
@@ -30,12 +65,14 @@ def _write_attr(buf: List[bytes], name: str, type_: str, value: bytes):
 
 
 def write_exr(path: str, image: np.ndarray,
-              channel_names: Tuple[str, ...] = None) -> None:
-    """Write HxW or HxWxC float32/float16 image as an uncompressed EXR.
+              channel_names: Tuple[str, ...] = None,
+              compression: str = "none") -> None:
+    """Write HxW or HxWxC float32/float16 image as a scanline EXR.
 
-    Default channel naming: ('Y',) for 1, ('B','G','R') for 3 (matching
-    the cv2/BGR frame convention used across the codec), ('A','B','G','R')
-    for 4.
+    ``compression``: ``"none"``, ``"zips"`` (zlib per scanline) or
+    ``"zip"`` (zlib per 16-scanline block).  Default channel naming:
+    ('Y',) for 1, ('B','G','R') for 3 (matching the cv2/BGR frame
+    convention used across the codec), ('A','B','G','R') for 4.
     """
     image = np.asarray(image)
     if image.ndim == 2:
@@ -49,6 +86,8 @@ def write_exr(path: str, image: np.ndarray,
     else:
         image = image.astype(np.float32)
         ptype, dt = PIXELTYPE_FLOAT, np.dtype("<f4")
+    comp = _COMP_CODES[compression]
+    block_lines = _BLOCK_LINES[comp]
 
     # channel list: sorted by name, each: name\0 i32 type, pLinear+pad,
     # xSampling, ySampling
@@ -62,7 +101,7 @@ def write_exr(path: str, image: np.ndarray,
 
     hdr: List[bytes] = [struct.pack("<ii", MAGIC, 2)]
     _write_attr(hdr, "channels", "chlist", chlist)
-    _write_attr(hdr, "compression", "compression", b"\x00")  # NONE
+    _write_attr(hdr, "compression", "compression", bytes([comp]))
     box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
     _write_attr(hdr, "dataWindow", "box2i", box)
     _write_attr(hdr, "displayWindow", "box2i", box)
@@ -74,34 +113,44 @@ def write_exr(path: str, image: np.ndarray,
     hdr.append(b"\x00")
     header = b"".join(hdr)
 
-    pixel_bytes = dt.itemsize
-    line_size = w * c * pixel_bytes
+    n_blocks = -(-h // block_lines)
     offsets_pos = len(header)
-    data_pos = offsets_pos + 8 * h
+    data_pos = offsets_pos + 8 * n_blocks
 
-    lines = []
+    chunks = []
     offsets = []
     pos = data_pos
-    for y in range(h):
+    for b0 in range(0, h, block_lines):
         offsets.append(pos)
-        row = np.concatenate(
-            [np.ascontiguousarray(image[y, :, i].astype(dt))
-             for i in order]).tobytes()
-        rec = struct.pack("<ii", y, line_size) + row
-        lines.append(rec)
+        rows = []
+        for y in range(b0, min(b0 + block_lines, h)):
+            for i in order:
+                rows.append(np.ascontiguousarray(
+                    image[y, :, i].astype(dt)).tobytes())
+        raw = b"".join(rows)
+        if comp == COMPRESSION_NONE:
+            payload = raw
+        else:
+            z = zlib.compress(_zip_prefilter(raw), 6)
+            # OpenEXR stores whichever is smaller; readers detect the
+            # raw case by payload size == uncompressed block size.
+            payload = z if len(z) < len(raw) else raw
+        rec = struct.pack("<ii", b0, len(payload)) + payload
+        chunks.append(rec)
         pos += len(rec)
 
     with open(path, "wb") as f:
         f.write(header)
-        f.write(struct.pack(f"<{h}q", *offsets))
-        for rec in lines:
+        f.write(struct.pack(f"<{n_blocks}q", *offsets))
+        for rec in chunks:
             f.write(rec)
 
 
 def read_exr(path: str) -> np.ndarray:
-    """Read an uncompressed scanline EXR; returns HxW or HxWxC float
-    (float32 for FLOAT, float16 for HALF), channels in B,G,R order when
-    those names are present (frame convention), else alphabetical."""
+    """Read a scanline EXR (compression NONE, ZIPS or ZIP); returns HxW
+    or HxWxC float (float32 for FLOAT, float16 for HALF), channels in
+    B,G,R order when those names are present (frame convention), else
+    alphabetical."""
     with open(path, "rb") as f:
         data = f.read()
     magic, version = struct.unpack_from("<ii", data, 0)
@@ -125,9 +174,10 @@ def read_exr(path: str) -> np.ndarray:
     off += 1  # header terminator
 
     comp = attrs["compression"][1][0]
-    if comp != 0:
-        raise ValueError(f"only uncompressed EXR supported (compression="
-                         f"{comp})")
+    if comp not in _BLOCK_LINES:
+        raise ValueError(f"unsupported EXR compression={comp} (NONE/"
+                         f"ZIPS/ZIP scanline files supported)")
+    block_lines = _BLOCK_LINES[comp]
     x0, y0, x1, y1 = struct.unpack("<iiii", attrs["dataWindow"][1])
     w, h = x1 - x0 + 1, y1 - y0 + 1
 
@@ -143,18 +193,31 @@ def read_exr(path: str) -> np.ndarray:
         channels.append((name, ptype))
     c = len(channels)
     dts = [_DTYPES[t] for _, t in channels]
+    line_size = sum(w * dt.itemsize for dt in dts)
 
-    offsets = struct.unpack_from(f"<{h}q", data, off)
+    n_blocks = -(-h // block_lines)
+    offsets = struct.unpack_from(f"<{n_blocks}q", data, off)
     out_dtype = np.result_type(*dts) if len(set(dts)) > 1 else dts[0]
     img = np.empty((h, w, c), out_dtype)
     for oi in offsets:
-        y, _size = struct.unpack_from("<ii", data, oi)
-        p = oi + 8
-        for ci, (name, ptype) in enumerate(channels):
-            dt = _DTYPES[ptype]
-            row = np.frombuffer(data, dt, w, p)
-            img[y - y0, :, ci] = row
-            p += w * dt.itemsize
+        y, size = struct.unpack_from("<ii", data, oi)
+        y -= y0
+        lines = min(block_lines, h - y)
+        raw_size = line_size * lines
+        payload = data[oi + 8: oi + 8 + size]
+        if comp == COMPRESSION_NONE or size == raw_size:
+            raw = payload
+        else:
+            raw = _zip_postfilter(zlib.decompress(payload))
+            if len(raw) != raw_size:
+                raise ValueError("corrupt EXR chunk: inflated "
+                                 f"{len(raw)} bytes, expected {raw_size}")
+        p = 0
+        for dy in range(lines):
+            for ci, (name, ptype) in enumerate(channels):
+                dt = _DTYPES[ptype]
+                img[y + dy, :, ci] = np.frombuffer(raw, dt, w, p)
+                p += w * dt.itemsize
 
     names = [n for n, _ in channels]
     if set(names) >= {"B", "G", "R"}:
