@@ -27,6 +27,19 @@
 #include <vector>
 #include <zlib.h>
 
+// libdeflate (when present) backs the fast DEFLATE path: same standard
+// zlib-wrapped streams, ~3x the throughput of zlib at comparable
+// ratios.  Framework-owned section formats opt in via
+// nbf_deflate_frames_fast; reference-byte-parity paths (keyframe
+// records mirroring fixed_video_compressor.py:31 zlib level 9) keep
+// calling the zlib-exact nbf_deflate_frames.
+#if defined(__has_include)
+#if __has_include(<libdeflate.h>)
+#include <libdeflate.h>
+#define NBF_HAVE_LIBDEFLATE 1
+#endif
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -154,25 +167,82 @@ int nbf_deflate_frames(int count, const uint8_t** in, const uint64_t* in_len,
   return 0;
 }
 
+// Fast-engine variant of nbf_deflate_frames: libdeflate when built in
+// (standard zlib streams — any inflater reads them), zlib otherwise.
+// Returns 0 on success; callers use it for framework-owned section
+// formats where byte-parity with the reference's zlib is not pinned.
+int nbf_deflate_frames_fast(int count, const uint8_t** in,
+                            const uint64_t* in_len, uint8_t** out,
+                            const uint64_t* out_cap, uint64_t* out_len,
+                            int level, int threads) {
+#ifdef NBF_HAVE_LIBDEFLATE
+  std::vector<int> status(count, 0);
+  auto work_range = [&](int lo, int hi, int step) {
+    struct libdeflate_compressor* c = libdeflate_alloc_compressor(level);
+    if (!c) { for (int i = lo; i < hi; i += step) status[i] = 1; return; }
+    for (int i = lo; i < hi; i += step) {
+      size_t n = libdeflate_zlib_compress(c, in[i], (size_t)in_len[i],
+                                          out[i], (size_t)out_cap[i]);
+      if (n == 0) { status[i] = 1; continue; }
+      out_len[i] = n;
+    }
+    libdeflate_free_compressor(c);
+  };
+  if (threads <= 1 || count == 1) {
+    work_range(0, count, 1);
+  } else {
+    std::vector<std::thread> ts;
+    int nt = threads < count ? threads : count;
+    for (int t = 0; t < nt; ++t)
+      ts.emplace_back(work_range, t, count, nt);
+    for (auto& th : ts) th.join();
+  }
+  for (int i = 0; i < count; ++i) if (status[i]) return i + 1;
+  return 0;
+#else
+  return nbf_deflate_frames(count, in, in_len, out, out_cap, out_len,
+                            level, threads);
+#endif
+}
+
 int nbf_inflate_frames(int count, const uint8_t** in, const uint64_t* in_len,
                        uint8_t** out, const uint64_t* out_cap,
                        uint64_t* out_len, int threads) {
   std::vector<int> status(count, 0);
-  auto work = [&](int i) {
-    uLongf dest = (uLongf)out_cap[i];
-    int rc = uncompress(out[i], &dest, in[i], (uLong)in_len[i]);
-    if (rc != Z_OK) { status[i] = 1; return; }
-    out_len[i] = dest;
+#ifdef NBF_HAVE_LIBDEFLATE
+  // libdeflate's inflate is 2-3x zlib's and byte-equivalent by
+  // definition (output is the original stream); one decompressor is
+  // reused across each thread's stripe of buffers.
+  auto work_range = [&](int lo, int hi, int step) {
+    struct libdeflate_decompressor* dec = libdeflate_alloc_decompressor();
+    if (!dec) { for (int i = lo; i < hi; i += step) status[i] = 1; return; }
+    for (int i = lo; i < hi; i += step) {
+      size_t actual = 0;
+      enum libdeflate_result rc = libdeflate_zlib_decompress(
+          dec, in[i], (size_t)in_len[i], out[i], (size_t)out_cap[i],
+          &actual);
+      if (rc != LIBDEFLATE_SUCCESS) { status[i] = 1; continue; }
+      out_len[i] = actual;
+    }
+    libdeflate_free_decompressor(dec);
   };
+#else
+  auto work_range = [&](int lo, int hi, int step) {
+    for (int i = lo; i < hi; i += step) {
+      uLongf dest = (uLongf)out_cap[i];
+      int rc = uncompress(out[i], &dest, in[i], (uLong)in_len[i]);
+      if (rc != Z_OK) { status[i] = 1; continue; }
+      out_len[i] = dest;
+    }
+  };
+#endif
   if (threads <= 1 || count == 1) {
-    for (int i = 0; i < count; ++i) work(i);
+    work_range(0, count, 1);
   } else {
     std::vector<std::thread> ts;
-    for (int t = 0; t < threads && t < count; ++t) {
-      ts.emplace_back([&, t]() {
-        for (int i = t; i < count; i += threads) work(i);
-      });
-    }
+    int nt = threads < count ? threads : count;
+    for (int t = 0; t < nt; ++t)
+      ts.emplace_back(work_range, t, count, nt);
     for (auto& th : ts) th.join();
   }
   for (int i = 0; i < count; ++i) if (status[i]) return i + 1;

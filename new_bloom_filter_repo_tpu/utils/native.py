@@ -34,6 +34,7 @@ _has_unfilter_med = False
 _has_hist = False
 _has_rans2 = False
 _has_bitpack = False
+_has_fast_deflate = False
 
 
 def _build() -> bool:
@@ -71,6 +72,14 @@ def load() -> Optional[ctypes.CDLL]:
         lib.nbf_deflate_frames.restype = i32
         lib.nbf_deflate_frames.argtypes = [i32, pp8, pu64, pp8, pu64,
                                            pu64, i32, i32]
+        global _has_fast_deflate
+        try:  # absent from pre-round-4 builds of libnbf.so
+            lib.nbf_deflate_frames_fast.restype = i32
+            lib.nbf_deflate_frames_fast.argtypes = [i32, pp8, pu64, pp8,
+                                                    pu64, pu64, i32, i32]
+            _has_fast_deflate = True
+        except AttributeError:
+            _has_fast_deflate = False
         lib.nbf_inflate_frames.restype = i32
         lib.nbf_inflate_frames.argtypes = [i32, pp8, pu64, pp8, pu64,
                                            pu64, i32]
@@ -214,8 +223,15 @@ def xxh64_index_tables(n: int, h1_seed: int, h2_seed: int, act_seed: int,
 # ---------------------------------------------------------------------------
 
 def deflate_frames(buffers: Sequence[bytes], level: int = 6,
-                   threads: int = 0) -> List[bytes]:
-    """zlib-compress independent buffers, in parallel when native."""
+                   threads: int = 0, engine: str = "zlib") -> List[bytes]:
+    """zlib-compress independent buffers, in parallel when native.
+
+    ``engine="fast"`` opts into libdeflate (when the native build has
+    it): standard zlib streams any inflater reads, ~3x throughput.
+    Framework-owned section formats use it; paths pinned to the
+    reference's exact zlib bytes (keyframe records mirroring
+    fixed_video_compressor.py:31) keep the default ``"zlib"``.
+    """
     lib = load()
     if lib is None:
         return [zlib.compress(b, level) for b in buffers]
@@ -233,8 +249,11 @@ def deflate_frames(buffers: Sequence[bytes], level: int = 6,
     in_len = (ctypes.c_uint64 * count)(*[len(b) for b in buffers])
     out_cap = (ctypes.c_uint64 * count)(*caps)
     out_len = (ctypes.c_uint64 * count)()
-    rc = lib.nbf_deflate_frames(count, in_arr, in_len, out_arr, out_cap,
-                                out_len, level, threads)
+    fn = (lib.nbf_deflate_frames_fast
+          if engine == "fast" and _has_fast_deflate
+          else lib.nbf_deflate_frames)
+    rc = fn(count, in_arr, in_len, out_arr, out_cap, out_len, level,
+            threads)
     if rc != 0:
         return [zlib.compress(b, level) for b in buffers]
     return [outs[i][: out_len[i]].tobytes() for i in range(count)]
