@@ -22,3 +22,22 @@ from new_bloom_filter_repo_tpu.models.bloom import (  # noqa: F401
     RationalBloomFilter,
     StandardBloomFilter,
 )
+
+# The codec/video classes resolve lazily (PEP 562) so that importing the
+# package for the probabilistic core alone does not trace/compile the
+# full video stack.
+_LAZY = {
+    "BloomFilterCompressor": "new_bloom_filter_repo_tpu.models.binary_codec",
+    "FixedVideoCompressor": "new_bloom_filter_repo_tpu.models.video",
+    "ImprovedVideoCompressor": "new_bloom_filter_repo_tpu.models.video",
+}
+
+__all__ = ["RationalBloomFilter", "StandardBloomFilter", *sorted(_LAZY)]
+
+
+def __getattr__(name: str):
+    if name in _LAZY:
+        import importlib
+
+        return getattr(importlib.import_module(_LAZY[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
