@@ -555,6 +555,82 @@ def choose_tile_shifts(summary: np.ndarray) -> np.ndarray:
     return t
 
 
+def _tile_hp_refine(prev: np.ndarray, curr: np.ndarray,
+                    tsh: np.ndarray, tlog: int,
+                    stride: int) -> Optional[np.ndarray]:
+    """Half-pel refinement of an integer per-tile shift map (host side
+    of the type-17 trial).
+
+    For each tile, scores the 9 half-pel neighbors of its integer shift
+    (2*tsh + {-1,0,1}^2) by wrap-aware subsampled SAD under the exact
+    type-17 prediction (edge-clamped bilinear, tile_predict_hp
+    rounding) and keeps the per-tile argmin, ties preferring the even
+    phase.  Returns the (ty, tx, 2) int8 HALF-PEL map, or None when the
+    refined map does not beat the pure-integer map by >0.5% total SAD
+    (the margin the global half-pel probe also uses) — fractional
+    phases that don't help only bloat the map and the trial cost.
+
+    Captures spatially-varying fractional motion (zoom/rotation fields)
+    that neither the integer tile map nor one global half-pel shift can
+    fit; the per-tile independence keeps it one vectorized pass."""
+    h, w = curr.shape[:2]
+    ys = np.arange(0, h, stride, dtype=np.int32)
+    xs = np.arange(0, w, stride, dtype=np.int32)
+    ti, tj = ys >> tlog, xs >> tlog
+    ty, tx = tsh.shape[:2]
+    idx = (ti[:, None] * tx + tj[None, :]).ravel()
+    sy_base = tsh[:, :, 0].astype(np.int32)[ti[:, None], tj[None, :]] * 2
+    sx_base = tsh[:, :, 1].astype(np.int32)[ti[:, None], tj[None, :]] * 2
+    cs = curr[ys[:, None], xs[None, :]].astype(np.int16)
+    yy, xx = ys[:, None], xs[None, :]
+    offsets = [(0, 0), (-1, -1), (-1, 0), (-1, 1), (0, -1),
+               (0, 1), (1, -1), (1, 0), (1, 1)]
+    sads = []
+    for oy, ox in offsets:
+        sy, sx = sy_base + oy, sx_base + ox
+        iy, fy = sy >> 1, (sy & 1).astype(np.uint16)
+        ix, fx = sx >> 1, (sx & 1).astype(np.uint16)
+        r0 = np.clip(yy - iy, 0, h - 1)
+        r1 = np.clip(yy - iy - 1, 0, h - 1)
+        c0 = np.clip(xx - ix, 0, w - 1)
+        c1 = np.clip(xx - ix - 1, 0, w - 1)
+        if curr.ndim == 3:
+            fy, fx = fy[..., None], fx[..., None]
+        acc = (prev[r0, c0].astype(np.uint16) + fx * prev[r0, c1]
+               + fy * prev[r1, c0] + (fy * fx) * prev[r1, c1])
+        sh = fy + fx
+        pred = ((acc + ((1 << sh) >> 1)) >> sh).astype(np.int16)
+        d = (cs - pred) & 0xFF
+        fold = np.minimum(d, 256 - d)
+        if fold.ndim == 3:
+            fold = fold.sum(axis=2)
+        sads.append(np.bincount(idx, weights=fold.ravel(),
+                                minlength=ty * tx))
+    sads = np.stack(sads)                  # (9, ty*tx)
+    pick = np.argmin(sads, axis=0)         # first-min: (0,0) wins ties
+    best = sads[pick, np.arange(ty * tx)].sum()
+    if best >= 0.995 * sads[0].sum():
+        return None
+    off = np.asarray(offsets, np.int32)[pick].reshape(ty, tx, 2)
+    return (tsh.astype(np.int32) * 2 + off).astype(np.int8)
+
+
+def _zoom_fit(tsh: np.ndarray, tlog: int, h: int, w: int) -> float:
+    """Least-squares radial fit of an accepted integer tile-shift map:
+    shift ≈ z * (tile centre - frame centre) per axis.  Returns z
+    (pixels of shift per pixel of radius, ~ per-frame scale delta) —
+    the seed for the type-18 parametric zoom search."""
+    t = 1 << tlog
+    ty, tx = tsh.shape[:2]
+    ry = (np.arange(ty) + 0.5) * t - h / 2.0
+    rx = (np.arange(tx) + 0.5) * t - w / 2.0
+    sy = tsh[..., 0].astype(np.float64)
+    sx = tsh[..., 1].astype(np.float64)
+    num = (sy * ry[:, None]).sum() + (sx * rx[None, :]).sum()
+    den = float((ry * ry).sum() * tx + (rx * rx).sum() * ty)
+    return num / den if den else 0.0
+
+
 def _phase_a_motion_pair(prev, curr, shifts, *, npad: int, nb: int):
     """Motion-diff masks/counts/values from (prev, curr, shift) rows —
     the shared body of the single-device and dp-sharded motion phase A
@@ -1065,6 +1141,10 @@ class BlockedEncoder:
             rare lazy device pulls for pass-through masks and the
             per-tile motion search); thread-safe against a
             concurrent device phase."""
+            # Stage clock restarts at host-phase entry: under the
+            # pipelined schedule finish() may run later (on a worker)
+            # than the device pull that ended the outer timeline.
+            _t0 = time.time()
             payload_sink: List[bytes] = []
             keyframes = 0
             zl = self.zlib_level
@@ -1106,7 +1186,9 @@ class BlockedEncoder:
                 'int' (dy, dx) integer roll, 'hp' (sy, sx) half-pel
                 bilinear, 'ref' (ref_back, sy, sx) half-pel against an
                 older reference (type-16), 'tile' (ty, tx, 2) per-tile map
-                (fc.tile_predict, type-10)."""
+                (fc.tile_predict, type-10), 'tileh' half-pel tile map
+                (type-17), 'zoomg' (z_ppm, dy, dx) parametric zoom
+                (fc.zoom_predict, type-18)."""
                 if tag == "ref":
                     rb, sy, sx = meta
                     ref = np.asarray(frames[j - rb] if j >= rb else base,
@@ -1119,6 +1201,10 @@ class BlockedEncoder:
                     prev_arr = fc.halfpel_predict(prev_arr, *meta)
                 elif tag == "tile":
                     prev_arr = fc.tile_predict(prev_arr, meta, tlog)
+                elif tag == "tileh":
+                    prev_arr = fc.tile_predict_hp(prev_arr, meta, tlog)
+                elif tag == "zoomg":
+                    prev_arr = fc.zoom_predict(prev_arr, *meta)
                 elif meta != (0, 0):
                     prev_arr = np.roll(np.roll(prev_arr, meta[0], axis=0),
                                        meta[1], axis=1)
@@ -1146,17 +1232,20 @@ class BlockedEncoder:
                 pan re-mixes every pixel, so the integer-roll residual is
                 large while the bilinear half-pel residual is near-noise).
                 Every candidate competes by final record size only."""
+                kind = kinds[j]
                 cands = [("int", (int(shifts[j, 0]), int(shifts[j, 1])))]
                 by, bx = int(best_shifts[j, 0]), int(best_shifts[j, 1])
                 if ("int", (by, bx)) not in cands:
                     cands.append(("int", (by, bx)))
                 if byte_view or not self.motion:
                     return cands
+                tsh = None
                 if min(h, w) >= (1 << tlog):
                     tsh = tile_shifts_row(j)
                     if tsh is not None and tsh.any():
                         cands.append(("tile", tsh))
-                if by == 0 and bx == 0 and kinds[j] != "key":
+                if (by == 0 and bx == 0 and kinds[j] != "key"
+                        and (tsh is None or not tsh.any())):
                     # zero integer argmin on a non-dense frame: sub-half-
                     # pixel motion cannot be what made the mask cheap, so
                     # skip the half-pel probes.  Dense (key-kind) frames DO
@@ -1173,15 +1262,116 @@ class BlockedEncoder:
                 sub = (slice(None, None, stride),
                        slice(None, None, stride))
                 curr_sub = curr[sub].astype(np.int16)
+                ys = np.arange(0, h, stride)
+                xs = np.arange(0, w, stride)
 
-                def _sad(pred: np.ndarray) -> int:
-                    # wrap-aware subsampled SAD: |curr - pred| mod 256 with
-                    # ±128 folding — tracks DPCM coded size far better than
-                    # changed-pixel count on fractional-motion content,
-                    # where bilinear prediction leaves near-zero (but
-                    # nonzero) error everywhere and counts barely move.
-                    d = (curr_sub - pred[sub]) & 0xFF
+                def _hp_sad(ref: np.ndarray, sy: int, sx: int) -> int:
+                    """Wrap-aware subsampled SAD of the half-pel
+                    prediction: |curr - pred| mod 256 with ±128 folding
+                    tracks DPCM coded size far better than changed-pixel
+                    count on fractional-motion content (bilinear leaves
+                    near-zero but nonzero error everywhere).  Gathers
+                    ONLY the stride-grid samples with roll (wrap)
+                    indexing — value-identical to subsampling the full
+                    fc.halfpel_predict at 1/stride^2 the work (the probe
+                    loop's full-frame predictions were the encode host
+                    stage's largest cost at 1080p)."""
+                    iy, fy = sy >> 1, sy & 1
+                    ix, fx = sx >> 1, sx & 1
+                    r0 = (ys - iy) % h
+                    c0 = (xs - ix) % w
+                    p00 = ref[r0[:, None], c0[None, :]].astype(np.uint16)
+                    if fy:
+                        r1 = (ys - iy - 1) % h
+                        p10 = ref[r1[:, None], c0[None, :]]
+                    if fx:
+                        c1 = (xs - ix - 1) % w
+                        p01 = ref[r0[:, None], c1[None, :]]
+                    if fy and fx:
+                        s = (p00 + p10 + p01 + ref[r1[:, None],
+                                                   c1[None, :]] + 2) >> 2
+                    elif fy:
+                        s = (p00 + p10 + 1) >> 1
+                    elif fx:
+                        s = (p00 + p01 + 1) >> 1
+                    else:
+                        s = p00
+                    d = (curr_sub - s.astype(np.int16)) & 0xFF
                     return int(np.minimum(d, 256 - d).sum())
+
+                # per-tile HALF-PEL refinement (type 17): fractional
+                # motion that VARIES across the frame (zoom/rotation
+                # fields) lands between integer phases per tile; refine
+                # each accepted tile shift to its best half-pel phase.
+                # Dense frames with an all-zero integer map still probe —
+                # slow zooms move <0.5 px/frame at the edges yet change
+                # every pixel.
+                if tsh is not None and (tsh.any() or kind == "key"):
+                    thm = _tile_hp_refine(prev_arr, curr, tsh, tlog,
+                                          stride)
+                    if thm is not None:
+                        cands.append(("tileh", thm))
+
+                def _zoom_sad(zp: int, dyc: int, dxc: int) -> int:
+                    """Stride-grid SAD of the type-18 parametric zoom
+                    prediction — same floor/clip index math as
+                    fc.zoom_predict, gathered only at the grid points."""
+                    s = 1.0 + zp * 1e-6
+                    cy0, cx0 = h / 2.0, w / 2.0
+                    r = np.clip(np.floor((ys - cy0) / s + cy0)
+                                .astype(np.int64) - dyc, 0, h - 1)
+                    c2 = np.clip(np.floor((xs - cx0) / s + cx0)
+                                 .astype(np.int64) - dxc, 0, w - 1)
+                    pred = prev_arr[r[:, None], c2[None, :]].astype(
+                        np.int16)
+                    d = (curr_sub - pred) & 0xFF
+                    return int(np.minimum(d, 256 - d).sum())
+
+                # parametric zoom probe (type 18): a radial shift field
+                # varies continuously with radius — the per-tile map can
+                # only quantize it, leaving mixed-rounding seams inside
+                # every tile.  Seed z from the radial fit of the integer
+                # tile map; dense frames with a flat map sweep a small
+                # geometric grid (slow zooms move <0.5 px/frame at the
+                # edges yet change every pixel).  Best z then refines
+                # multiplicatively; candidates compete by record size.
+                if tsh is not None and (tsh.any() or kind == "key"):
+                    zfit = _zoom_fit(tsh, tlog, h, w)
+                    if abs(zfit) > 2.0 / max(h, w):
+                        zcands = [zfit * m
+                                  for m in (0.7, 0.85, 1.0, 1.15, 1.3)]
+                    elif kind == "key":
+                        zcands = [s * z for z in (0.0005, 0.001, 0.002,
+                                                  0.004, 0.008)
+                                  for s in (1, -1)]
+                    else:
+                        zcands = []
+                    if zcands:
+                        zsad0 = _zoom_sad(0, by, bx)
+                        best_z, best_zc = None, None
+                        for z in zcands:
+                            zp = int(round(z * 1e6 / (1.0 - z)))
+                            if zp == 0 or abs(zp) > 500_000:
+                                continue
+                            c = _zoom_sad(zp, by, bx)
+                            if best_zc is None or c < best_zc:
+                                best_zc, best_z = c, zp
+                        if best_z is not None:
+                            for m in (0.9, 0.95, 1.05, 1.1):
+                                zp = int(round(best_z * m))
+                                if zp and zp != best_z:
+                                    c = _zoom_sad(zp, by, bx)
+                                    if c < best_zc:
+                                        best_zc, best_z = c, zp
+                        if (best_z is not None
+                                and best_zc < 0.995 * zsad0):
+                            cands.append(("zoomg", (best_z, by, bx)))
+                if by == 0 and bx == 0 and kinds[j] != "key":
+                    # non-dense frame with zero global argmin: the tile
+                    # map (if any) was the only sub-pel story; the global
+                    # half-pel/multi-ref probes below can't beat a mask
+                    # the integer diff already made cheap.
+                    return cands
 
                 if kind == "key" and by == 0 and bx == 0:
                     # Interpolated motion (a real camera pan) changes EVERY
@@ -1194,8 +1384,6 @@ class BlockedEncoder:
                     # subsampled gather keeps it a few ms even at 1080p,
                     # and it only runs on dense frames whose alternative
                     # is a keyframe-sized record.
-                    ys = np.arange(0, h, stride)
-                    xs = np.arange(0, w, stride)
                     best_i = None
                     for iy in range(-3, 4):
                         for ix in range(-3, 4):
@@ -1209,38 +1397,85 @@ class BlockedEncoder:
 
                 int_sad = None
                 best_c, best_s = None, None
+                hp_grid = np.zeros((3, 3))
                 for oy in (-1, 0, 1):
                     for ox in (-1, 0, 1):
                         sy, sx = 2 * by + oy, 2 * bx + ox
-                        pred = fc.halfpel_predict(prev_arr, sy, sx)
-                        c = _sad(pred)
+                        c = _hp_sad(prev_arr, sy, sx)
+                        hp_grid[oy + 1, ox + 1] = c
                         if oy == 0 and ox == 0:
                             int_sad = c
                         elif best_c is None or c < best_c:
                             best_c, best_s = c, (sy, sx)
                 if best_c is not None and best_c < 0.995 * int_sad:
                     cands.append(("hp", best_s))
+
+                def _vertex(vm, v0, vp):
+                    """Sub-sample offset of the parabola through three
+                    equally-spaced SAD samples, clamped to [-1, 1]."""
+                    den = vm - 2 * v0 + vp
+                    if den <= 0:
+                        return float(np.argmin([vm, v0, vp]) - 1)
+                    return float(np.clip(0.5 * (vm - vp) / den, -1, 1))
+
+                # QUARTER-pel per-frame motion estimate from the 3x3
+                # half-pel SAD grid (separable parabolic fit): the true
+                # fractional shift lands between half-pel samples; the
+                # vertex recovers it to ~1/4 pel, which is what anchors
+                # the multi-reference probes correctly below.
+                est_y = 2 * by + _vertex(hp_grid[0, 1], hp_grid[1, 1],
+                                         hp_grid[2, 1])
+                est_x = 2 * bx + _vertex(hp_grid[1, 0], hp_grid[1, 1],
+                                         hp_grid[1, 2])
                 # multi-reference probes (type 16): sub-half-pel motion
                 # (fractional pans; chroma planes pan at half the luma
                 # rate) lands BETWEEN half-pel phases frame-to-frame, but
                 # rb frames back the phase step multiplies back onto the
                 # grid and the bilinear prediction matches — the frames
                 # that were keyframing despite the half-pel search (60% of
-                # the pan_subpixel stream's bytes).
-                for rb in (2, 4):
+                # the pan_subpixel stream's bytes).  Probes center on
+                # rb * (quarter-pel estimate): scaling the INTEGER argmin
+                # instead (2*rb*by) compounds its up-to-half-pel error by
+                # rb and misses the matching phase entirely (e.g. a
+                # 1.25 px/frame pan: true rb=4 shift is 10 half-pels,
+                # 2*rb*by anchors at 8).
+                for rb in (2, 4, 8):
                     if j < rb - 1:
                         continue
                     ref = np.asarray(frames[j - rb] if j >= rb else base,
                                      np.uint8)
-                    best2_c, best2_s = None, None
-                    for oy in (-1, 0, 1):
-                        for ox in (-1, 0, 1):
-                            sy = 2 * rb * by + oy
-                            sx = 2 * rb * bx + ox
-                            c = _sad(fc.halfpel_predict(ref, sy, sx))
-                            if best2_c is None or c < best2_c:
-                                best2_c, best2_s = c, (sy, sx)
-                    if best2_c is not None and best2_c < 0.995 * int_sad:
+                    cy = int(round(rb * est_y))
+                    cx = int(round(rb * est_x))
+                    # Separable coordinate descent (2 rounds, ±3 sweeps)
+                    # from the anchor: the quarter-pel estimate's error
+                    # compounds by rb (a 0.38 half-pel bias is 3 half-pels
+                    # off at rb=8), so a fixed ±1 grid around rb*est
+                    # misses the exactly-matching phase; the descent
+                    # walks to it (SAD collapses at the true phase, so
+                    # the valley is steep and 1-D sweeps find it).
+                    best2_s = (cy, cx)
+                    best2_c = _hp_sad(ref, cy, cx)
+                    for _ in range(2):
+                        improved = False
+                        sy0, sx0 = best2_s
+                        for sy in range(sy0 - 3, sy0 + 4):
+                            if sy == sy0:
+                                continue
+                            c = _hp_sad(ref, sy, sx0)
+                            if c < best2_c:
+                                best2_c, best2_s = c, (sy, sx0)
+                                improved = True
+                        sy0, sx0 = best2_s
+                        for sx in range(sx0 - 3, sx0 + 4):
+                            if sx == sx0:
+                                continue
+                            c = _hp_sad(ref, sy0, sx)
+                            if c < best2_c:
+                                best2_c, best2_s = c, (sy0, sx)
+                                improved = True
+                        if not improved:
+                            break
+                    if best2_c < 0.995 * int_sad:
                         cands.append(("ref", (rb, *best2_s)))
                 return cands
 
@@ -1296,7 +1531,8 @@ class BlockedEncoder:
                         if sl == lvl and not skip[i]]
                 outs = native.deflate_frames([sections[i] for i in idxs],
                                              level=lvl,
-                                             threads=self.num_threads)
+                                             threads=self.num_threads,
+                                             engine="fast")
                 for i, z in zip(idxs, outs):
                     zsecs[i] = z
             # ---- DPCM residual trials (dense/pass frames) -----------------
@@ -1364,7 +1600,8 @@ class BlockedEncoder:
                         raws.append(r)
                         meta.append((j, tag, m, len(r)))
                 outs = native.deflate_frames(raws, level=vlvl,
-                                             threads=self.num_threads)
+                                             threads=self.num_threads,
+                                             engine="fast")
                 # Spatially-filtered variants (type 14) where DEFLATE left
                 # headroom: fractional-motion prediction error is spatially
                 # correlated (bilinear interpolation low-passes the frame),
@@ -1385,7 +1622,8 @@ class BlockedEncoder:
                                 fc.spatial_filter(plane, fid).tobytes())
                             filt_meta.append((idx, fid))
                 filt_outs = (native.deflate_frames(
-                    filt_raws, level=vlvl, threads=self.num_threads)
+                    filt_raws, level=vlvl, threads=self.num_threads,
+                    engine="fast")
                     if filt_raws else [])
                 # One pooled native call runs every entropy-gated rANS
                 # trial of the group across host threads (filtered and
@@ -1510,6 +1748,11 @@ class BlockedEncoder:
                         rec = fc.wrap_motion_ref(m[0], m[1], m[2], rec)
                     elif tag == "tile":
                         rec = fc.wrap_motion_tiles(tlog, m, rec)
+                    elif tag == "tileh":
+                        rec = fc.wrap_motion_tiles(tlog, m, rec,
+                                                   rtype=fc.TILES_HP)
+                    elif tag == "zoomg":
+                        rec = fc.wrap_motion_zoom(m[0], m[1], m[2], rec)
                     elif m != (0, 0):
                         rec = fc.wrap_motion(m[0], m[1], rec)
                     if best is None or len(rec) < len(best):
@@ -1527,6 +1770,11 @@ class BlockedEncoder:
                     # the residual on grain/subpixel motion
                     key_rec = keyframe_fn(j)
                     res_rec = _residual_rec(j)
+                    if os.environ.get("NBF_DEBUG_TRIALS"):
+                        print(f"[trials] j={j} key={len(key_rec)} " +
+                              " ".join(f"{t}:{m if t in ('int','hp','ref','zoomg') else '-'}:{len(r)}"
+                                       for t, m, r in res_trials[j]),
+                              flush=True)
                     if len(res_rec) < len(key_rec):
                         payload_sink.append(res_rec)  # carries its own wrap
                     else:
@@ -1709,23 +1957,19 @@ class BlockedDecoder:
         _, finish = self.decode_run_begin(base, payloads, stage_times)
         return finish()
 
-    def decode_run_begin(self, base, payloads: List[bytes],
-                         stage_times: Optional[dict] = None):
-        """Parse + dispatch phase of a run decode.  ``base`` may be a
-        host ndarray or a device array (the previous run's chained last
-        frame).  Returns ``(last_dev, finish)``: ``last_dev`` is the
-        device array of the final decoded frame — the next run can
-        chain on it without a host round trip — and ``finish()`` pulls
-        and returns the decoded frames."""
-        _t0 = time.time()
+    def parse_records(self, shape, payloads: List[bytes]) -> dict:
+        """HOST half 1 of a run decode: record parse, section INFLATE,
+        bitmap unpack — everything up to (but excluding) the device
+        membership dispatch.  Returns the parsed per-frame arrays as a
+        dict; :meth:`slice_streams` consumes it together with the
+        membership witness counts.  Factored out so the production
+        pipeline (and bench.py's measured overlap loop) can run the
+        host byte stages independently of the device queue."""
         f = len(payloads)
-        shape = base.shape
         h, w = shape[:2]
-        channels = 1 if base.ndim == 2 else shape[2]
         n = h * w
         tab = blocked_tables(n)
         nb, npad, nbk = tab["nb"], tab["npad"], tab["nbk"]
-        npadk = nbk * bk.IPB
 
         # device-stage arrays are allocated at the kernel geometry
         # (nbk >= nb, see nbk_of); only the first nb block rows are ever
@@ -1773,7 +2017,8 @@ class BlockedDecoder:
             elif rtype == fc.BLOCKED_S:
                 rec = fc.parse_blocked_s(payload, off + 1)
             elif (rtype in fc.RESIDUAL_TYPES
-                  or rtype in (fc.MOTION_HP, fc.TILES, fc.REF_HP)):
+                  or rtype in (fc.MOTION_HP, fc.TILES, fc.REF_HP,
+                               fc.TILES_HP, fc.ZOOM_G)):
                 # DPCM residuals (and their half-pel/tile/multi-ref
                 # wrappers) reconstruct on host against the running
                 # frame (models/video.py splits device runs around
@@ -1819,35 +2064,28 @@ class BlockedDecoder:
             wit_streams[j] = rec["witness_bytes"].tobytes()
             wit_packed[j] = bool(rec.get("witness_packed"))
 
-        if stage_times is not None:
-            stage_times["dec_parse"] = (
-                stage_times.get("dec_parse", 0.0) + time.time() - _t0)
-            _t0 = time.time()
-        k_lanes = bk.k_bucket(int(fk_arr.max()))
-        nw = bk.nw_bucket(int(m_arr.max()))
-        if self.dispatch is not None:
-            passes_d, wcnt_d = self.dispatch.membership(
-                jnp.asarray(words), tab, jnp.asarray(m_arr),
-                jnp.asarray(thi), jnp.asarray(tlo), jnp.asarray(fk_arr),
-                jnp.asarray(flags), k_lanes=k_lanes, nw=nw)
-        else:
-            prog = _fused_membership_prog(k_lanes, nw)
-            passes_d, wcnt_d = prog(
-                tab["h1"], tab["h2"], tab["act_hi"], tab["act_lo"],
-                jnp.asarray(words), jnp.asarray(m_arr), jnp.asarray(thi),
-                jnp.asarray(tlo), jnp.asarray(fk_arr), jnp.asarray(flags))
-        wcnt = jax.device_get(wcnt_d)
-        if stage_times is not None:
-            stage_times["dec_device_membership"] = (
-                stage_times.get("dec_device_membership", 0.0)
-                + time.time() - _t0)
-            _t0 = time.time()
+        return {"f": f, "words": words, "raw_used": raw_used,
+                "flags": flags, "m_arr": m_arr, "fk_arr": fk_arr,
+                "thi": thi, "tlo": tlo, "raw_mask": raw_mask,
+                "wit_streams": wit_streams, "wit_packed": wit_packed,
+                "value_streams": value_streams, "shifts": shifts}
 
-        # Host: slice witness streams into per-block padded segments and
-        # derive per-block change counts (popcount of witness bits) —
-        # both native single-pass walks (utils/native.py pad_rows /
-        # witness_popcounts); this stage was the decode host hot spot
-        # (10.2 -> ~0.5 ms/frame at 1080p).
+    def slice_streams(self, parsed: dict, wcnt: np.ndarray,
+                      nbk: int, channels: int):
+        """HOST half 2 of a run decode: slice witness streams into
+        per-block padded segments and derive per-block change counts
+        (popcount of witness bits) — both native single-pass walks
+        (utils/native.py pad_rows / witness_popcounts); this stage was
+        the decode host hot spot (10.2 -> ~0.5 ms/frame at 1080p).
+        Depends on the device membership counts ``wcnt``; under the
+        pipelined schedule it runs while the NEXT chunk's membership
+        executes.  Returns (wit, block_counts, vseg, vh)."""
+        f = parsed["f"]
+        flags = parsed["flags"]
+        raw_mask = parsed["raw_mask"]
+        wit_streams = parsed["wit_streams"]
+        wit_packed = parsed["wit_packed"]
+        value_streams = parsed["value_streams"]
         # batch arrays start uninitialized: pad_rows(out=frame slice)
         # zero-fills and writes each frame in one native pass, and the
         # rare frames without a stream zero their row explicitly.
@@ -1884,6 +2122,78 @@ class BlockedDecoder:
                 vh * 32 * channels,
                 (block_counts[j] * channels).astype(np.uint32),
                 out=vseg[j])
+        return wit, block_counts, vseg, vh
+
+    def membership_counts(self, parsed: dict, shape):
+        """DEVICE half 1 of a run decode: upload the parsed sub-filter
+        words and run the fused membership program.  Returns
+        ``(passes_d, wcnt)`` — the device-resident membership lanes and
+        the pulled per-block witness counts :meth:`slice_streams`
+        needs.  The upload dominates on thin host links; under the
+        pipelined schedule it overlaps the previous chunk's host
+        stages."""
+        h, w = shape[:2]
+        tab = blocked_tables(h * w)
+        k_lanes = bk.k_bucket(int(parsed["fk_arr"].max()))
+        nw = bk.nw_bucket(int(parsed["m_arr"].max()))
+        if self.dispatch is not None:
+            passes_d, wcnt_d = self.dispatch.membership(
+                jnp.asarray(parsed["words"]), tab,
+                jnp.asarray(parsed["m_arr"]),
+                jnp.asarray(parsed["thi"]), jnp.asarray(parsed["tlo"]),
+                jnp.asarray(parsed["fk_arr"]),
+                jnp.asarray(parsed["flags"]), k_lanes=k_lanes, nw=nw)
+        else:
+            prog = _fused_membership_prog(k_lanes, nw)
+            passes_d, wcnt_d = prog(
+                tab["h1"], tab["h2"], tab["act_hi"], tab["act_lo"],
+                jnp.asarray(parsed["words"]),
+                jnp.asarray(parsed["m_arr"]), jnp.asarray(parsed["thi"]),
+                jnp.asarray(parsed["tlo"]), jnp.asarray(parsed["fk_arr"]),
+                jnp.asarray(parsed["flags"]))
+        return passes_d, jax.device_get(wcnt_d)
+
+    def decode_run_begin(self, base, payloads: List[bytes],
+                         stage_times: Optional[dict] = None):
+        """Parse + dispatch phase of a run decode.  ``base`` may be a
+        host ndarray or a device array (the previous run's chained last
+        frame).  Returns ``(last_dev, finish)``: ``last_dev`` is the
+        device array of the final decoded frame — the next run can
+        chain on it without a host round trip — and ``finish()`` pulls
+        and returns the decoded frames."""
+        _t0 = time.time()
+        f = len(payloads)
+        shape = base.shape
+        h, w = shape[:2]
+        channels = 1 if base.ndim == 2 else shape[2]
+        n = h * w
+        tab = blocked_tables(n)
+        nb, npad, nbk = tab["nb"], tab["npad"], tab["nbk"]
+        npadk = nbk * bk.IPB
+
+        parsed = self.parse_records(shape, payloads)
+        words = parsed["words"]
+        raw_used = parsed["raw_used"]
+        flags = parsed["flags"]
+        m_arr = parsed["m_arr"]
+        fk_arr = parsed["fk_arr"]
+        thi, tlo = parsed["thi"], parsed["tlo"]
+        raw_mask = parsed["raw_mask"]
+        shifts = parsed["shifts"]
+
+        if stage_times is not None:
+            stage_times["dec_parse"] = (
+                stage_times.get("dec_parse", 0.0) + time.time() - _t0)
+            _t0 = time.time()
+        passes_d, wcnt = self.membership_counts(parsed, shape)
+        if stage_times is not None:
+            stage_times["dec_device_membership"] = (
+                stage_times.get("dec_device_membership", 0.0)
+                + time.time() - _t0)
+            _t0 = time.time()
+
+        wit, block_counts, vseg, vh = self.slice_streams(
+            parsed, wcnt, nbk, channels)
 
         if stage_times is not None:
             stage_times["dec_host_slices"] = (

@@ -105,6 +105,24 @@ INTERFRAME = 0
 #     section so byte/context rANS can beat DEFLATE on grain-dominated
 #     keyframes (3-5%); layout reordered flag-first so stream presence
 #     is unambiguous.
+# 17 — HALF-PEL tile-motion wrapper: type 10's per-tile map with the
+#     int8 (dy, dx) shifts in HALF-pixel units and the prediction the
+#     edge-clamped per-pixel bilinear of :func:`tile_predict_hp` (same
+#     exact integer rounding as type 9).  Captures spatially-varying
+#     FRACTIONAL motion — zoom/rotation fields whose per-tile shifts
+#     land between integer pixels — that neither the integer tile map
+#     nor a global half-pel shift can fit.  Only wraps residual-family
+#     records on direct uint8 content.
+# 18 — parametric ZOOM global-motion wrapper (the global-motion-model
+#     idea of MPEG-4 GMC / AV1's ROTZOOM, restricted to isotropic
+#     scale): prediction samples prev at
+#     floor((p - c) / s + c) - t per axis (nearest-neighbour gather,
+#     edge-clamped), s = 1 + z_ppm * 1e-6 about the frame centre, plus
+#     integer translation t.  A radial shift field varies continuously
+#     with radius; any per-tile map can only quantize it per tile,
+#     leaving mixed-rounding seams inside every tile — the parametric
+#     gather reproduces the field per PIXEL with a 9-byte header.
+#     Only wraps residual-family records on direct uint8 content.
 EMPTY = 2
 BLOCKED = 3
 SPARSE = 4
@@ -120,6 +138,8 @@ RESIDUAL_S = 13
 RESIDUAL_F = 14
 KEYFRAME_S = 15
 REF_HP = 16
+TILES_HP = 17
+ZOOM_G = 18
 
 _HDR_III = struct.Struct("<III")
 _U32 = struct.Struct("<I")
@@ -1048,9 +1068,14 @@ def wrap_motion_ref(ref_back: int, sy: int, sx: int,
     rate) is invisible to the half-pel grid frame-to-frame, but a
     longer temporal baseline doubles/triples the phase step back onto
     it — the multi-reference idea of H.264's reference picture lists.
-    Layout: <B 16, <B ref_back, <hh sy sx (half-pel units), inner."""
-    if not 2 <= ref_back <= 7:
-        raise ValueError(f"ref_back {ref_back} outside [2, 7]")
+    Layout: <B 16, <B ref_back, <hh sy sx (half-pel units), inner.
+
+    ``ref_back`` reaches to 15: chroma planes of a 4:2:0 stream pan at
+    HALF the luma rate AND alias under 2x subsampling — an odd full-res
+    row shift is invisible to the plane grid — so their content only
+    realigns with a reference every 4th/8th frame."""
+    if not 2 <= ref_back <= 15:
+        raise ValueError(f"ref_back {ref_back} outside [2, 15]")
     return (_U8.pack(REF_HP) + _U8.pack(ref_back)
             + struct.pack("<hh", sy, sx) + inner)
 
@@ -1060,32 +1085,36 @@ def parse_motion_ref(data: bytes):
     if len(data) < 6:
         raise ValueError("truncated multi-reference motion record")
     ref_back = data[1]
-    if not 2 <= ref_back <= 7:
-        raise ValueError(f"ref_back {ref_back} outside [2, 7]")
+    if not 2 <= ref_back <= 15:
+        raise ValueError(f"ref_back {ref_back} outside [2, 15]")
     sy, sx = struct.unpack_from("<hh", data, 2)
     return ref_back, sy, sx, 6
 
 
 def wrap_motion_tiles(tlog: int, tshifts: np.ndarray, inner: bytes,
-                      zlib_level: int = 6) -> bytes:
-    """Wrap a residual record with a PER-TILE motion map (type 10).
+                      zlib_level: int = 6, rtype: int = TILES) -> bytes:
+    """Wrap a residual record with a PER-TILE motion map (type 10, or
+    type 17 when ``rtype=TILES_HP`` — same layout, shifts in half-pel
+    units).
 
     ``tshifts``: (ty, tx, 2) int8 — (dy, dx) per square tile of side
-    2**tlog, row-major.  Layout: <B 10, <B tlog, <H ty, <H tx,
+    2**tlog, row-major.  Layout: <B rtype, <B tlog, <H ty, <H tx,
     <H zlen, map bytes (DEFLATE'd when that is smaller, zlen == 0
     means raw), inner."""
     t = np.ascontiguousarray(tshifts, dtype=np.int8)
     ty, tx = t.shape[:2]
     raw = t.tobytes()
     z = zlib.compress(raw, level=zlib_level)
-    hdr = _U8.pack(TILES) + _U8.pack(tlog) + _U16.pack(ty) + _U16.pack(tx)
+    hdr = _U8.pack(rtype) + _U8.pack(tlog) + _U16.pack(ty) + _U16.pack(tx)
     if len(z) < len(raw):
         return hdr + _U16.pack(len(z)) + z + inner
     return hdr + _U16.pack(0) + raw + inner
 
 
 def parse_motion_tiles(data: bytes, offset: int = 0):
-    """Inverse of :func:`wrap_motion_tiles` (from the type byte).
+    """Inverse of :func:`wrap_motion_tiles` (from the type byte; the
+    layout is shared by types 10 and 17 — the caller dispatches the
+    prediction on the type).
 
     Returns (tlog, tshifts (ty, tx, 2) int8, inner_offset)."""
     if len(data) < offset + 8:
@@ -1122,6 +1151,14 @@ def tile_predict(prev: np.ndarray, tshifts: np.ndarray,
     tiles.  Works on (h, w) or (h, w, c) arrays of any dtype — the
     gather is whole-pixel, never byte-mixing."""
     h, w = prev.shape[:2]
+    dy, dx = _tile_pel_maps(tshifts, tlog, h, w)
+    rows = np.clip(np.arange(h, dtype=np.int32)[:, None] - dy, 0, h - 1)
+    cols = np.clip(np.arange(w, dtype=np.int32)[None, :] - dx, 0, w - 1)
+    return prev[rows, cols]
+
+
+def _tile_pel_maps(tshifts: np.ndarray, tlog: int, h: int, w: int):
+    """Per-pixel (dy, dx) int32 maps from a per-tile shift map."""
     t = 1 << tlog
     ty, tx = tshifts.shape[:2]
     if ty != -(-h // t) or tx != -(-w // t):
@@ -1130,9 +1167,78 @@ def tile_predict(prev: np.ndarray, tshifts: np.ndarray,
                    t, 1)[:h, :w]
     dx = np.repeat(np.repeat(tshifts[:, :, 1].astype(np.int32), t, 0),
                    t, 1)[:h, :w]
-    rows = np.clip(np.arange(h, dtype=np.int32)[:, None] - dy, 0, h - 1)
-    cols = np.clip(np.arange(w, dtype=np.int32)[None, :] - dx, 0, w - 1)
-    return prev[rows, cols]
+    return dy, dx
+
+
+def wrap_motion_zoom(z_ppm: int, dy: int, dx: int, inner: bytes) -> bytes:
+    """Wrap a residual record with a parametric ZOOM global-motion
+    header (type 18): per-frame scale delta ``z_ppm`` (parts per
+    million; scale = 1 + z_ppm * 1e-6 about the frame centre) plus an
+    integer translation.  Layout: <B 18, <i z_ppm, <hh dy dx, inner."""
+    return (_U8.pack(ZOOM_G) + struct.pack("<i", int(z_ppm))
+            + struct.pack("<hh", dy, dx) + inner)
+
+
+def parse_motion_zoom(data: bytes, offset: int = 0):
+    """Returns (z_ppm, dy, dx, inner_offset) of a type-18 record."""
+    if len(data) < offset + 9:
+        raise ValueError("truncated zoom-motion record")
+    z_ppm = struct.unpack_from("<i", data, offset + 1)[0]
+    if not -500_000 <= z_ppm <= 500_000:
+        raise ValueError(f"zoom-motion scale delta {z_ppm} out of range")
+    dy, dx = struct.unpack_from("<hh", data, offset + 5)
+    return z_ppm, dy, dx, offset + 9
+
+
+def zoom_predict(prev: np.ndarray, z_ppm: int, dy: int = 0,
+                 dx: int = 0) -> np.ndarray:
+    """Parametric zoom prediction (type 18): sample prev at
+    floor((p - c) / s + c) - t per axis (separable nearest-neighbour
+    gather, edge-clamped), s = 1 + z_ppm/1e6 about the frame centre,
+    integer translation t = (dy, dx).  A zoom's shift field varies
+    continuously with radius; the per-pixel gather reproduces it
+    exactly where any per-tile map leaves mixed-rounding seams.
+    float64 index math — bit-deterministic across hosts."""
+    h, w = prev.shape[:2]
+    s = 1.0 + z_ppm * 1e-6
+    cy, cx = h / 2.0, w / 2.0
+    ys = np.clip(np.floor((np.arange(h) - cy) / s + cy).astype(np.int64)
+                 - dy, 0, h - 1)
+    xs = np.clip(np.floor((np.arange(w) - cx) / s + cx).astype(np.int64)
+                 - dx, 0, w - 1)
+    return prev[np.ix_(ys, xs)]
+
+
+def tile_predict_hp(prev: np.ndarray, tshifts: np.ndarray,
+                    tlog: int) -> np.ndarray:
+    """Per-tile HALF-PEL motion prediction (type 17): ``tshifts`` is in
+    half-pixel units; each pixel samples prev at (y - dy_t/2, x - dx_t/2)
+    with edge-clamped coordinates and the exact integer bilinear
+    rounding of :func:`halfpel_predict` ((a+b+1)>>1 / (a+b+c+d+2)>>2).
+    uint8 arrays only — byte-domain frames must never be averaged."""
+    if prev.dtype != np.uint8:
+        raise ValueError("half-pel tile prediction on non-uint8 frame")
+    h, w = prev.shape[:2]
+    sy, sx = _tile_pel_maps(tshifts, tlog, h, w)
+    iy, fy = sy >> 1, (sy & 1).astype(np.uint16)
+    ix, fx = sx >> 1, (sx & 1).astype(np.uint16)
+    yy = np.arange(h, dtype=np.int32)[:, None]
+    xx = np.arange(w, dtype=np.int32)[None, :]
+    r0 = np.clip(yy - iy, 0, h - 1)
+    r1 = np.clip(yy - iy - 1, 0, h - 1)   # the fy half-step neighbor
+    c0 = np.clip(xx - ix, 0, w - 1)
+    c1 = np.clip(xx - ix - 1, 0, w - 1)
+    if prev.ndim == 3:
+        fy = fy[..., None]
+        fx = fx[..., None]
+    p00 = prev[r0, c0].astype(np.uint16)
+    # Per-pixel mixed phases in one exact expression: weights (1, fx,
+    # fy, fy*fx), bias (1 << (fy+fx)) >> 1, shift fy+fx — reduces to
+    # p00 / (a+b+1)>>1 / (a+b+c+d+2)>>2 per tile.  Max sum 1022 < 2^16.
+    acc = (p00 + fx * prev[r0, c1] + fy * prev[r1, c0]
+           + (fy * fx) * prev[r1, c1])
+    sh = fy + fx
+    return ((acc + ((1 << sh) >> 1)) >> sh).astype(np.uint8)
 
 
 def parse_interframe(data: bytes, offset: int = 0) -> dict:

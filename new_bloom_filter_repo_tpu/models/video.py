@@ -767,11 +767,15 @@ class ImprovedVideoCompressor:
                     raise ValueError(
                         "truncated multi-reference motion record")
                 return payload[6]
-            if t == fc.TILES:
+            if t in (fc.TILES, fc.TILES_HP):
                 _, _, off = fc.parse_motion_tiles(payload)
                 if len(payload) <= off:
                     raise ValueError("truncated tile-motion record")
                 return payload[off]
+            if t == fc.ZOOM_G:
+                if len(payload) <= 9:
+                    raise ValueError("truncated zoom-motion record")
+                return payload[9]
             return t
 
         def _is_device_inter(payload: bytes) -> bool:
@@ -798,7 +802,7 @@ class ImprovedVideoCompressor:
             nonlocal prev, prev_info
             prev = frame
             hist.append(frame)
-            del hist[:-7]
+            del hist[:-15]
             if prev_info is None:
                 frames.append(prev)
                 return
@@ -858,7 +862,7 @@ class ImprovedVideoCompressor:
                                                      offset=1)
                 prev, prev_info = np.asarray(frame), _copy_info(info)
                 hist.append(prev)
-                del hist[:-7]
+                del hist[:-15]
                 frames.append(YUVFrame(prev, _copy_info(prev_info))
                               if prev_info is not None else prev)
                 i += 1
@@ -867,11 +871,12 @@ class ImprovedVideoCompressor:
                              fc.SPARSE, fc.BLOCKED_Z, fc.BLOCKED_S,
                              fc.MOTION, fc.RESIDUAL, fc.RESIDUAL_S,
                              fc.RESIDUAL_F, fc.MOTION_HP, fc.TILES,
-                             fc.REF_HP):
+                             fc.REF_HP, fc.TILES_HP, fc.ZOOM_G):
                 raise ValueError(f"Unknown frame type: {rtype}")
             if prev is None:
                 raise ValueError("inter-frame record before any keyframe")
-            if rtype in (fc.MOTION_HP, fc.TILES, fc.REF_HP) and \
+            if rtype in (fc.MOTION_HP, fc.TILES, fc.REF_HP,
+                         fc.TILES_HP, fc.ZOOM_G) and \
                     _inner_type(payloads[i]) not in fc.RESIDUAL_TYPES:
                 raise ValueError(
                     "half-pel/tile/multi-ref wrapper on non-residual "
@@ -881,16 +886,33 @@ class ImprovedVideoCompressor:
                 payload = payloads[i]
                 byte_domain = (prev.dtype != np.uint8
                                or (prev.ndim == 3 and prev.shape[2] > 3))
-                if rtype == fc.TILES:
+                if rtype in (fc.TILES, fc.TILES_HP):
                     # per-tile motion prediction (uint8 channel content
-                    # only — the encoder never emits tiles byte-domain)
+                    # only — the encoder never emits tiles byte-domain);
+                    # type 17 shifts are half-pel with exact bilinear
                     if byte_domain:
                         raise ValueError(
                             "tile-motion wrapper on byte-domain stream")
                     tlog, tshifts, off = fc.parse_motion_tiles(payload)
                     residual = fc.parse_residual_any(payload, off,
                                                      prev.shape)
-                    pred = fc.tile_predict(prev, tshifts, tlog)
+                    pred = (fc.tile_predict_hp(prev, tshifts, tlog)
+                            if rtype == fc.TILES_HP
+                            else fc.tile_predict(prev, tshifts, tlog))
+                    frame = fc.apply_residual(pred, residual)
+                    _advance(frame)
+                    i += 1
+                    continue
+                if rtype == fc.ZOOM_G:
+                    # parametric zoom global-motion prediction (uint8
+                    # channel content only, like the half-pel wrapper)
+                    if byte_domain:
+                        raise ValueError(
+                            "zoom-motion wrapper on byte-domain stream")
+                    z_ppm, dy, dx, off = fc.parse_motion_zoom(payload)
+                    residual = fc.parse_residual_any(payload, off,
+                                                     prev.shape)
+                    pred = fc.zoom_predict(prev, z_ppm, dy, dx)
                     frame = fc.apply_residual(pred, residual)
                     _advance(frame)
                     i += 1

@@ -35,13 +35,16 @@ RECORD_NAMES = {
     fc.RESIDUAL_F: "residual-filtered",
     fc.KEYFRAME_S: "keyframe-sectioned",
     fc.REF_HP: "motion-multiref",
+    fc.TILES_HP: "motion-tiles-halfpel",
+    fc.ZOOM_G: "motion-zoom",
 }
 
 CODING_NAMES = {0: "raw", 1: "deflate", 2: "binary-rans",
                 3: "byte-rans", 4: "ctx-rans", 6: "2d-rans",
                 7: "bitpacked-rans"}
 
-_WRAPPERS = (fc.MOTION, fc.MOTION_HP, fc.TILES, fc.REF_HP)
+_WRAPPERS = (fc.MOTION, fc.MOTION_HP, fc.TILES, fc.REF_HP,
+             fc.TILES_HP, fc.ZOOM_G)
 
 
 def _skip_section(data: bytes, off: int, out: Dict[str, List[int]]):
@@ -75,9 +78,11 @@ def _inner_offset(payload: bytes) -> int:
         return 5
     if t == fc.REF_HP:
         return 6
-    if t == fc.TILES:
+    if t in (fc.TILES, fc.TILES_HP):
         _, _, off = fc.parse_motion_tiles(payload)
         return off
+    if t == fc.ZOOM_G:
+        return 9
     return 0
 
 

@@ -291,13 +291,16 @@ class TestBenchContract:
         monkeypatch.setattr(bench, "make_clip",
                             lambda *a, **k: [None] * 3)
         monkeypatch.setattr(bench, "_device_codec_fps",
-                            lambda frames: (500.0, True))
+                            lambda frames: (500.0, True, None))
         monkeypatch.setattr(
             bench, "_e2e_fps",
             lambda frames: (1.0, 1.0, 1.0, 0.25, 0.75, True))
         monkeypatch.setattr(
             bench, "_host_stage_seconds",
             lambda frames: (0.010, 0.004, {"enc_deflate": 7.0}))
+        monkeypatch.setattr(
+            bench, "_measured_production_fps",
+            lambda frames, dev_dispatch=None: (71.4, 100.0, 250.0, True))
         import types
         monkeypatch.setitem(
             _sys.modules, "jax",
@@ -308,9 +311,12 @@ class TestBenchContract:
                     "lossless", "compression_ratio",
                     "transfer_bound_e2e_fps", "host_stage_fps",
                     "production_pipeline_fps", "production_encode_fps",
-                    "production_decode_fps", "host_stage_ms_per_frame"):
+                    "production_decode_fps", "production_measured",
+                    "host_stage_ms_per_frame"):
             assert key in out, key
         assert out["value"] == 500.0 and out["lossless"] is True
-        # device 500 fps, host 14 ms/f combined -> host-bound
-        assert abs(out["production_pipeline_fps"] - 1 / 0.014) < 0.5
-        assert abs(out["production_encode_fps"] - 100.0) < 0.5
+        # production numbers are MEASURED (overlapped loop), passed
+        # through verbatim from _measured_production_fps
+        assert out["production_pipeline_fps"] == 71.4
+        assert out["production_encode_fps"] == 100.0
+        assert out["production_measured"] is True

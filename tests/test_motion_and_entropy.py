@@ -202,9 +202,10 @@ class TestPlumbing:
         seen = {}
         real = native.deflate_frames
 
-        def spy(buffers, level=6, threads=0):
+        def spy(buffers, level=6, threads=0, engine="zlib"):
             seen["threads"] = threads
-            return real(buffers, level=level, threads=threads)
+            return real(buffers, level=level, threads=threads,
+                        engine=engine)
 
         monkeypatch.setattr(native, "deflate_frames", spy)
         monkeypatch.setattr(bp.native, "deflate_frames", spy)
