@@ -115,14 +115,22 @@ INTERFRAME = 0
 #     records on direct uint8 content.
 # 18 — parametric ZOOM global-motion wrapper (the global-motion-model
 #     idea of MPEG-4 GMC / AV1's ROTZOOM, restricted to isotropic
-#     scale): prediction samples prev at
-#     floor((p - c) / s + c) - t per axis (nearest-neighbour gather,
-#     edge-clamped), s = 1 + z_ppm * 1e-6 about the frame centre, plus
-#     integer translation t.  A radial shift field varies continuously
-#     with radius; any per-tile map can only quantize it per tile,
-#     leaving mixed-rounding seams inside every tile — the parametric
-#     gather reproduces the field per PIXEL with a 9-byte header.
-#     Only wraps residual-family records on direct uint8 content.
+#     scale) with a TWO-SCALE latent-grid map and a multi-frame
+#     reference: the record carries cumulative scales for the current
+#     frame (z_cur) and for the reference ref_back<=15 frames back
+#     (z_ref), both about the frame centre in ppm, plus an integer
+#     translation.  Prediction projects each pixel to its latent grid
+#     point under s_cur (m = floor((p-c)/s_cur + c)) then samples the
+#     reference pixel that covers that latent point under s_ref
+#     (q = ceil(c + (m-c)*s_ref)); z_ref = 0 degrades to the direct
+#     single-stage map.  The two-stage form matters because a single
+#     RELATIVE scale composes two nearest-neighbour quantizations and
+#     mispredicts most pixels of a steady resampled zoom, while the
+#     latent-grid map is exact.  A radial shift field also varies
+#     continuously with radius, so any per-tile map quantizes it with
+#     mixed-rounding seams inside every tile — the parametric gather
+#     reproduces the field per PIXEL with a 14-byte header.  Only
+#     wraps residual-family records on direct uint8 content.
 EMPTY = 2
 BLOCKED = 3
 SPARSE = 4
@@ -1170,42 +1178,74 @@ def _tile_pel_maps(tshifts: np.ndarray, tlog: int, h: int, w: int):
     return dy, dx
 
 
-def wrap_motion_zoom(z_ppm: int, dy: int, dx: int, inner: bytes) -> bytes:
+def wrap_motion_zoom(z_cur: int, dy: int, dx: int, inner: bytes,
+                     ref_back: int = 1, z_ref: int = 0) -> bytes:
     """Wrap a residual record with a parametric ZOOM global-motion
-    header (type 18): per-frame scale delta ``z_ppm`` (parts per
-    million; scale = 1 + z_ppm * 1e-6 about the frame centre) plus an
-    integer translation.  Layout: <B 18, <i z_ppm, <hh dy dx, inner."""
-    return (_U8.pack(ZOOM_G) + struct.pack("<i", int(z_ppm))
+    header (type 18): TWO cumulative scale deltas in parts per million
+    (scale = 1 + z * 1e-6 about the frame centre) that place the
+    current frame (``z_cur``) and the reference ``ref_back`` frames
+    back (``z_ref``) on a common latent pixel grid, plus an integer
+    translation.  The two-scale form is the honest global-motion-model
+    projection (MPEG-4 GMC / AV1 ROTZOOM restricted to isotropic
+    scale): prediction maps each pixel to its LATENT grid point under
+    s_cur, then samples the reference at the pixel that covers that
+    latent point under s_ref — exact for resampled zooms, where a
+    single relative scale composes two nearest-neighbour quantizations
+    and mispredicts most pixels.  ``z_ref=0`` degrades to the direct
+    single-stage map.  Layout: <B 18, <B ref_back, <i z_cur, <i z_ref,
+    <hh dy dx, inner."""
+    if not 1 <= ref_back <= 15:
+        raise ValueError(f"zoom ref_back {ref_back} outside [1, 15]")
+    return (_U8.pack(ZOOM_G) + _U8.pack(ref_back)
+            + struct.pack("<ii", int(z_cur), int(z_ref))
             + struct.pack("<hh", dy, dx) + inner)
 
 
 def parse_motion_zoom(data: bytes, offset: int = 0):
-    """Returns (z_ppm, dy, dx, inner_offset) of a type-18 record."""
-    if len(data) < offset + 9:
+    """Returns (ref_back, z_cur, z_ref, dy, dx, inner_offset) of a
+    type-18 record."""
+    if len(data) < offset + 14:
         raise ValueError("truncated zoom-motion record")
-    z_ppm = struct.unpack_from("<i", data, offset + 1)[0]
-    if not -500_000 <= z_ppm <= 500_000:
-        raise ValueError(f"zoom-motion scale delta {z_ppm} out of range")
-    dy, dx = struct.unpack_from("<hh", data, offset + 5)
-    return z_ppm, dy, dx, offset + 9
+    ref_back = data[offset + 1]
+    if not 1 <= ref_back <= 15:
+        raise ValueError(f"zoom ref_back {ref_back} outside [1, 15]")
+    z_cur, z_ref = struct.unpack_from("<ii", data, offset + 2)
+    for z in (z_cur, z_ref):
+        if not -500_000 <= z <= 500_000:
+            raise ValueError(f"zoom-motion scale delta {z} out of range")
+    dy, dx = struct.unpack_from("<hh", data, offset + 10)
+    return ref_back, z_cur, z_ref, dy, dx, offset + 14
 
 
-def zoom_predict(prev: np.ndarray, z_ppm: int, dy: int = 0,
-                 dx: int = 0) -> np.ndarray:
-    """Parametric zoom prediction (type 18): sample prev at
-    floor((p - c) / s + c) - t per axis (separable nearest-neighbour
-    gather, edge-clamped), s = 1 + z_ppm/1e6 about the frame centre,
-    integer translation t = (dy, dx).  A zoom's shift field varies
-    continuously with radius; the per-pixel gather reproduces it
-    exactly where any per-tile map leaves mixed-rounding seams.
-    float64 index math — bit-deterministic across hosts."""
+def zoom_predict(prev: np.ndarray, z_cur: int, z_ref: int = 0,
+                 dy: int = 0, dx: int = 0) -> np.ndarray:
+    """Parametric zoom prediction (type 18), separable per axis with
+    edge-clamped nearest-neighbour gathers and float64 index math
+    (bit-deterministic across hosts).
+
+    Two-stage latent-grid map: m = floor((p - c) / s_cur + c) is the
+    latent pixel frame position p shows under cumulative scale s_cur;
+    the reference pixel q = ceil(c + (m - c) * s_ref) is the smallest
+    grid point whose own latent source under s_ref is m (any q in
+    [c + (m-c)s_ref, c + (m+1-c)s_ref) maps to m; for s_ref >= 1 that
+    interval always contains ceil of its start).  With z_ref == 0 the
+    second stage is the identity (q = m) — the direct single-scale
+    map.  Integer translation t = (dy, dx) applies to q.  A zoom's
+    shift field varies continuously with radius; the per-pixel gather
+    reproduces it exactly where any per-tile map leaves mixed-rounding
+    seams."""
     h, w = prev.shape[:2]
-    s = 1.0 + z_ppm * 1e-6
+    s_cur = 1.0 + z_cur * 1e-6
     cy, cx = h / 2.0, w / 2.0
-    ys = np.clip(np.floor((np.arange(h) - cy) / s + cy).astype(np.int64)
-                 - dy, 0, h - 1)
-    xs = np.clip(np.floor((np.arange(w) - cx) / s + cx).astype(np.int64)
-                 - dx, 0, w - 1)
+
+    def axis(n: int, c: float) -> np.ndarray:
+        m = np.floor((np.arange(n) - c) / s_cur + c)
+        if z_ref:
+            m = np.ceil(c + (m - c) * (1.0 + z_ref * 1e-6))
+        return m.astype(np.int64)
+
+    ys = np.clip(axis(h, cy) - dy, 0, h - 1)
+    xs = np.clip(axis(w, cx) - dx, 0, w - 1)
     return prev[np.ix_(ys, xs)]
 
 

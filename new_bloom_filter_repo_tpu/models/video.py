@@ -346,6 +346,9 @@ class ImprovedVideoCompressor:
         payloads: List[bytes] = []
         keyframes = 0
         total = len(arrs)
+        # stream boundary: the type-18 zoom tracker must not carry an
+        # anchor from a previous video / the previous plane sequence
+        self._blocked_enc.begin_stream()
         darrs = ([self._byte_view(a) for a in arrs] if byte_view
                  else arrs)
 
@@ -773,9 +776,9 @@ class ImprovedVideoCompressor:
                     raise ValueError("truncated tile-motion record")
                 return payload[off]
             if t == fc.ZOOM_G:
-                if len(payload) <= 9:
+                if len(payload) <= 14:
                     raise ValueError("truncated zoom-motion record")
-                return payload[9]
+                return payload[14]
             return t
 
         def _is_device_inter(payload: bytes) -> bool:
@@ -905,14 +908,22 @@ class ImprovedVideoCompressor:
                     continue
                 if rtype == fc.ZOOM_G:
                     # parametric zoom global-motion prediction (uint8
-                    # channel content only, like the half-pel wrapper)
+                    # channel content only, like the half-pel wrapper);
+                    # two-scale latent-grid map against a reference up
+                    # to 15 frames back (see fc.zoom_predict)
                     if byte_domain:
                         raise ValueError(
                             "zoom-motion wrapper on byte-domain stream")
-                    z_ppm, dy, dx, off = fc.parse_motion_zoom(payload)
+                    rb, z_cur, z_ref, dy, dx, off = (
+                        fc.parse_motion_zoom(payload))
+                    if rb > len(hist):
+                        raise ValueError(
+                            f"zoom-motion record needs {rb} frames of "
+                            f"history, have {len(hist)}")
                     residual = fc.parse_residual_any(payload, off,
                                                      prev.shape)
-                    pred = fc.zoom_predict(prev, z_ppm, dy, dx)
+                    pred = fc.zoom_predict(hist[-rb], z_cur, z_ref,
+                                           dy, dx)
                     frame = fc.apply_residual(pred, residual)
                     _advance(frame)
                     i += 1

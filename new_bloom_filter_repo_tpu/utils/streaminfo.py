@@ -82,7 +82,7 @@ def _inner_offset(payload: bytes) -> int:
         _, _, off = fc.parse_motion_tiles(payload)
         return off
     if t == fc.ZOOM_G:
-        return 9
+        return 14
     return 0
 
 

@@ -473,7 +473,10 @@ class TestTileMotion:
             sizes[motion] = sum(len(p) for p in payloads)
             if motion:
                 types = Counter(p[0] for p in payloads)
-                assert types[fc.TILES] > 0, types
+                # radial motion wins through a motion-model record:
+                # the per-tile map (10/17) or the parametric zoom (18)
+                assert (types[fc.TILES] + types[fc.TILES_HP]
+                        + types[fc.ZOOM_G]) > 0, types
         assert sizes[True] < sizes[False]
 
     def test_tile_geometry_mismatch_raises(self):
@@ -1108,3 +1111,117 @@ class TestMultiReference:
         container.write_bfvc(p3, moved, container.MAGIC_BLOOM)
         with pytest.raises(ValueError, match="history"):
             comp.decompress_video(p3)
+
+
+class TestParametricZoom:
+    """Type-18 two-scale parametric zoom (GMC): wrap/parse, the
+    latent-grid prediction identity, and the end-to-end tracker on a
+    cumulatively-resampled zoom clip."""
+
+    def test_wrap_parse_roundtrip(self):
+        rec = fc.wrap_motion_zoom(8000, -2, 3, b"INNER", ref_back=5,
+                                  z_ref=4000)
+        assert rec[0] == fc.ZOOM_G
+        rb, zc, zr, dy, dx, off = fc.parse_motion_zoom(rec)
+        assert (rb, zc, zr, dy, dx) == (5, 8000, 4000, -2, 3)
+        assert rec[off:] == b"INNER"
+
+    def test_parse_rejects_bad_fields(self):
+        with pytest.raises(ValueError, match="ref_back"):
+            fc.parse_motion_zoom(fc.wrap_motion_zoom(1, 0, 0, b"X")[:1]
+                                 + b"\x00" + b"\x00" * 12)
+        bad = bytearray(fc.wrap_motion_zoom(1, 0, 0, b"X", ref_back=2))
+        bad[2:6] = (600_000).to_bytes(4, "little", signed=True)
+        with pytest.raises(ValueError, match="out of range"):
+            fc.parse_motion_zoom(bytes(bad))
+        with pytest.raises(ValueError, match="truncated"):
+            fc.parse_motion_zoom(b"\x12\x01\x00")
+        with pytest.raises(ValueError, match="ref_back"):
+            fc.wrap_motion_zoom(0, 0, 0, b"X", ref_back=16)
+
+    def test_single_scale_matches_direct_map(self):
+        """z_ref=0 must reproduce the single-stage floor map exactly."""
+        rng = np.random.default_rng(7)
+        prev = rng.integers(0, 255, (64, 96), np.uint8)
+        for zp in (4000, -4000, 120_000):
+            got = fc.zoom_predict(prev, zp)
+            s = 1.0 + zp * 1e-6
+            cy, cx = 32.0, 48.0
+            ys = np.clip(np.floor((np.arange(64) - cy) / s + cy)
+                         .astype(np.int64), 0, 63)
+            xs = np.clip(np.floor((np.arange(96) - cx) / s + cx)
+                         .astype(np.int64), 0, 95)
+            assert np.array_equal(got, prev[np.ix_(ys, xs)])
+
+    def test_two_scale_exact_on_resampled_zoom(self):
+        """Latent-grid identity: frames built as NN zooms of one base
+        are predicted EXACTLY from any reference frame when the record
+        carries both cumulative scales (a single relative scale
+        composes two quantizations and mispredicts most pixels)."""
+        rng = np.random.default_rng(8)
+        base = rng.integers(0, 255, (128, 160), np.uint8)
+        h, w = base.shape
+
+        def nn_zoom(img, s):
+            ys = np.clip(((np.arange(h) - h / 2) / s + h / 2)
+                         .astype(np.int64), 0, h - 1)
+            xs = np.clip(((np.arange(w) - w / 2) / s + w / 2)
+                         .astype(np.int64), 0, w - 1)
+            return img[np.ix_(ys, xs)]
+
+        z = 4000  # 0.4%/frame
+        ref = nn_zoom(base, 1.0 + z * 6 * 1e-6)    # frame 6
+        curr = nn_zoom(base, 1.0 + z * 9 * 1e-6)   # frame 9
+        pred2 = fc.zoom_predict(ref, z * 9, z * 6)
+        assert np.array_equal(pred2, curr)
+        # the single-scale relative map is NOT exact on the same pair
+        rel = int(round((1 + z * 9e-6) / (1 + z * 6e-6) * 1e6 - 1e6))
+        pred1 = fc.zoom_predict(ref, rel)
+        assert not np.array_equal(pred1, curr)
+
+    def test_zoom_clip_emits_type18_and_shrinks(self, tmp_path):
+        """End-to-end: a steady resampled zoom with sparse noise and a
+        moving object keeps the tracker locked across chunk boundaries
+        and codes most frames as type-18 records."""
+        rng = np.random.default_rng(9)
+        small = rng.integers(20, 200, (16, 20, 3)).astype(np.int16)
+        base = np.clip(np.repeat(np.repeat(small, 8, 0), 8, 1)
+                       + rng.integers(-5, 6, (128, 160, 3)), 0,
+                       255).astype(np.uint8)
+        h, w = 128, 160
+
+        def nn_zoom(img, s):
+            ys = np.clip(((np.arange(h) - h / 2) / s + h / 2)
+                         .astype(np.int64), 0, h - 1)
+            xs = np.clip(((np.arange(w) - w / 2) / s + w / 2)
+                         .astype(np.int64), 0, w - 1)
+            return img[np.ix_(ys, xs)]
+
+        frames = []
+        for i in range(20):
+            fr = nn_zoom(base, 1.0 + 0.012 * i).copy()
+            m = rng.random((h, w)) < 0.02
+            fr[m] = np.clip(fr[m].astype(np.int16)
+                            + rng.integers(-4, 5, (int(m.sum()), 3)),
+                            0, 255).astype(np.uint8)
+            x = (6 + 5 * i) % (w - 30)
+            fr[40:60, x:x + 24] = (210, 40, 90)
+            frames.append(fr)
+        sizes = {}
+        for motion in (False, True):
+            comp = ImprovedVideoCompressor(verbose=False, motion=motion)
+            path = str(tmp_path / f"zg_{motion}.bfvc")
+            comp.compress_video(frames, path, input_color_space="BGR")
+            _, payloads = container.read_bfvc(path)
+            dec = comp.decompress_video(path)
+            v = verify_lossless(frames, dec)
+            assert v["lossless"], f"motion={motion} not lossless"
+            sizes[motion] = sum(len(p) for p in payloads)
+            if motion:
+                types = Counter(p[0] for p in payloads)
+                assert types[fc.ZOOM_G] >= 10, types
+                # the tracker must survive the 15-frame chunk boundary
+                zg_after = [i for i, p in enumerate(payloads)
+                            if p[0] == fc.ZOOM_G and i > 15]
+                assert zg_after, types
+        assert sizes[True] < 0.75 * sizes[False]

@@ -330,12 +330,82 @@ class TestMultiHost:
                              cwd="/root/repo", env=env)
         assert "MULTIHOST_OK" in out.stdout, (out.stdout, out.stderr)
 
-    @pytest.mark.skip(reason="requires >= 2 hosts (DCN); run on a pod "
-                             "with one process per host")
-    def test_cross_host_dp_mesh_bitstream_identical(self):
-        """On a pod: global dp mesh across hosts must emit the same
-        bytes as single-host encode (the canonical-geometry guarantee
-        extends over DCN unchanged)."""
+    _DCN_CHILD = r"""
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]; tmp = sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, "/root/repo")
+import jax
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.config.update("jax_num_cpu_devices", 2)
+from new_bloom_filter_repo_tpu.parallel import mesh as pmesh
+info = pmesh.initialize_distributed(
+    coordinator_address=f"localhost:{port}", num_processes=2,
+    process_id=pid)
+assert info["num_processes"] == 2 and info["global_devices"] == 4, info
+import numpy as np
+from new_bloom_filter_repo_tpu.parallel.mesh import make_mesh
+from new_bloom_filter_repo_tpu.models.video import ImprovedVideoCompressor
+from jax.experimental import multihost_utils as mhu
+rng = np.random.default_rng(4)
+base = rng.integers(0, 255, (48, 64, 3), np.uint8)
+frames = []
+for t in range(10):
+    f = np.roll(base, t, axis=1).copy()
+    f[10:18, (3 * t) % 50:(3 * t) % 50 + 8] = (200, 30, 90)
+    frames.append(f)
+gmesh = make_mesh(dp=4)   # 2 devices per process -> spans both
+comp = ImprovedVideoCompressor(verbose=False, devices=gmesh)
+out = os.path.join(tmp, f"dcn_{pid}.bfvc")
+comp.compress_video(frames, out, input_color_space="BGR")
+dist_bytes = open(out, "rb").read()
+if pid == 0:
+    comp1 = ImprovedVideoCompressor(verbose=False)   # single device
+    ref_path = os.path.join(tmp, "ref.bfvc")
+    comp1.compress_video(frames, ref_path, input_color_space="BGR")
+    assert dist_bytes == open(ref_path, "rb").read(), "bitstream differs"
+    dec = comp1.decompress_video(out)
+    assert comp1.verify_lossless(frames, dec)["lossless"]
+    print("DCN_BITSTREAM_IDENTICAL_AND_LOSSLESS", flush=True)
+mhu.sync_global_devices("dcn-e2e-done")
+print(f"DONE_{pid}", flush=True)
+"""
+
+    def test_two_process_dcn_bitstream_identical(self, tmp_path):
+        """TWO real processes, localhost coordinator, gloo CPU
+        collectives, a global dp=4 mesh spanning both (2 virtual CPU
+        devices each): the full public-API encode must emit bytes
+        IDENTICAL to a single-process encode, and decode lossless.
+        This is the DCN path actually running — jax.distributed
+        coordination, cross-process device_put sharding, and the
+        process_allgather output hop in _MeshDispatch (SURVEY.md §2
+        communication-backend row)."""
+        import os
+        import subprocess
+        import sys
+        script = str(tmp_path / "dcn_child.py")
+        with open(script, "w") as fh:
+            fh.write(self._DCN_CHILD)
+        port = 21000 + (os.getpid() % 9000)
+        env = {"PATH": os.environ.get("PATH", "/usr/bin:/bin"),
+               "HOME": os.environ.get("HOME", "/root"),
+               "PYTHONPATH": "/root/repo"}
+        p1 = subprocess.Popen(
+            [sys.executable, script, "1", str(port), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd="/root/repo", env=env)
+        try:
+            p0 = subprocess.run(
+                [sys.executable, script, "0", str(port), str(tmp_path)],
+                capture_output=True, text=True, timeout=600,
+                cwd="/root/repo", env=env)
+            out1, _ = p1.communicate(timeout=120)
+        finally:
+            if p1.poll() is None:
+                p1.kill()
+        assert "DCN_BITSTREAM_IDENTICAL_AND_LOSSLESS" in p0.stdout, (
+            p0.stdout, p0.stderr, out1)
+        assert "DONE_1" in out1, out1
 
 
 def test_motion_encode_dp_bitstream_identical():
