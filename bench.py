@@ -446,10 +446,22 @@ def main():
         # for 4K+ is exercised on the virtual mesh by
         # tests/test_parallel.py (SURVEY §2 TP row).
         try:
-            fps_4k, lossless_4k, _ = _device_codec_fps(
-                make_clip(n_frames=FRAMES_4K, h=2160, w=3840, seed=1))
+            frames_4k = make_clip(n_frames=FRAMES_4K, h=2160, w=3840,
+                                  seed=1)
+            fps_4k, lossless_4k, dev_dispatch_4k = _device_codec_fps(
+                frames_4k)
             out["value_4k"] = fps_4k
             out["lossless_4k"] = lossless_4k
+            # 4K measured production pipeline (VERDICT r4 #5): the same
+            # real host byte pipeline + concurrent device codec loop as
+            # the 1080p figure, at 3840x2160 (4x the section bytes per
+            # frame).
+            (out["production_pipeline_fps_4k"],
+             out["production_encode_fps_4k"],
+             out["production_decode_fps_4k"],
+             ok_4k) = _measured_production_fps(frames_4k,
+                                               dev_dispatch_4k)
+            out["production_measured_4k"] = bool(ok_4k)
         except Exception as e:  # never lose the headline artifact
             out["value_4k"] = None
             out["note_4k"] = f"4k bench failed: {type(e).__name__}: {e}"

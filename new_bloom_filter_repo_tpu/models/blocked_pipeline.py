@@ -923,7 +923,8 @@ def _strip_rows(arr2d: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return flat.view(arr2d.dtype)
 
 
-def _deflate_unwinnable(buf: bytes, bits: bool) -> bool:
+def _deflate_unwinnable(buf: bytes, bits: bool,
+                        hist: Optional[np.ndarray] = None) -> bool:
     """True when DEFLATE provably cannot beat the section's iid
     entropy floor, so the batch skips compressing it.
 
@@ -941,7 +942,7 @@ def _deflate_unwinnable(buf: bytes, bits: bool) -> bool:
     section coding bytes record whichever coder actually won."""
     if len(buf) < 4096:
         return False
-    c = native.byte_hist(buf)
+    c = native.byte_hist(buf) if hist is None else hist
     p = c[c > 0] / len(buf)
     hbyte = float(-(p * np.log2(p)).sum())
     if hbyte >= 7.98:
@@ -1248,6 +1249,39 @@ class BlockedEncoder:
                 sec_level.append(lvl)
                 sec_bits.append(bits)
                 return len(sections) - 1
+
+            # One byte histogram per section, shared by every entropy
+            # gate that consumes it (DEFLATE-unwinnable, bit density,
+            # order-0 entropy): the gates were each re-walking the same
+            # few-hundred-KB buffers, a measurable slice of the host
+            # budget at 1080p.
+            hist_cache: dict = {}
+
+            def _hist(key, buf: bytes) -> np.ndarray:
+                h = hist_cache.get(key)
+                if h is None:
+                    h = native.byte_hist(buf)
+                    hist_cache[key] = h
+                return h
+
+            def _bitrans_pred(length: int, ones: int):
+                """(quantized prob, provable floor in bytes) of static
+                binary rANS over a ``length``-byte stream with ``ones``
+                set bits: the coded body cannot land meaningfully below
+                the cross-entropy of the bit density against the
+                quantized model, so callers skip the encode entirely
+                when even the floor loses the section (the skipped
+                trials were pure waste: same final coding choice)."""
+                bits8 = 8 * length
+                prob = min(255, max(1, round(256 * ones / bits8)))
+                q = prob / 256.0
+                pb = ones / bits8
+                hq = 0.0
+                if pb > 0.0:
+                    hq -= pb * math.log2(q)
+                if pb < 1.0:
+                    hq -= (1.0 - pb) * math.log2(1.0 - q)
+                return prob, length * hq + 4.0  # 4-byte state head
 
             def _residual(j: int, tag: str, meta) -> bytes:
                 """DPCM bytes vs the motion-predicted previous frame — the
@@ -1749,8 +1783,10 @@ class BlockedEncoder:
             # over level 1 at 5x the CPU (measured); value streams and DPCM
             # residuals keep the configured level, where modeling does pay.
             zsecs: List[bytes] = [b""] * len(sections)
-            skip = [_deflate_unwinnable(s, bf)
-                    for s, bf in zip(sections, sec_bits)]
+            skip = [_deflate_unwinnable(
+                        s, bf,
+                        _hist(("s", i), s) if len(s) >= 4096 else None)
+                    for i, (s, bf) in enumerate(zip(sections, sec_bits))]
             # witness sections whose BIT-PACKED form is iid (no structure
             # beyond the bit bias once the padding is gone) skip their
             # DEFLATE trial too: the padding structure was the only thing
@@ -1758,7 +1794,10 @@ class BlockedEncoder:
             # iid floor the padded DEFLATE cannot beat.
             for j in range(f):
                 if (wit_pk[j] is not None and wz_idx[j] >= 0
-                        and _deflate_unwinnable(wit_pk[j], True)):
+                        and _deflate_unwinnable(
+                            wit_pk[j], True,
+                            _hist(("wp", j), wit_pk[j])
+                            if len(wit_pk[j]) >= 4096 else None)):
                     skip[wz_idx[j]] = True
             for lvl in sorted(set(sec_level)):
                 idxs = [i for i, sl in enumerate(sec_level)
@@ -1928,14 +1967,20 @@ class BlockedEncoder:
                 residuals, where DEFLATE's Huffman stage leaves 5-15% on
                 the table and runs 5-10x slower; its 384-byte stored table
                 needs sections of a few KB to amortize."""
-                if raw is None:
+                if raw is None or len(raw) == 0:
                     return (0, b"", 0)
                 best_cost, best = len(raw), (0, raw, 0)
                 z = zsecs[zi]
                 if z and len(z) + 4 < best_cost:
                     best_cost, best = len(z) + 4, (1, z, len(raw))
-                prob = native.rans_bit_prob(raw)
-                if prob <= 90 or prob >= 166:
+                hist = _hist(("s", zi), raw)
+                ones = int(hist @ native._POP8)
+                prob, floor_b = _bitrans_pred(len(raw), ones)
+                # attempt binary rANS only when its provable floor can
+                # still beat the current best (acceptance needs
+                # len(r) + 5 < best_cost and len(r) >= floor - slack)
+                if ((prob <= 90 or prob >= 166)
+                        and floor_b + 3.0 < best_cost):
                     r = native.rans_encode(raw, prob)
                     if r is not None and len(r) + 5 < best_cost:
                         best_cost = len(r) + 5
@@ -1945,7 +1990,8 @@ class BlockedEncoder:
                     # the stream's H0/H1 already rules out — value streams
                     # are often near-uniform changed-pixel bytes where a
                     # wasted rANS pass costs milliseconds per frame.
-                    h0 = native.entropy_bits(raw)
+                    nzp = hist[hist > 0] / len(raw)
+                    h0 = float(-(nzp * np.log2(nzp)).sum())
                     if h0 * len(raw) / 8.0 + 392 < best_cost:
                         r8 = native.rans8_encode(raw)
                         if r8 is not None and len(r8) + 4 < best_cost:
@@ -2063,13 +2109,18 @@ class BlockedEncoder:
                 # whose only edge WAS the padding structure.
                 if wbits and wit_pk[j] is not None:
                     packed = wit_pk[j]
-                    prob = native.rans_bit_prob(packed)
-                    r = native.rans_encode(packed, prob)
-                    if r is not None:
-                        w7 = (7, r, len(packed), prob)
-                        if (fc._sec_stored_cost(w7)
-                                < fc._sec_stored_cost(wsec)):
-                            wsec = w7
+                    ones = int(_hist(("wp", j), packed) @ native._POP8)
+                    prob, floor_b = _bitrans_pred(len(packed), ones)
+                    # coding-7 stored cost is len(r) + 10 header bytes
+                    # (fc._sec_stored_cost); attempt the encode only
+                    # when the provable floor can still win
+                    if floor_b + 8.0 < fc._sec_stored_cost(wsec):
+                        r = native.rans_encode(packed, prob)
+                        if r is not None:
+                            w7 = (7, r, len(packed), prob)
+                            if (fc._sec_stored_cost(w7)
+                                    < fc._sec_stored_cost(wsec)):
+                                wsec = w7
                 if vsec[0] != 1:
                     emit(j, fc.build_blocked_s_record(
                         p, n, ks[j], m * nb, wbits, bsec, wsec, vsec))
@@ -2222,7 +2273,24 @@ class BlockedDecoder:
         fk_arr = np.zeros(f, np.int32)
         thi = np.zeros(f, np.uint32)
         tlo = np.zeros(f, np.uint32)
-        raw_mask = np.zeros((f, nbk, bk.IPB), np.uint8)
+        # pass-through/sparse masks are rare: parses that never write the
+        # mask share one PRISTINE zero array (freshly mmapping ~32 MB per
+        # 1080p chunk parse costs real page-table work every call); the
+        # first write swaps in a private zeroed copy for THIS parse, so
+        # the shared one is never dirtied (and never uploaded — see
+        # decode_run_begin's raw_used gate).
+        zkey = ("zmask", f, nbk)
+        raw_mask = self._bufs.get(zkey)
+        if raw_mask is None:
+            raw_mask = np.zeros((f, nbk, bk.IPB), np.uint8)
+            self._bufs[zkey] = raw_mask
+
+        def _writable_mask():
+            nonlocal raw_mask, raw_used
+            if not raw_used:
+                raw_mask = np.zeros((f, nbk, bk.IPB), np.uint8)
+                raw_used = True
+            return raw_mask
         wit_streams: List[Optional[bytes]] = [None] * f
         wit_packed = [False] * f  # coding-7: bit-packed, re-pad below
         value_streams: List[Optional[np.ndarray]] = [None] * f
@@ -2249,8 +2317,7 @@ class BlockedDecoder:
                 flags[j] = 1
                 mb = np.zeros(npad, np.uint8)
                 mb[indices] = 1
-                raw_mask[j, :nb] = mb.reshape(nb, bk.IPB)
-                raw_used = True
+                _writable_mask()[j, :nb] = mb.reshape(nb, bk.IPB)
                 value_streams[j] = values
                 continue
             if rtype == fc.BLOCKED_Z:
@@ -2278,8 +2345,7 @@ class BlockedDecoder:
                 bits = np.unpackbits(rec["bitmap_bytes"])[:n]
                 mb = np.zeros(npad, np.uint8)
                 mb[:n] = bits
-                raw_mask[j, :nb] = mb.reshape(nb, bk.IPB)
-                raw_used = True
+                _writable_mask()[j, :nb] = mb.reshape(nb, bk.IPB)
                 continue
             if rtype not in (fc.BLOCKED, fc.BLOCKED_Z, fc.BLOCKED_S):
                 raise ValueError("BFV2 bloom record routed to blocked decoder")

@@ -823,8 +823,12 @@ def _read_section(buf) -> np.ndarray:
     if coding == 0:
         return np.frombuffer(buf.read(stored_len), dtype=np.uint8)
     if coding == 1:
+        from new_bloom_filter_repo_tpu.utils import native
         raw_len = _U32.unpack(buf.read(4))[0]
-        raw = zlib.decompress(buf.read(stored_len))
+        z = buf.read(stored_len)
+        raw = native.inflate_one(z, raw_len)
+        if raw is None:          # native absent/declined: exact zlib path
+            raw = zlib.decompress(z)
         if len(raw) != raw_len:
             raise ValueError("section raw length mismatch")
         return np.frombuffer(raw, dtype=np.uint8)
@@ -899,9 +903,16 @@ def parse_blocked_z(data: bytes, offset: int = 0) -> dict:
     out["witness_bytes"], out["witness_packed"] = _read_witness_section(buf)
     vz_len = _U32.unpack(buf.read(4))[0]
     out["values_count"] = _U32.unpack(buf.read(4))[0]
+    vz = buf.read(vz_len)
+    # the encoder's value stream is exactly values_count bytes
+    # (blocked_pipeline val_bytes); alien streams with padding fall
+    # back to the exact zlib path below
+    from new_bloom_filter_repo_tpu.utils import native
+    raw = native.inflate_one(vz, out["values_count"])
+    if raw is None or len(raw) != out["values_count"]:
+        raw = zlib.decompress(vz)
     out["values"] = np.frombuffer(
-        zlib.decompress(buf.read(vz_len)),
-        dtype=np.uint8)[: out["values_count"]]
+        raw, dtype=np.uint8)[: out["values_count"]]
     return out
 
 
@@ -936,7 +947,11 @@ def parse_residual_record(data: bytes, offset: int = 0) -> np.ndarray:
     """Inverse of :func:`build_residual_record` (after the type byte);
     returns the residual bytes."""
     raw_len, z_len = struct.unpack_from("<II", data, offset)
-    raw = zlib.decompress(data[offset + 8: offset + 8 + z_len])
+    from new_bloom_filter_repo_tpu.utils import native
+    z = data[offset + 8: offset + 8 + z_len]
+    raw = native.inflate_one(z, raw_len)
+    if raw is None:
+        raw = zlib.decompress(z)
     if len(raw) != raw_len:
         raise ValueError("residual record length mismatch")
     return np.frombuffer(raw, dtype=np.uint8)

@@ -5,12 +5,24 @@ but never imports it (SURVEY.md §2 dead-code notes: the only HDR
 adjacency is the itemsize->float32 decode rule).  This module provides
 real EXR ingest/egress without external imaging libraries: version-2
 single-part scanline files, FLOAT or HALF channels, compression NONE,
-ZIPS (zlib, 1 scanline/chunk, code 2) and ZIP (zlib, 16 scanlines/chunk,
-code 3 — the most common lossless production setting).  ZIP chunks use
-OpenEXR's exact pre-filter (interleave split + byte delta, ImfZip.cpp)
-so files interoperate with the official library both directions.  That
-covers lossless HDR round trips — bit-pattern exact, which is what the
-codec's verification requires (bit equality, not numeric closeness).
+ZIPS (zlib, 1 scanline/chunk, code 2), ZIP (zlib, 16 scanlines/chunk,
+code 3 — the most common lossless production setting) and PIZ
+(wavelet + Huffman, 32 scanlines/chunk, code 4 — the library's default
+and the most common compression in production HDR files).  ZIP chunks
+use OpenEXR's exact pre-filter (interleave split + byte delta,
+ImfZip.cpp); PIZ chunks follow the published PIZ pipeline exactly
+(occupancy bitmap + forward LUT, the 2D integer wavelet over 16-bit
+planes, canonical Huffman with the 6-bit run-coded length table —
+ImfPizCompressor/ImfWav/ImfHuf semantics) so files interoperate with
+the official library in both directions.  That covers lossless HDR
+round trips — bit-pattern exact, which is what the codec's
+verification requires (bit equality, not numeric closeness).
+
+Official-library cross-fixtures are environment-gated on this rig (no
+egress, no OpenEXR/pyexr wheel); the PIZ path is locked by self
+round-trips over NaN/Inf/denormal payloads plus a byte-pinned golden
+fixture (tests/fixtures/), with the official cross-check recorded as an
+outstanding item in RESULTS.md.
 """
 
 from __future__ import annotations
@@ -28,10 +40,11 @@ PIXELTYPE_FLOAT = 2
 COMPRESSION_NONE = 0
 COMPRESSION_ZIPS = 2   # zlib, one scanline per chunk
 COMPRESSION_ZIP = 3    # zlib, 16 scanlines per chunk
+COMPRESSION_PIZ = 4    # wavelet + Huffman, 32 scanlines per chunk
 _COMP_CODES = {"none": COMPRESSION_NONE, "zips": COMPRESSION_ZIPS,
-               "zip": COMPRESSION_ZIP}
+               "zip": COMPRESSION_ZIP, "piz": COMPRESSION_PIZ}
 _BLOCK_LINES = {COMPRESSION_NONE: 1, COMPRESSION_ZIPS: 1,
-                COMPRESSION_ZIP: 16}
+                COMPRESSION_ZIP: 16, COMPRESSION_PIZ: 32}
 
 _DTYPES = {PIXELTYPE_HALF: np.dtype("<f2"), PIXELTYPE_FLOAT: np.dtype("<f4")}
 
@@ -56,6 +69,518 @@ def _zip_postfilter(buf: bytes) -> bytes:
     out[0::2] = t[:half]
     out[1::2] = t[half:]
     return out.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# PIZ: occupancy bitmap + LUT, 2D integer wavelet, canonical Huffman
+# (ImfPizCompressor.cpp / ImfWav.cpp / ImfHuf.cpp semantics, re-derived
+# from the published OpenEXR file-format specification)
+# ---------------------------------------------------------------------------
+
+_USHORT_RANGE = 1 << 16
+_BITMAP_SIZE = _USHORT_RANGE >> 3
+_A_OFFSET = 1 << 15
+_MOD_MASK = (1 << 16) - 1
+
+_HUF_ENCSIZE = _USHORT_RANGE + 1      # +1: the run-length pseudo-symbol
+_HUF_DECBITS = 14
+_SHORT_ZEROCODE_RUN = 59              # 6-bit table codes 59..62: 2..5 zeros
+_LONG_ZEROCODE_RUN = 63               # code 63 + 8 bits: 6..261 zeros
+_SHORTEST_LONG_RUN = 2 + _LONG_ZEROCODE_RUN - _SHORT_ZEROCODE_RUN
+_LONGEST_LONG_RUN = 255 + _SHORTEST_LONG_RUN
+
+
+def _piz_forward_lut(bitmap: np.ndarray):
+    """(lut, maxValue): compact the occurring 16-bit values to
+    0..maxValue (0 always maps to 0 even though its bitmap bit is
+    cleared)."""
+    occ = np.unpackbits(bitmap, bitorder="little").astype(bool)
+    occ[0] = True
+    lut = (np.cumsum(occ) - 1).astype(np.uint16)
+    lut[~occ] = 0
+    return lut, int(occ.sum()) - 1
+
+
+def _piz_reverse_lut(bitmap: np.ndarray):
+    """(lut, maxValue): inverse of :func:`_piz_forward_lut` — maps the
+    compacted indices back to the original 16-bit values."""
+    occ = np.unpackbits(bitmap, bitorder="little").astype(bool)
+    occ[0] = True
+    vals = np.flatnonzero(occ).astype(np.uint16)
+    lut = np.zeros(_USHORT_RANGE, np.uint16)
+    lut[: vals.size] = vals
+    return lut, int(vals.size) - 1
+
+
+def _wenc14(a, b):
+    """14-bit-range wavelet pair encode: (average, difference) in
+    truncated int16 arithmetic."""
+    a16 = a.astype(np.int16).astype(np.int32)
+    b16 = b.astype(np.int16).astype(np.int32)
+    m = ((a16 + b16) >> 1).astype(np.int16)
+    d = (a16 - b16).astype(np.int16)
+    return m.astype(np.uint16), d.astype(np.uint16)
+
+
+def _wdec14(l, h):
+    ls = l.astype(np.int16).astype(np.int32)
+    hi = h.astype(np.int16).astype(np.int32)
+    ai = ls + (hi & 1) + (hi >> 1)
+    a = ai.astype(np.int16)
+    b = (a.astype(np.int32) - hi).astype(np.int16)
+    return a.astype(np.uint16), b.astype(np.uint16)
+
+
+def _wenc16(a, b):
+    """16-bit-range wavelet pair encode (mod-2^16 arithmetic with the
+    +2^15 offset), used when the LUT range exceeds 14 bits."""
+    ao = (a.astype(np.int32) + _A_OFFSET) & _MOD_MASK
+    b32 = b.astype(np.int32)
+    m = (ao + b32) >> 1
+    d = ao - b32
+    m = np.where(d < 0, (m + _A_OFFSET) & _MOD_MASK, m)
+    return (m & _MOD_MASK).astype(np.uint16), (d & _MOD_MASK).astype(
+        np.uint16)
+
+
+def _wdec16(l, h):
+    m = l.astype(np.int32)
+    d = h.astype(np.int32)
+    bb = (m - (d >> 1)) & _MOD_MASK
+    aa = (d + bb - _A_OFFSET) & _MOD_MASK
+    return aa.astype(np.uint16), bb.astype(np.uint16)
+
+
+def _wav2_encode(buf: np.ndarray, start: int, nx: int, ox: int,
+                 ny: int, oy: int, mx: int) -> None:
+    """In-place 2D wavelet encode of the (ny, nx) plane at ``start``
+    with strides (oy, ox) in ``buf`` (flat uint16).  Each level is one
+    vectorized 2x2 butterfly over the level's grid (the reference
+    library walks the same grid pointwise)."""
+    enc = _wenc14 if mx < (1 << 14) else _wenc16
+    n = min(nx, ny)
+    p, p2 = 1, 2
+    while p2 <= n:
+        ys = np.arange(0, ny - p2 + 1, p2)
+        xs = np.arange(0, nx - p2 + 1, p2)
+        if ys.size and xs.size:
+            i00 = start + ys[:, None] * oy + xs[None, :] * ox
+            i01 = i00 + ox * p
+            i10 = i00 + oy * p
+            i11 = i10 + ox * p
+            v00, v01 = enc(buf[i00], buf[i01])
+            v10, v11 = enc(buf[i10], buf[i11])
+            a, b = enc(v00, v10)
+            buf[i00], buf[i10] = a, b
+            a, b = enc(v01, v11)
+            buf[i01], buf[i11] = a, b
+        if (nx & p) and ys.size:
+            idx = start + ys * oy + (xs.size * p2) * ox
+            a, b = enc(buf[idx], buf[idx + oy * p])
+            buf[idx], buf[idx + oy * p] = a, b
+        if (ny & p) and xs.size:
+            idx = start + (ys.size * p2) * oy + xs * ox
+            a, b = enc(buf[idx], buf[idx + ox * p])
+            buf[idx], buf[idx + ox * p] = a, b
+        p, p2 = p2, p2 << 1
+
+
+def _wav2_decode(buf: np.ndarray, start: int, nx: int, ox: int,
+                 ny: int, oy: int, mx: int) -> None:
+    """Inverse of :func:`_wav2_encode` (levels walked coarse to
+    fine)."""
+    dec = _wdec14 if mx < (1 << 14) else _wdec16
+    n = min(nx, ny)
+    p = 1
+    while p <= n:
+        p <<= 1
+    p >>= 1
+    p2, p = p, p >> 1
+    while p >= 1:
+        ys = np.arange(0, ny - p2 + 1, p2)
+        xs = np.arange(0, nx - p2 + 1, p2)
+        if ys.size and xs.size:
+            i00 = start + ys[:, None] * oy + xs[None, :] * ox
+            i01 = i00 + ox * p
+            i10 = i00 + oy * p
+            i11 = i10 + ox * p
+            v00, v10 = dec(buf[i00], buf[i10])
+            v01, v11 = dec(buf[i01], buf[i11])
+            a, b = dec(v00, v01)
+            buf[i00], buf[i01] = a, b
+            a, b = dec(v10, v11)
+            buf[i10], buf[i11] = a, b
+        if (nx & p) and ys.size:
+            idx = start + ys * oy + (xs.size * p2) * ox
+            a, b = dec(buf[idx], buf[idx + oy * p])
+            buf[idx], buf[idx + oy * p] = a, b
+        if (ny & p) and xs.size:
+            idx = start + (ys.size * p2) * oy + xs * ox
+            a, b = dec(buf[idx], buf[idx + ox * p])
+            buf[idx], buf[idx + ox * p] = a, b
+        p2, p = p, p >> 1
+
+
+def _huf_build_lengths(freq: np.ndarray) -> np.ndarray:
+    """Optimal prefix-code lengths for the nonzero entries of ``freq``
+    (any optimal lengths decode interchangeably — the table format
+    stores lengths, and canonical codes are derived from them).  Depths
+    beyond the format's 58-bit cap (unreachable outside adversarial
+    frequency ladders) are squeezed by halving the spread."""
+    import heapq
+
+    while True:
+        syms = np.flatnonzero(freq)
+        depth = np.zeros(_HUF_ENCSIZE, np.int32)
+        if syms.size == 1:
+            depth[syms[0]] = 1
+            return depth
+        heap = [(int(freq[s]), int(s), int(s)) for s in syms]
+        heapq.heapify(heap)
+        parent: Dict[int, int] = {}
+        next_id = _HUF_ENCSIZE
+        while len(heap) > 1:
+            f1, _, n1 = heapq.heappop(heap)
+            f2, t2, n2 = heapq.heappop(heap)
+            parent[n1] = next_id
+            parent[n2] = next_id
+            heapq.heappush(heap, (f1 + f2, t2, next_id))
+            next_id += 1
+        for s in syms:
+            d, node = 0, int(s)
+            while node in parent:
+                node = parent[node]
+                d += 1
+            depth[s] = d
+        if int(depth.max()) <= 58:
+            return depth
+        freq = np.where(freq > 0, (freq + 1) >> 1, 0)
+
+
+def _huf_canonical_codes(lengths: np.ndarray) -> np.ndarray:
+    """Canonical code values from code lengths (shorter codes get
+    numerically higher prefixes; within a length, codes are assigned in
+    increasing symbol order)."""
+    counts = np.bincount(lengths, minlength=59)
+    c = 0
+    first = np.zeros(59, np.int64)
+    for i in range(58, 0, -1):
+        first[i] = c
+        c = (c + int(counts[i])) >> 1
+    codes = np.zeros(_HUF_ENCSIZE, np.uint64)
+    for l in range(1, 59):
+        idx = np.flatnonzero(lengths == l)
+        if idx.size:
+            codes[idx] = first[l] + np.arange(idx.size, dtype=np.int64)
+    return codes
+
+
+def _huf_pack_table(lengths: np.ndarray, im: int, iM: int) -> bytes:
+    """6-bit code-length table with zero-run codes (59..62 = runs of
+    2..5, 63 + 8 bits = runs of 6..261)."""
+    out = bytearray()
+    c, lc = 0, 0
+
+    def put(val: int, n: int):
+        nonlocal c, lc
+        c = (c << n) | val
+        lc += n
+        while lc >= 8:
+            lc -= 8
+            out.append((c >> lc) & 0xFF)
+
+    i = im
+    while i <= iM:
+        l = int(lengths[i])
+        if l == 0:
+            zerun = 1
+            while (i < iM and zerun < _LONGEST_LONG_RUN
+                   and lengths[i + 1] == 0):
+                i += 1
+                zerun += 1
+            if zerun >= 2:
+                if zerun >= _SHORTEST_LONG_RUN:
+                    put(_LONG_ZEROCODE_RUN, 6)
+                    put(zerun - _SHORTEST_LONG_RUN, 8)
+                else:
+                    put(_SHORT_ZEROCODE_RUN + zerun - 2, 6)
+                i += 1
+                continue
+        put(l, 6)
+        i += 1
+    if lc > 0:
+        out.append((c << (8 - lc)) & 0xFF)
+    return bytes(out)
+
+
+def _huf_unpack_table(data: bytes, off: int, im: int, iM: int):
+    """Inverse of :func:`_huf_pack_table`; returns (lengths,
+    next byte offset) — the packed table is byte-padded, so decoding
+    resumes at the following byte."""
+    lengths = np.zeros(_HUF_ENCSIZE, np.int32)
+    c, lc, pos = 0, 0, off
+
+    def get(n: int) -> int:
+        nonlocal c, lc, pos
+        while lc < n:
+            if pos >= len(data):
+                raise ValueError("truncated PIZ Huffman table")
+            c = (c << 8) | data[pos]
+            pos += 1
+            lc += 8
+        lc -= n
+        return (c >> lc) & ((1 << n) - 1)
+
+    i = im
+    while i <= iM:
+        l = get(6)
+        if l == _LONG_ZEROCODE_RUN:
+            zerun = get(8) + _SHORTEST_LONG_RUN
+            if i + zerun > iM + 1:
+                raise ValueError("PIZ Huffman table zero-run overflow")
+            i += zerun
+        elif l >= _SHORT_ZEROCODE_RUN:
+            zerun = l - _SHORT_ZEROCODE_RUN + 2
+            if i + zerun > iM + 1:
+                raise ValueError("PIZ Huffman table zero-run overflow")
+            i += zerun
+        else:
+            lengths[i] = l
+            i += 1
+    return lengths, pos
+
+
+def _huf_encode_data(data: np.ndarray, codes: np.ndarray,
+                     lengths: np.ndarray, rlc: int):
+    """Huffman-encode ``data`` with run-length escapes through the
+    ``rlc`` pseudo-symbol (symbol, rlc-code, 8-bit extra-repeat count
+    when that beats repeating the symbol's code).  Returns (bytes,
+    nBits)."""
+    out = bytearray()
+    c, lc = 0, 0
+
+    def put(val: int, n: int):
+        nonlocal c, lc
+        c = (c << n) | val
+        lc += n
+        while lc >= 8:
+            lc -= 8
+            out.append((c >> lc) & 0xFF)
+
+    d = np.asarray(data)
+    change = np.flatnonzero(d[1:] != d[:-1]) + 1
+    bounds = np.concatenate([[0], change, [d.size]])
+    r_code, r_len = int(codes[rlc]), int(lengths[rlc])
+    for bi in range(bounds.size - 1):
+        s = int(d[bounds[bi]])
+        run = int(bounds[bi + 1] - bounds[bi])
+        s_code, s_len = int(codes[s]), int(lengths[s])
+        while run > 0:
+            cs = min(run, 256) - 1
+            if s_len + r_len + 8 < s_len * cs:
+                put(s_code, s_len)
+                put(r_code, r_len)
+                put(cs, 8)
+            else:
+                for _ in range(cs + 1):
+                    put(s_code, s_len)
+            run -= cs + 1
+    n_bits = len(out) * 8 + lc
+    if lc > 0:
+        out.append((c << (8 - lc)) & 0xFF)
+    return bytes(out), n_bits
+
+
+def _huf_decode(buf: bytes, n_bits: int, codes: np.ndarray,
+                lengths: np.ndarray, rlc: int, n_out: int) -> np.ndarray:
+    """Decode ``n_out`` symbols from ``buf`` (exactly ``n_bits`` bits):
+    14-bit primary lookup for short codes, linear prefix extension for
+    longer ones, 8-bit repeat counts after the ``rlc`` symbol."""
+    out = np.empty(n_out, np.uint16)
+    pos = 0
+    size = 1 << _HUF_DECBITS
+    tbl_len = np.zeros(size, np.int32)
+    tbl_sym = np.zeros(size, np.int32)
+    long_codes = {}
+    used = np.flatnonzero(lengths)
+    for s in used:
+        l = int(lengths[s])
+        cd = int(codes[s])
+        if l <= _HUF_DECBITS:
+            base = cd << (_HUF_DECBITS - l)
+            tbl_len[base: base + (1 << (_HUF_DECBITS - l))] = l
+            tbl_sym[base: base + (1 << (_HUF_DECBITS - l))] = s
+        else:
+            long_codes[(l, cd)] = s
+    max_len = int(lengths[used].max()) if used.size else 0
+
+    nbytes = (n_bits + 7) // 8
+    if nbytes > len(buf):
+        raise ValueError("PIZ Huffman data truncated")
+    c, lc, i = 0, 0, 0
+    mask = size - 1
+
+    def pull_to(nb: int) -> bool:
+        nonlocal c, lc, i
+        while lc < nb and i < nbytes:
+            c = (c << 8) | buf[i]
+            i += 1
+            lc += 8
+        return lc >= nb
+
+    def emit(sym: int):
+        nonlocal pos
+        if sym == rlc:
+            if not pull_to(8):
+                raise ValueError("PIZ Huffman run count truncated")
+            _consume_run()
+        else:
+            if pos >= n_out:
+                raise ValueError("PIZ Huffman output overflow")
+            out[pos] = sym
+            pos += 1
+
+    def _consume_run():
+        nonlocal c, lc, pos
+        lc -= 8
+        cs = (c >> lc) & 0xFF
+        if pos == 0 or pos + cs > n_out:
+            raise ValueError("PIZ Huffman run overflow")
+        out[pos: pos + cs] = out[pos - 1]
+        pos += cs
+
+    def decode_long() -> bool:
+        nonlocal c, lc
+        for ll in range(_HUF_DECBITS + 1, max_len + 1):
+            if not pull_to(ll):
+                continue
+            sym = long_codes.get((ll, (c >> (lc - ll))
+                                  & ((1 << ll) - 1)))
+            if sym is not None:
+                lc -= ll
+                emit(sym)
+                return True
+        return False
+
+    while i < nbytes:
+        c = (c << 8) | buf[i]
+        i += 1
+        lc += 8
+        while lc >= _HUF_DECBITS and pos < n_out:
+            idx = (c >> (lc - _HUF_DECBITS)) & mask
+            l = int(tbl_len[idx])
+            if l:
+                lc -= l
+                emit(int(tbl_sym[idx]))
+            elif not decode_long():
+                raise ValueError("invalid PIZ Huffman code")
+        c &= (1 << 63) - 1     # bound the accumulator's growth
+    # discard the final byte's padding bits, then drain the accumulator
+    pad = (8 * nbytes) - n_bits
+    c >>= pad
+    lc -= pad
+    while lc > 0 and pos < n_out:
+        idx = (c << (_HUF_DECBITS - lc)) & mask
+        l = int(tbl_len[idx])
+        if l and l <= lc:
+            lc -= l
+            emit(int(tbl_sym[idx]))
+        else:
+            break
+    if pos != n_out:
+        raise ValueError(
+            f"PIZ Huffman stream decoded {pos} of {n_out} symbols")
+    return out
+
+
+def _huf_compress(data: np.ndarray) -> bytes:
+    """[im, iM, tableLength, nBits, 0 (5 x u32)] + packed length table
+    + bit stream.  The run-length pseudo-symbol is one past the highest
+    used symbol (hence the 65537-entry code space)."""
+    freq = np.bincount(data, minlength=_HUF_ENCSIZE).astype(np.int64)
+    iM = int(np.flatnonzero(freq)[-1]) + 1
+    freq[iM] = 1
+    im = int(np.flatnonzero(freq)[0])
+    lengths = _huf_build_lengths(freq)
+    codes = _huf_canonical_codes(lengths)
+    table = _huf_pack_table(lengths, im, iM)
+    bits, n_bits = _huf_encode_data(data, codes, lengths, iM)
+    return struct.pack("<IIIII", im, iM, len(table), n_bits, 0) + \
+        table + bits
+
+
+def _huf_uncompress(data: bytes, n_out: int) -> np.ndarray:
+    if n_out == 0:
+        return np.zeros(0, np.uint16)
+    if len(data) < 20:
+        raise ValueError("truncated PIZ Huffman header")
+    im, iM, _tlen, n_bits, _ = struct.unpack_from("<IIIII", data, 0)
+    if im >= _HUF_ENCSIZE or iM >= _HUF_ENCSIZE or im > iM:
+        raise ValueError("corrupt PIZ Huffman header")
+    lengths, off = _huf_unpack_table(data, 20, im, iM)
+    codes = _huf_canonical_codes(lengths)
+    if n_bits > 8 * (len(data) - off):
+        raise ValueError("PIZ Huffman data truncated")
+    return _huf_decode(data[off:], n_bits, codes, lengths, iM, n_out)
+
+
+def _piz_chunk_compress(buf: np.ndarray, chans) -> bytes:
+    """PIZ-compress one chunk.  ``buf``: flat uint16 channel-planar
+    block data (modified in place); ``chans``: per channel
+    (start, nx, size, ny) with row stride nx*size.
+
+    Layout: u16 minNonZero, u16 maxNonZero, bitmap[min..max],
+    i32 hufLength, huf data."""
+    occ = np.zeros(_USHORT_RANGE, np.uint8)
+    occ[buf] = 1
+    occ[0] = 0                               # zero is implicit
+    bitmap = np.packbits(occ, bitorder="little")
+    nz = np.flatnonzero(bitmap)
+    min_nz = int(nz[0]) if nz.size else _BITMAP_SIZE - 1
+    max_nz = int(nz[-1]) if nz.size else 0
+    lut, maxv = _piz_forward_lut(bitmap)
+    buf[:] = lut[buf]
+    for start, nx, size, ny in chans:
+        for j in range(size):
+            _wav2_encode(buf, start + j, nx, size, ny, nx * size, maxv)
+    huf = _huf_compress(buf)
+    head = struct.pack("<HH", min_nz, max_nz)
+    if min_nz <= max_nz:
+        head += bitmap[min_nz: max_nz + 1].tobytes()
+    return head + struct.pack("<i", len(huf)) + huf
+
+
+def _piz_chunk_uncompress(payload: bytes, chans,
+                          n_shorts: int) -> np.ndarray:
+    """Inverse of :func:`_piz_chunk_compress`; returns the flat uint16
+    channel-planar block data."""
+    if len(payload) < 4:
+        raise ValueError("truncated PIZ chunk")
+    min_nz, max_nz = struct.unpack_from("<HH", payload, 0)
+    off = 4
+    if max_nz >= _BITMAP_SIZE:
+        raise ValueError("corrupt PIZ chunk: bitmap range")
+    bitmap = np.zeros(_BITMAP_SIZE, np.uint8)
+    if min_nz <= max_nz:
+        cnt = max_nz - min_nz + 1
+        if off + cnt > len(payload):
+            raise ValueError("truncated PIZ bitmap")
+        bitmap[min_nz: max_nz + 1] = np.frombuffer(
+            payload, np.uint8, cnt, off)
+        off += cnt
+    lut, maxv = _piz_reverse_lut(bitmap)
+    if off + 4 > len(payload):
+        raise ValueError("truncated PIZ chunk")
+    (hlen,) = struct.unpack_from("<i", payload, off)
+    off += 4
+    if hlen < 0 or off + hlen > len(payload):
+        raise ValueError("corrupt PIZ chunk: huf length")
+    data = _huf_uncompress(payload[off: off + hlen], n_shorts)
+    for start, nx, size, ny in chans:
+        for j in range(size):
+            _wav2_decode(data, start + j, nx, size, ny, nx * size, maxv)
+    data[:] = lut[data]
+    return data
 
 
 def _write_attr(buf: List[bytes], name: str, type_: str, value: bytes):
