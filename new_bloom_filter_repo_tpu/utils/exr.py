@@ -355,40 +355,51 @@ def _huf_encode_data(data: np.ndarray, codes: np.ndarray,
     """Huffman-encode ``data`` with run-length escapes through the
     ``rlc`` pseudo-symbol (symbol, rlc-code, 8-bit extra-repeat count
     when that beats repeating the symbol's code).  Returns (bytes,
-    nBits)."""
-    out = bytearray()
-    c, lc = 0, 0
+    nBits).
 
-    def put(val: int, n: int):
-        nonlocal c, lc
-        c = (c << n) | val
-        lc += n
-        while lc >= 8:
-            lc -= 8
-            out.append((c >> lc) & 0xFF)
-
+    Fully vectorized: runs are segmented with one diff pass, expanded
+    into (code value, bit length) token arrays, and the ragged token
+    bits are flattened through one boolean mask + packbits — the
+    per-symbol Python loop this replaces dominated PIZ write time
+    (~30 us/symbol -> ~30 ns/symbol)."""
     d = np.asarray(data)
     change = np.flatnonzero(d[1:] != d[:-1]) + 1
-    bounds = np.concatenate([[0], change, [d.size]])
+    starts = np.concatenate([[0], change])
+    runs = np.diff(np.concatenate([starts, [d.size]]))
+    syms = d[starts].astype(np.int64)
+    # split runs longer than 256 into 256-item chunks (the 8-bit
+    # repeat count caps at 255 extra copies)
+    if int(runs.max(initial=0)) > 256:
+        nch = (runs + 255) // 256
+        syms = np.repeat(syms, nch)
+        tails = runs - (nch - 1) * 256
+        runs = np.full(syms.size, 256, np.int64)
+        runs[np.cumsum(nch) - 1] = tails
+    cs = runs - 1
+    s_len = lengths[syms].astype(np.int64)
+    s_code = codes[syms].astype(np.int64)
     r_code, r_len = int(codes[rlc]), int(lengths[rlc])
-    for bi in range(bounds.size - 1):
-        s = int(d[bounds[bi]])
-        run = int(bounds[bi + 1] - bounds[bi])
-        s_code, s_len = int(codes[s]), int(lengths[s])
-        while run > 0:
-            cs = min(run, 256) - 1
-            if s_len + r_len + 8 < s_len * cs:
-                put(s_code, s_len)
-                put(r_code, r_len)
-                put(cs, 8)
-            else:
-                for _ in range(cs + 1):
-                    put(s_code, s_len)
-            run -= cs + 1
-    n_bits = len(out) * 8 + lc
-    if lc > 0:
-        out.append((c << (8 - lc)) & 0xFF)
-    return bytes(out), n_bits
+    use_rle = (s_len + r_len + 8) < (s_len * cs)
+
+    # token stream: RLE runs contribute (sym, rlc, count); literal runs
+    # contribute cs+1 copies of sym
+    reps = np.where(use_rle, 3, runs)
+    tok_val = np.repeat(s_code, reps)
+    tok_len = np.repeat(s_len, reps)
+    if use_rle.any():
+        pos = np.cumsum(reps) - reps          # first token of each run
+        rle_pos = pos[use_rle]
+        tok_val[rle_pos + 1] = r_code
+        tok_len[rle_pos + 1] = r_len
+        tok_val[rle_pos + 2] = cs[use_rle]
+        tok_len[rle_pos + 2] = 8
+    # ragged bit expansion: row i holds token i's bits MSB-first
+    max_len = int(tok_len.max(initial=1))
+    sh = (tok_len[:, None] - 1 - np.arange(max_len)[None, :])
+    bits = ((tok_val[:, None] >> np.maximum(sh, 0)) & 1).astype(np.uint8)
+    flat = bits[sh >= 0]
+    n_bits = int(flat.size)
+    return np.packbits(flat).tobytes(), n_bits
 
 
 def _huf_decode(buf: bytes, n_bits: int, codes: np.ndarray,
@@ -647,14 +658,32 @@ def write_exr(path: str, image: np.ndarray,
     pos = data_pos
     for b0 in range(0, h, block_lines):
         offsets.append(pos)
+        lines = min(block_lines, h - b0)
         rows = []
-        for y in range(b0, min(b0 + block_lines, h)):
+        for y in range(b0, b0 + lines):
             for i in order:
                 rows.append(np.ascontiguousarray(
                     image[y, :, i].astype(dt)).tobytes())
         raw = b"".join(rows)
         if comp == COMPRESSION_NONE:
             payload = raw
+        elif comp == COMPRESSION_PIZ:
+            # channel-planar 16-bit view of the block (FLOAT channels
+            # contribute two shorts per sample), ImfPizCompressor layout
+            size = dt.itemsize // 2
+            planes = [np.ascontiguousarray(
+                          image[b0:b0 + lines, :, i].astype(dt))
+                      .view("<u2").ravel() for i in order]
+            chans = []
+            start = 0
+            for pl in planes:
+                chans.append((start, w, size, lines))
+                start += pl.size
+            buf = np.concatenate(planes).astype(np.uint16)
+            z = _piz_chunk_compress(buf, chans)
+            # stored-raw fallback rule shared with ZIP: readers detect
+            # it by payload size == uncompressed block size
+            payload = z if len(z) < len(raw) else raw
         else:
             z = zlib.compress(_zip_prefilter(raw), 6)
             # OpenEXR stores whichever is smaller; readers detect the
@@ -732,6 +761,28 @@ def read_exr(path: str) -> np.ndarray:
         payload = data[oi + 8: oi + 8 + size]
         if comp == COMPRESSION_NONE or size == raw_size:
             raw = payload
+        elif comp == COMPRESSION_PIZ:
+            # rebuild the channel-planar geometry of this block, then
+            # re-interleave the planes into scanline order for the
+            # distribution loop below
+            chans = []
+            start = 0
+            for _, ptype in channels:
+                sz = _DTYPES[ptype].itemsize // 2
+                chans.append((start, w, sz, lines))
+                start += lines * w * sz
+            data16 = _piz_chunk_uncompress(payload, chans, start)
+            line_shorts = line_size // 2
+            arr = np.empty((lines, line_shorts), np.uint16)
+            col = 0
+            ptr = 0
+            for _, ptype in channels:
+                sz = _DTYPES[ptype].itemsize // 2
+                arr[:, col: col + w * sz] = data16[
+                    ptr: ptr + lines * w * sz].reshape(lines, w * sz)
+                ptr += lines * w * sz
+                col += w * sz
+            raw = arr.astype("<u2").tobytes()
         else:
             raw = _zip_postfilter(zlib.decompress(payload))
             if len(raw) != raw_size:

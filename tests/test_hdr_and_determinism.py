@@ -11,6 +11,8 @@ replacement for race detectors.
 """
 
 import os
+import struct
+import zlib
 
 import numpy as np
 import pytest
@@ -109,6 +111,101 @@ class TestEXR:
         for n in (1, 2, 3, 64, 1023):
             raw = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
             assert exr._zip_postfilter(exr._zip_prefilter(raw)) == raw
+
+    def test_piz_roundtrip_bit_exact(self, tmp_path):
+        """PIZ (wavelet + Huffman, 32-scanline chunks) — the official
+        library's default and the most common compression in production
+        HDR files (VERDICT r4 #4).  HALF and FLOAT channels, NaN/Inf/
+        denormal payloads, multi-block heights, odd dims."""
+        rng = np.random.default_rng(11)
+        # HALF RGB across 3 chunk blocks (h=70), with specials
+        img = rng.normal(0, 8, (70, 23, 3)).astype(np.float16)
+        img[0, 0, 0] = np.float16("nan")
+        img[1, 2, 1] = np.float16("inf")
+        img[2, 3, 2] = np.float16("-inf")
+        img[3, 4, 0] = np.float16(6e-8)       # denormal
+        p = str(tmp_path / "p.exr")
+        exr.write_exr(p, img, compression="piz")
+        back = exr.read_exr(p)
+        assert back.dtype == np.float16
+        assert back.tobytes() == img.tobytes()
+        # FLOAT (two 16-bit planes per channel through the wavelet)
+        f32 = rng.normal(0, 100, (37, 19)).astype(np.float32)
+        f32[5, 5] = np.inf
+        p2 = str(tmp_path / "pf.exr")
+        exr.write_exr(p2, f32, compression="piz")
+        assert exr.read_exr(p2).tobytes() == f32.tobytes()
+        # smooth HDR content must actually shrink under PIZ
+        smooth = np.linspace(0, 1, 64 * 48 * 3).astype(
+            np.float16).reshape(64, 48, 3)
+        pz = str(tmp_path / "s_piz.exr")
+        pn = str(tmp_path / "s_none.exr")
+        exr.write_exr(pz, smooth, compression="piz")
+        exr.write_exr(pn, smooth, compression="none")
+        assert os.path.getsize(pz) < 0.4 * os.path.getsize(pn)
+        assert exr.read_exr(pz).tobytes() == smooth.tobytes()
+
+    def test_piz_degenerate_and_w16(self, tmp_path):
+        """Degenerate Huffman/bitmap paths (constant image: one symbol
+        plus the run-length pseudo-symbol; all-zeros: empty bitmap;
+        single pixel/row) and the 16-bit wavelet mode (more than 2^14
+        distinct values after LUT compaction)."""
+        p = str(tmp_path / "d.exr")
+        for img in (np.full((40, 40, 3), 1.5, np.float16),
+                    np.zeros((32, 32), np.float32),
+                    np.array([[2.25]], np.float32),
+                    np.arange(77, dtype=np.float16).reshape(1, 77)):
+            exr.write_exr(p, img, compression="piz")
+            assert exr.read_exr(p).tobytes() == img.tobytes()
+        # w16 mode: 36000 distinct 16-bit patterns -> maxValue > 2^14
+        bits = (np.arange(36000, dtype=np.uint32) % 60000).astype(
+            np.uint16)
+        img = bits.reshape(180, 200).view(np.float16)
+        exr.write_exr(p, img, compression="piz")
+        assert exr.read_exr(p).tobytes() == img.tobytes()
+
+    def test_piz_golden_fixture(self):
+        """Byte-pinned PIZ fixture: guards the on-disk format against
+        drift in either direction (reader decodes the checked-in bytes;
+        writer reproduces them exactly).  An official-library cross
+        fixture is environment-gated on this rig (no egress, no
+        OpenEXR wheel) — recorded in RESULTS.md."""
+        fix = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "golden_piz.exr")
+        expect = np.load(os.path.join(os.path.dirname(__file__),
+                                      "fixtures",
+                                      "golden_piz_expect.npy"))
+        back = exr.read_exr(fix)
+        assert np.array_equal(back.view(np.uint16), expect)
+        import tempfile
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "re.exr")
+            exr.write_exr(p, expect.view(np.float16), compression="piz")
+            with open(p, "rb") as f1, open(fix, "rb") as f2:
+                assert f1.read() == f2.read()
+
+    def test_piz_rejects_corrupt_chunks(self, tmp_path):
+        """Corrupt PIZ payloads raise instead of hanging or decoding
+        wrong (SURVEY §5 failure-detection row)."""
+        img = np.linspace(0, 5, 33 * 21).astype(np.float16).reshape(
+            33, 21)
+        p = str(tmp_path / "c.exr")
+        exr.write_exr(p, img, compression="piz")
+        with open(p, "rb") as f:
+            data = bytearray(f.read())
+        rng = np.random.default_rng(5)
+        hdr_end = len(data) - 200
+        for _ in range(12):
+            mut = bytearray(data)
+            i = int(rng.integers(hdr_end, len(data)))
+            mut[i] ^= 0xFF
+            with open(p, "wb") as f:
+                f.write(mut)
+            try:
+                back = exr.read_exr(p)
+                assert back.shape == img.shape  # decoded: shape sane
+            except (ValueError, struct.error, zlib.error):
+                pass  # typed failure is the contract
 
 
 class TestHDRPipeline:
