@@ -63,6 +63,54 @@ class TestCorruption:
                 raised += 1
         assert raised + survived == 12
 
+    @pytest.mark.parametrize("kind", ["pan_subpixel", "zoom"])
+    @pytest.mark.slow
+    def test_motion_wrapped_corruption_never_hangs(self, tmp_path, kind):
+        """Random-byte fuzz over streams whose records include the
+        motion-wrapped families — TILES_HP (17) / half-pel (9) /
+        multi-ref (16) on the subpixel pan, parametric zoom (18) on the
+        zoom clip (VERDICT r4 #7).  The stream composition is asserted
+        first so the fuzz provably covers those parsers."""
+        from new_bloom_filter_repo_tpu.utils.streaminfo import (
+            attribute_stream)
+
+        if kind == "pan_subpixel":
+            frames = generate_frames(10, 256, 192, noise=0.5, seed=5,
+                                     pan=0.6, pan_mode="subpixel")
+            need = {"motion-tiles-halfpel"}
+        else:
+            frames = generate_frames(8, 128, 96, noise=1.0, seed=5,
+                                     zoom=0.002)
+            need = {"motion-zoom"}
+        comp = ImprovedVideoCompressor(verbose=False,
+                                       keyframe_interval=len(frames))
+        p = str(tmp_path / "m.bfvc")
+        comp.compress_video(frames, p)
+        with open(p, "rb") as f:
+            blob = f.read()
+        _, payloads = container.parse_bfvc(blob)
+        kinds = set(attribute_stream(payloads)["records"])
+        assert need <= kinds, f"stream lacks {need - kinds}: {kinds}"
+
+        rng = np.random.default_rng(1)
+        raised = survived = 0
+        for trial in range(12):
+            bad = bytearray(blob)
+            for _ in range(3):
+                pos = int(rng.integers(16, len(bad)))
+                bad[pos] ^= int(rng.integers(1, 256))
+            pb = str(tmp_path / f"mb{trial}.bfvc")
+            with open(pb, "wb") as f:
+                f.write(bytes(bad))
+            try:
+                out = comp.decompress_video(pb)
+                survived += 1
+                for fr in out:
+                    assert np.asarray(fr).dtype is not None
+            except Exception:
+                raised += 1
+        assert raised + survived == 12
+
     def test_unknown_record_type_raises(self, tmp_path):
         comp = ImprovedVideoCompressor(verbose=False)
         p = str(tmp_path / "u.bfvc")
