@@ -1299,6 +1299,14 @@ class BlockedEncoder:
                                      np.uint8)
                     return (np.asarray(frames[j], np.uint8)
                             - fc.halfpel_predict(ref, sy, sx)).tobytes()
+                if tag == "avg2":
+                    rb2, thr = meta
+                    ref1 = np.asarray(frames[j - 1] if j > 0 else base,
+                                      np.uint8)
+                    ref2 = np.asarray(frames[j - rb2] if j >= rb2
+                                      else base, np.uint8)
+                    return (np.asarray(frames[j], np.uint8)
+                            - fc.avg2_predict(ref1, ref2, thr)).tobytes()
                 if tag == "zoomg":
                     rb = meta[0]
                     ref = np.asarray(frames[j - rb] if j >= rb else base,
@@ -1374,6 +1382,34 @@ class BlockedEncoder:
                 curr_sub = curr[sub].astype(np.int16)
                 ys = np.arange(0, h, stride)
                 xs = np.arange(0, w, stride)
+
+                # conditional two-reference average (type 19): on static
+                # scenes under sensor grain, averaging two references
+                # where they agree halves the reference-side noise the
+                # DPCM residual must code (1.5 sigma^2 vs 2 sigma^2 —
+                # ~0.2 bits/sample); the agreement threshold keeps
+                # moving content (where blending ghosts) on plain DPCM.
+                # Threshold picked by subsampled wrap-aware SAD; the
+                # candidate only enters when it beats the plain
+                # previous-frame diff on that grid.
+                if j >= 1:
+                    ref2 = np.asarray(frames[j - 2] if j >= 2 else base,
+                                      np.uint8)
+                    p16 = prev_arr[sub].astype(np.int16)
+                    r16 = ref2[sub].astype(np.int16)
+                    agree = np.abs(p16 - r16)
+                    avg = (p16 + r16 + 1) >> 1
+                    d0 = (curr_sub - p16) & 0xFF
+                    prev_sad = int(np.minimum(d0, 256 - d0).sum())
+                    best_t, best_sad = 0, prev_sad
+                    for thr in (8, 16, 32):
+                        pa = np.where(agree <= thr, avg, p16)
+                        d = (curr_sub - pa) & 0xFF
+                        s = int(np.minimum(d, 256 - d).sum())
+                        if s < best_sad:
+                            best_t, best_sad = thr, s
+                    if best_t and best_sad < 0.995 * prev_sad:
+                        cands.append(("avg2", (2, best_t)))
 
                 def _hp_sad(ref: np.ndarray, sy: int, sx: int) -> int:
                     """Wrap-aware subsampled SAD of the half-pel
@@ -2026,6 +2062,8 @@ class BlockedEncoder:
                         rec = fc.wrap_motion_hp(m[0], m[1], rec)
                     elif tag == "ref":
                         rec = fc.wrap_motion_ref(m[0], m[1], m[2], rec)
+                    elif tag == "avg2":
+                        rec = fc.wrap_avg2(m[0], m[1], rec)
                     elif tag == "tile":
                         rec = fc.wrap_motion_tiles(tlog, m, rec)
                     elif tag == "tileh":
@@ -2326,7 +2364,7 @@ class BlockedDecoder:
                 rec = fc.parse_blocked_s(payload, off + 1)
             elif (rtype in fc.RESIDUAL_TYPES
                   or rtype in (fc.MOTION_HP, fc.TILES, fc.REF_HP,
-                               fc.TILES_HP, fc.ZOOM_G)):
+                               fc.TILES_HP, fc.ZOOM_G, fc.AVG2)):
                 # DPCM residuals (and their half-pel/tile/multi-ref
                 # wrappers) reconstruct on host against the running
                 # frame (models/video.py splits device runs around

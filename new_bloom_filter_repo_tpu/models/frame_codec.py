@@ -148,6 +148,7 @@ KEYFRAME_S = 15
 REF_HP = 16
 TILES_HP = 17
 ZOOM_G = 18
+AVG2 = 19
 
 _HDR_III = struct.Struct("<III")
 _U32 = struct.Struct("<I")
@@ -1112,6 +1113,48 @@ def parse_motion_ref(data: bytes):
         raise ValueError(f"ref_back {ref_back} outside [2, 15]")
     sy, sx = struct.unpack_from("<hh", data, 2)
     return ref_back, sy, sx, 6
+
+
+def wrap_avg2(rb2: int, thr: int, inner: bytes) -> bytes:
+    """Wrap a residual record with a CONDITIONAL TWO-REFERENCE AVERAGE
+    prediction header (type 19): where the previous frame and the frame
+    ``rb2`` back (2-15) agree within ``thr`` (1-255), the predictor is
+    their rounded mean; elsewhere it falls back to the previous frame.
+    On static scenes under sensor grain, plain DPCM codes the
+    difference of two independent grain fields (variance 2 sigma^2);
+    averaging two references where they agree halves the reference-side
+    grain (1.5 sigma^2) while the threshold keeps moving content —
+    where blending would ghost — on plain DPCM.  Temporal denoising
+    with change detection, applied backwards-only so the stream stays
+    strictly causal.  Layout: <B 19, <B rb2, <B thr, inner."""
+    if not 2 <= rb2 <= 15:
+        raise ValueError(f"rb2 {rb2} outside [2, 15]")
+    if not 1 <= thr <= 255:
+        raise ValueError(f"avg2 threshold {thr} outside [1, 255]")
+    return _U8.pack(AVG2) + _U8.pack(rb2) + _U8.pack(thr) + inner
+
+
+def parse_motion_avg2(data: bytes):
+    """Returns (rb2, thr, inner_offset) of a type-19 record."""
+    if len(data) < 3:
+        raise ValueError("truncated avg2 record")
+    rb2, thr = data[1], data[2]
+    if not 2 <= rb2 <= 15:
+        raise ValueError(f"avg2 rb2 {rb2} outside [2, 15]")
+    if thr < 1:
+        raise ValueError("avg2 threshold 0")
+    return rb2, thr, 3
+
+
+def avg2_predict(ref1: np.ndarray, ref2: np.ndarray,
+                 thr: int) -> np.ndarray:
+    """Conditional rounded mean of two uint8 references: averaged where
+    they agree within ``thr``, ``ref1`` elsewhere (exact integer
+    math)."""
+    a = ref1.astype(np.int16)
+    b = ref2.astype(np.int16)
+    avg = (a + b + 1) >> 1
+    return np.where(np.abs(a - b) <= thr, avg, a).astype(np.uint8)
 
 
 def wrap_motion_tiles(tlog: int, tshifts: np.ndarray, inner: bytes,

@@ -255,14 +255,16 @@ class ImprovedVideoCompressor:
         self.bloom_compressor = BloomFilterCompressor(verbose=False,
                                                       seed_set="video")
         # Pipeline stage overlap: upload chunk i+1 while chunk i computes
-        # and its outputs drain (SURVEY.md §2 PP row).  Default OFF here:
-        # on this dev rig the ~34 MB/s host<->device tunnel serializes,
-        # so the early upload delays the pulls the pipeline waits on
-        # (measured ~10% slower end-to-end); on PCIe/ICI-attached hosts
-        # the duplex link makes it a win.  Enable per-instance or with
-        # NBF_PREFETCH=1.
+        # and its outputs drain (SURVEY.md §2 PP row).  Default ON,
+        # justified by the measured A/B (benchmark_stages.py
+        # --prefetch-compare, 2026-08-19, real TPU through this rig's
+        # serializing tunnel — the WORST case for early uploads):
+        # 60x1080p compress_video 33.6 s off -> 27.9 s on (+21%); on
+        # duplex PCIe/ICI hosts the overlap can only help more.
+        # Bitstreams are byte-identical either way (tested); disable
+        # per-instance or with NBF_PREFETCH=0.
         if prefetch is None:
-            prefetch = os.environ.get("NBF_PREFETCH", "0") == "1"
+            prefetch = os.environ.get("NBF_PREFETCH", "1") == "1"
         self.prefetch = bool(prefetch)
         # Multi-chip: devices=None (single chip), "auto" (all available
         # chips, frame parallelism), an int (that many chips), a
@@ -779,6 +781,10 @@ class ImprovedVideoCompressor:
                 if len(payload) <= 14:
                     raise ValueError("truncated zoom-motion record")
                 return payload[14]
+            if t == fc.AVG2:
+                if len(payload) <= 3:
+                    raise ValueError("truncated avg2 record")
+                return payload[3]
             return t
 
         def _is_device_inter(payload: bytes) -> bool:
@@ -874,12 +880,12 @@ class ImprovedVideoCompressor:
                              fc.SPARSE, fc.BLOCKED_Z, fc.BLOCKED_S,
                              fc.MOTION, fc.RESIDUAL, fc.RESIDUAL_S,
                              fc.RESIDUAL_F, fc.MOTION_HP, fc.TILES,
-                             fc.REF_HP, fc.TILES_HP, fc.ZOOM_G):
+                             fc.REF_HP, fc.TILES_HP, fc.ZOOM_G, fc.AVG2):
                 raise ValueError(f"Unknown frame type: {rtype}")
             if prev is None:
                 raise ValueError("inter-frame record before any keyframe")
             if rtype in (fc.MOTION_HP, fc.TILES, fc.REF_HP,
-                         fc.TILES_HP, fc.ZOOM_G) and \
+                         fc.TILES_HP, fc.ZOOM_G, fc.AVG2) and \
                     _inner_type(payloads[i]) not in fc.RESIDUAL_TYPES:
                 raise ValueError(
                     "half-pel/tile/multi-ref wrapper on non-residual "
@@ -924,6 +930,26 @@ class ImprovedVideoCompressor:
                                                      prev.shape)
                     pred = fc.zoom_predict(hist[-rb], z_cur, z_ref,
                                            dy, dx)
+                    frame = fc.apply_residual(pred, residual)
+                    _advance(frame)
+                    i += 1
+                    continue
+                if rtype == fc.AVG2:
+                    # two-reference average prediction (type 19, uint8
+                    # channel content only): rounded mean of prev and
+                    # the frame rb2 back — halves the reference-side
+                    # grain the residual must code on static scenes
+                    if byte_domain:
+                        raise ValueError(
+                            "avg2 wrapper on byte-domain stream")
+                    rb2, thr, off = fc.parse_motion_avg2(payload)
+                    if rb2 > len(hist):
+                        raise ValueError(
+                            f"avg2 record needs {rb2} frames of "
+                            f"history, have {len(hist)}")
+                    residual = fc.parse_residual_any(payload, off,
+                                                     prev.shape)
+                    pred = fc.avg2_predict(prev, hist[-rb2], thr)
                     frame = fc.apply_residual(pred, residual)
                     _advance(frame)
                     i += 1

@@ -37,6 +37,7 @@ RECORD_NAMES = {
     fc.REF_HP: "motion-multiref",
     fc.TILES_HP: "motion-tiles-halfpel",
     fc.ZOOM_G: "motion-zoom",
+    fc.AVG2: "motion-avg2",
 }
 
 CODING_NAMES = {0: "raw", 1: "deflate", 2: "binary-rans",
@@ -44,7 +45,7 @@ CODING_NAMES = {0: "raw", 1: "deflate", 2: "binary-rans",
                 7: "bitpacked-rans"}
 
 _WRAPPERS = (fc.MOTION, fc.MOTION_HP, fc.TILES, fc.REF_HP,
-             fc.TILES_HP, fc.ZOOM_G)
+             fc.TILES_HP, fc.ZOOM_G, fc.AVG2)
 
 
 def _skip_section(data: bytes, off: int, out: Dict[str, List[int]]):
@@ -83,6 +84,8 @@ def _inner_offset(payload: bytes) -> int:
         return off
     if t == fc.ZOOM_G:
         return 14
+    if t == fc.AVG2:
+        return 3
     return 0
 
 

@@ -303,9 +303,13 @@ class TestResidualRecords:
             if t == fc.MOTION:
                 _, _, off = fc.parse_motion(x)
                 t = x[off]
+            elif t == fc.AVG2:
+                _, _, off = fc.parse_motion_avg2(x)
+                t = x[off]
             types[t] += 1
         # any residual flavor counts: plain DEFLATE (8), byte-rANS
-        # section (13), or spatially-filtered section (14)
+        # section (13), or spatially-filtered section (14) — whether
+        # bare, motion-wrapped, or avg2-wrapped (type 19)
         n_res = sum(types[t] for t in fc.RESIDUAL_TYPES)
         assert n_res >= 5, dict(types)
         key = ImprovedVideoCompressor(verbose=False, mode="keyframe")
@@ -1225,3 +1229,91 @@ class TestParametricZoom:
                             if p[0] == fc.ZOOM_G and i > 15]
                 assert zg_after, types
         assert sizes[True] < 0.75 * sizes[False]
+
+
+class TestAvg2:
+    """Type-19 conditional two-reference average: static scenes under
+    per-frame grain — the averaged prediction halves the reference-side
+    noise where the references agree; the threshold keeps moving
+    content on plain DPCM (frame_codec.wrap_avg2/avg2_predict)."""
+
+    def test_wrap_parse_roundtrip_and_ranges(self):
+        rec = fc.wrap_avg2(2, 16, b"INNER")
+        rb2, thr, off = fc.parse_motion_avg2(rec)
+        assert (rb2, thr, rec[off:]) == (2, 16, b"INNER")
+        with pytest.raises(ValueError):
+            fc.wrap_avg2(1, 16, b"X")     # rb2 below range
+        with pytest.raises(ValueError):
+            fc.wrap_avg2(2, 0, b"X")      # zero threshold
+        with pytest.raises(ValueError):
+            fc.parse_motion_avg2(bytes([fc.AVG2, 99, 16]))
+        with pytest.raises(ValueError):
+            fc.parse_motion_avg2(bytes([fc.AVG2, 2, 0]))
+
+    def test_predict_conditional_exact(self):
+        a = np.array([[10, 200, 128]], np.uint8)
+        b = np.array([[12, 100, 129]], np.uint8)
+        out = fc.avg2_predict(a, b, 8)
+        # |10-12|=2 <= 8 -> round mean 11; |200-100| > 8 -> ref1;
+        # |128-129| <= 8 -> (257+1)>>1 = 129
+        assert out.tolist() == [[11, 200, 129]]
+
+    def _grain_frames(self, n=12, h=288, w=352, sigma=3.0, seed=7):
+        from new_bloom_filter_repo_tpu.utils.synthetic import (
+            generate_frames)
+        return generate_frames(n, w, h, seed=seed, grain=sigma,
+                               noise=0.0)
+
+    def test_grain_clip_emits_avg2_and_shrinks(self, tmp_path):
+        frames = self._grain_frames()
+        sizes = {}
+        for motion in (False, True):
+            comp = ImprovedVideoCompressor(verbose=False, motion=motion,
+                                           keyframe_interval=len(frames))
+            p = str(tmp_path / f"g_{motion}.bfvc")
+            comp.compress_video(frames, p)
+            _, payloads = container.read_bfvc(p)
+            dec = comp.decompress_video(p)
+            assert verify_lossless(frames, dec)["lossless"]
+            sizes[motion] = sum(len(x) for x in payloads)
+            if motion:
+                types = Counter(x[0] for x in payloads)
+                assert types[fc.AVG2] >= 6, dict(types)
+        # conditional averaging must beat plain DPCM on grain content.
+        # The margin is modest by design: the 2D-context rANS already
+        # exploits the grain's spatial correlation, so halving the
+        # reference-side noise moves coded size far less than SAD
+        # (~10% SAD -> ~0.5-1% bytes); the trial only has to win.
+        assert sizes[True] < sizes[False], sizes
+
+    def test_avg2_depth_beyond_history_raises(self, tmp_path):
+        frames = self._grain_frames(n=8, h=96, w=128, sigma=4.0)
+        comp = ImprovedVideoCompressor(verbose=False,
+                                       keyframe_interval=30)
+        # synthesize: keyframe + an avg2 record immediately after it
+        # (1 frame of history; rb2 >= 2 must fail loudly)
+        p = str(tmp_path / "g.bfvc")
+        comp.compress_video(self._grain_frames(), p)
+        _, payloads = container.read_bfvc(p)
+        idx = next(i for i, x in enumerate(payloads)
+                   if x[0] == fc.AVG2)
+        moved = [payloads[0], payloads[idx]]
+        p2 = str(tmp_path / "early.bfvc")
+        container.write_bfvc(p2, moved, container.MAGIC_BLOOM)
+        with pytest.raises(ValueError, match="history"):
+            comp.decompress_video(p2)
+
+    def test_analyze_stream_names_avg2(self, tmp_path):
+        from new_bloom_filter_repo_tpu.utils.streaminfo import (
+            attribute_stream)
+        frames = self._grain_frames()
+        comp = ImprovedVideoCompressor(verbose=False,
+                                       keyframe_interval=len(frames))
+        p = str(tmp_path / "g.bfvc")
+        comp.compress_video(frames, p)
+        _, payloads = container.read_bfvc(p)
+        info = attribute_stream(payloads)
+        assert "motion-avg2" in info["records"]
+        assert "residual" in info.get("wrapped_inner_types", {}) or \
+            "residual-sectioned" in info.get("wrapped_inner_types", {}) \
+            or "residual-filtered" in info.get("wrapped_inner_types", {})
