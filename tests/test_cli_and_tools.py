@@ -314,6 +314,18 @@ class TestBenchContract:
                     "production_decode_fps", "production_measured",
                     "host_stage_ms_per_frame"):
             assert key in out, key
+        # 4K block (device codec + measured production pipeline): either
+        # both numbers land or the note records why (never silently
+        # absent)
+        assert ("value_4k" in out), out.keys()
+        if out["value_4k"] is not None:
+            for key in ("lossless_4k", "production_pipeline_fps_4k",
+                        "production_encode_fps_4k",
+                        "production_decode_fps_4k",
+                        "production_measured_4k"):
+                assert key in out, key
+        else:
+            assert "note_4k" in out
         assert out["value"] == 500.0 and out["lossless"] is True
         # production numbers are MEASURED (overlapped loop), passed
         # through verbatim from _measured_production_fps
