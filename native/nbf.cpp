@@ -1085,4 +1085,109 @@ int nbf_y4m_probe(const uint8_t* data, uint64_t len, uint32_t* width,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// PIZ Huffman decode (utils/exr.py hot loop)
+// ---------------------------------------------------------------------------
+// Canonical-code decoder matching utils/exr.py _huf_decode bit for bit:
+// a 14-bit primary table covers short codes, longer codes fall back to
+// a linear prefix scan, and the run-length pseudo-symbol `rlc` repeats
+// the previous output symbol by an 8-bit count.  `lengths`/`codes` are
+// the 65537-entry code-length and canonical-code tables the caller
+// unpacked from the stream.  Returns 0 on success; any nonzero value
+// means malformed-or-pathological input and the caller falls back to
+// the Python decoder (which then raises the typed error).
+int nbf_huf_decode(const uint8_t* in, uint64_t in_len, uint64_t n_bits,
+                   const int32_t* lengths, const uint64_t* codes,
+                   int32_t rlc, uint16_t* out, uint64_t n_out) {
+  const int DECBITS = 14;
+  const uint32_t DECSIZE = 1u << DECBITS;
+  const uint64_t nbytes = (n_bits + 7) / 8;
+  if (nbytes > in_len) return 1;
+  std::vector<int16_t> tlen(DECSIZE, 0);
+  std::vector<int32_t> tsym(DECSIZE, 0);
+  struct LongCode { int32_t len; uint64_t code; int32_t sym; };
+  std::vector<LongCode> longs;
+  for (int s = 0; s < 65537; ++s) {
+    int l = lengths[s];
+    if (!l) continue;
+    if (l > 56) return 2;  // would overflow the 64-bit accumulator
+    if (l <= DECBITS) {
+      uint64_t base = codes[s] << (DECBITS - l);
+      uint64_t cnt = 1ull << (DECBITS - l);
+      if (base + cnt > DECSIZE) return 2;
+      for (uint64_t k = 0; k < cnt; ++k) {
+        tlen[base + k] = (int16_t)l;
+        tsym[base + k] = s;
+      }
+    } else {
+      longs.push_back({l, codes[s], s});
+    }
+  }
+  uint64_t c = 0, i = 0, pos = 0;
+  int lc = 0;
+  int rc = 0;
+  auto emit = [&](int32_t sym) -> int {
+    if (sym == rlc) {
+      while (lc < 8 && i < nbytes) { c = (c << 8) | in[i++]; lc += 8; }
+      if (lc < 8) return 3;
+      lc -= 8;
+      uint32_t cs = (uint32_t)((c >> lc) & 0xFF);
+      if (pos == 0 || pos + cs > n_out) return 4;
+      uint16_t s = out[pos - 1];
+      for (uint32_t k = 0; k < cs; ++k) out[pos++] = s;
+    } else {
+      if (pos >= n_out) return 5;
+      out[pos++] = (uint16_t)sym;
+    }
+    return 0;
+  };
+  while (i < nbytes) {
+    c = (c << 8) | in[i++];
+    lc += 8;
+    while (lc >= DECBITS && pos < n_out) {
+      uint32_t idx = (uint32_t)((c >> (lc - DECBITS)) & (DECSIZE - 1));
+      int l = tlen[idx];
+      if (l) {
+        lc -= l;
+        if ((rc = emit(tsym[idx])) != 0) return rc;
+      } else {
+        bool found = false;
+        for (const LongCode& e : longs) {
+          while (lc < e.len && i < nbytes) {
+            c = (c << 8) | in[i++];
+            lc += 8;
+          }
+          if (lc >= e.len &&
+              ((c >> (lc - e.len)) & ((1ull << e.len) - 1)) == e.code) {
+            lc -= e.len;
+            if ((rc = emit(e.sym)) != 0) return rc;
+            found = true;
+            break;
+          }
+        }
+        if (!found) return 6;
+      }
+    }
+    if (pos >= n_out) break;
+  }
+  // discard the final byte's padding bits, then drain the accumulator
+  int pad = (int)(8 * nbytes - n_bits);
+  if (pos < n_out) {
+    if (lc < pad) return 7;
+    c >>= pad;
+    lc -= pad;
+    while (lc > 0 && pos < n_out) {
+      uint32_t idx = (uint32_t)((c << (DECBITS - lc)) & (DECSIZE - 1));
+      int l = (lc <= DECBITS) ? tlen[idx] : 0;
+      if (l && l <= lc) {
+        lc -= l;
+        if ((rc = emit(tsym[idx])) != 0) return rc;
+      } else {
+        break;
+      }
+    }
+  }
+  return pos == n_out ? 0 : 8;
+}
+
 }  // extern "C"

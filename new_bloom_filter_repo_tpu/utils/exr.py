@@ -532,6 +532,14 @@ def _huf_uncompress(data: bytes, n_out: int) -> np.ndarray:
     codes = _huf_canonical_codes(lengths)
     if n_bits > 8 * (len(data) - off):
         raise ValueError("PIZ Huffman data truncated")
+    # C++ decoder when built (native/nbf.cpp nbf_huf_decode — the
+    # symbol-serial hot loop of PIZ ingest); the Python decoder below
+    # is the fallback AND the typed-error path for malformed streams.
+    from new_bloom_filter_repo_tpu.utils import native
+    out = native.huf_decode(data[off:], n_bits, lengths, codes, iM,
+                            n_out)
+    if out is not None:
+        return out
     return _huf_decode(data[off:], n_bits, codes, lengths, iM, n_out)
 
 

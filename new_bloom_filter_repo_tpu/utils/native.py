@@ -35,6 +35,7 @@ _has_hist = False
 _has_rans2 = False
 _has_bitpack = False
 _has_fast_deflate = False
+_has_huf = False
 
 
 def _build() -> bool:
@@ -172,6 +173,16 @@ def load() -> Optional[ctypes.CDLL]:
             _has_bitpack = True
         except AttributeError:
             _has_bitpack = False
+        global _has_huf
+        try:
+            pu16 = ctypes.POINTER(ctypes.c_uint16)
+            lib.nbf_huf_decode.restype = i32
+            lib.nbf_huf_decode.argtypes = [p8, u64, u64, pi32,
+                                           ctypes.POINTER(u64), i32,
+                                           pu16, u64]
+            _has_huf = True
+        except AttributeError:
+            _has_huf = False
         global _has_rans2
         try:
             lib.nbf_rans2_encode.restype = u64
@@ -1161,6 +1172,29 @@ def witness_popcounts(wit_rows: np.ndarray, wcnt: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # Y4M probe
 # ---------------------------------------------------------------------------
+
+def huf_decode(data: bytes, n_bits: int, lengths: np.ndarray,
+               codes: np.ndarray, rlc: int,
+               n_out: int) -> Optional[np.ndarray]:
+    """PIZ Huffman decode (utils/exr.py hot loop) — C++ when built,
+    else None (caller runs the Python decoder, whose typed errors
+    double as the malformed-input path)."""
+    lib = load()
+    if lib is None or not _has_huf or n_out <= 0:
+        return None
+    arr = (np.frombuffer(data, np.uint8) if data
+           else np.zeros(1, np.uint8))
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    codes = np.ascontiguousarray(codes, np.uint64)
+    out = np.empty(n_out, np.uint16)
+    rc = lib.nbf_huf_decode(
+        _as_u8p(arr), len(data), n_bits,
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        rlc,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), n_out)
+    return out if rc == 0 else None
+
 
 def y4m_probe(data: bytes) -> Optional[dict]:
     lib = load()
