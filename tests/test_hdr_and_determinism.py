@@ -184,6 +184,30 @@ class TestEXR:
             with open(p, "rb") as f1, open(fix, "rb") as f2:
                 assert f1.read() == f2.read()
 
+    def test_piz_huffman_native_matches_python(self):
+        """The C++ PIZ Huffman decoder (nbf_huf_decode) and the pure
+        Python decoder must agree bit-for-bit on the same stream —
+        the native path serves reads when libnbf is built, so the
+        Python path needs an explicit cross-check to stay honest."""
+        from new_bloom_filter_repo_tpu.utils import native
+        rng = np.random.default_rng(9)
+        for n, hi in ((1, 2), (100, 7), (5000, 300), (40000, 61000)):
+            data = rng.integers(0, hi, n).astype(np.uint16)
+            if n > 10:
+                data[10:] = data[9]  # long run exercises the rlc path
+            blob = exr._huf_compress(data)
+            im, iM, _tl, n_bits, _ = struct.unpack_from("<IIIII", blob,
+                                                        0)
+            lengths, off = exr._huf_unpack_table(blob, 20, im, iM)
+            codes = exr._huf_canonical_codes(lengths)
+            py = exr._huf_decode(blob[off:], n_bits, codes, lengths,
+                                 iM, n)
+            assert np.array_equal(py, data)
+            nat = native.huf_decode(blob[off:], n_bits, lengths, codes,
+                                    iM, n)
+            if nat is not None:          # native build present
+                assert np.array_equal(nat, data)
+
     def test_piz_rejects_corrupt_chunks(self, tmp_path):
         """Corrupt PIZ payloads raise instead of hanging or decoding
         wrong (SURVEY §5 failure-detection row)."""
