@@ -5,10 +5,12 @@ but never imports it (SURVEY.md §2 dead-code notes: the only HDR
 adjacency is the itemsize->float32 decode rule).  This module provides
 real EXR ingest/egress without external imaging libraries: version-2
 single-part scanline files, FLOAT or HALF channels, compression NONE,
-ZIPS (zlib, 1 scanline/chunk, code 2), ZIP (zlib, 16 scanlines/chunk,
+RLE (signed-count byte RLE over the ZIP pre-filter, code 1), ZIPS
+(zlib, 1 scanline/chunk, code 2), ZIP (zlib, 16 scanlines/chunk,
 code 3 — the most common lossless production setting) and PIZ
 (wavelet + Huffman, 32 scanlines/chunk, code 4 — the library's default
-and the most common compression in production HDR files).  ZIP chunks
+and the most common compression in production HDR files) — the
+complete lossless scanline compression set.  ZIP chunks
 use OpenEXR's exact pre-filter (interleave split + byte delta,
 ImfZip.cpp); PIZ chunks follow the published PIZ pipeline exactly
 (occupancy bitmap + forward LUT, the 2D integer wavelet over 16-bit
@@ -38,12 +40,15 @@ PIXELTYPE_HALF = 1
 PIXELTYPE_FLOAT = 2
 
 COMPRESSION_NONE = 0
+COMPRESSION_RLE = 1    # byte RLE over the ZIP pre-filter, 1 scanline
 COMPRESSION_ZIPS = 2   # zlib, one scanline per chunk
 COMPRESSION_ZIP = 3    # zlib, 16 scanlines per chunk
 COMPRESSION_PIZ = 4    # wavelet + Huffman, 32 scanlines per chunk
-_COMP_CODES = {"none": COMPRESSION_NONE, "zips": COMPRESSION_ZIPS,
+_COMP_CODES = {"none": COMPRESSION_NONE, "rle": COMPRESSION_RLE,
+               "zips": COMPRESSION_ZIPS,
                "zip": COMPRESSION_ZIP, "piz": COMPRESSION_PIZ}
-_BLOCK_LINES = {COMPRESSION_NONE: 1, COMPRESSION_ZIPS: 1,
+_BLOCK_LINES = {COMPRESSION_NONE: 1, COMPRESSION_RLE: 1,
+                COMPRESSION_ZIPS: 1,
                 COMPRESSION_ZIP: 16, COMPRESSION_PIZ: 32}
 
 _DTYPES = {PIXELTYPE_HALF: np.dtype("<f2"), PIXELTYPE_FLOAT: np.dtype("<f4")}
@@ -69,6 +74,80 @@ def _zip_postfilter(buf: bytes) -> bytes:
     out[0::2] = t[:half]
     out[1::2] = t[half:]
     return out.tobytes()
+
+
+def _rle_compress(raw: bytes) -> bytes:
+    """OpenEXR byte RLE (ImfRle.cpp grammar): a signed count byte per
+    token — count >= 0 repeats the next byte count+1 times (emitted for
+    runs of 3+), count < 0 is followed by -count literal bytes.  Any
+    stream following the grammar decodes in the official library; run
+    boundaries are segmented with one numpy diff pass."""
+    b = np.frombuffer(raw, np.uint8)
+    if b.size == 0:
+        return b""
+    change = np.flatnonzero(b[1:] != b[:-1]) + 1
+    starts = np.concatenate([[0], change])
+    runs = np.diff(np.concatenate([starts, [b.size]]))
+    out = bytearray()
+    lit_start = None  # pending literal span [lit_start, lit_end)
+    lit_end = 0
+
+    def flush_literals():
+        nonlocal lit_start
+        if lit_start is None:
+            return
+        s = lit_start
+        while s < lit_end:
+            n = min(127, lit_end - s)
+            out.append(256 - n)           # signed -n
+            out.extend(raw[s: s + n])
+            s += n
+        lit_start = None
+
+    for s0, r in zip(starts, runs):
+        s0 = int(s0)
+        r = int(r)
+        if r >= 3:
+            flush_literals()
+            while r > 0:
+                n = min(128, r)
+                out.append(n - 1)
+                out.append(b[s0])
+                r -= n
+        else:
+            if lit_start is None:
+                lit_start = s0
+            lit_end = s0 + r
+    flush_literals()
+    return bytes(out)
+
+
+def _rle_uncompress(data: bytes, expected: int) -> bytes:
+    """Inverse of :func:`_rle_compress`; validates the output size."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c >= 128:                      # negative: literal span
+            cnt = 256 - c
+            if i + cnt > n:
+                raise ValueError("truncated EXR RLE literal run")
+            out.extend(data[i: i + cnt])
+            i += cnt
+        else:
+            if i >= n:
+                raise ValueError("truncated EXR RLE repeat run")
+            out.extend(data[i: i + 1] * (c + 1))
+            i += 1
+        if len(out) > expected:
+            raise ValueError("EXR RLE chunk overruns its scanline")
+    if len(out) != expected:
+        raise ValueError(
+            f"EXR RLE chunk decoded {len(out)} bytes, expected "
+            f"{expected}")
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -675,6 +754,9 @@ def write_exr(path: str, image: np.ndarray,
         raw = b"".join(rows)
         if comp == COMPRESSION_NONE:
             payload = raw
+        elif comp == COMPRESSION_RLE:
+            z = _rle_compress(_zip_prefilter(raw))
+            payload = z if len(z) < len(raw) else raw
         elif comp == COMPRESSION_PIZ:
             # channel-planar 16-bit view of the block (FLOAT channels
             # contribute two shorts per sample), ImfPizCompressor layout
@@ -769,6 +851,8 @@ def read_exr(path: str) -> np.ndarray:
         payload = data[oi + 8: oi + 8 + size]
         if comp == COMPRESSION_NONE or size == raw_size:
             raw = payload
+        elif comp == COMPRESSION_RLE:
+            raw = _zip_postfilter(_rle_uncompress(payload, raw_size))
         elif comp == COMPRESSION_PIZ:
             # rebuild the channel-planar geometry of this block, then
             # re-interleave the planes into scanline order for the

@@ -184,6 +184,28 @@ class TestEXR:
             with open(p, "rb") as f1, open(fix, "rb") as f2:
                 assert f1.read() == f2.read()
 
+    def test_rle_roundtrip_bit_exact(self, tmp_path):
+        """RLE (code 1): the ZIP pre-filter + OpenEXR's signed-count
+        byte RLE, one scanline per chunk — completes the lossless
+        scanline compression set (NONE/RLE/ZIPS/ZIP/PIZ)."""
+        rng = np.random.default_rng(4)
+        p = str(tmp_path / "r.exr")
+        for img in (np.linspace(0, 2, 37 * 23 * 3).astype(
+                        np.float16).reshape(37, 23, 3),
+                    rng.normal(0, 1, (18, 11)).astype(np.float32),
+                    np.full((9, 300), 1.25, np.float16)):
+            exr.write_exr(p, img, compression="rle")
+            assert exr.read_exr(p).tobytes() == img.tobytes()
+        # token-grammar fuzz (independent of the file framing)
+        for n in (0, 1, 2, 3, 130, 1000):
+            raw = rng.integers(0, 4, n, np.uint8).tobytes()
+            assert exr._rle_uncompress(exr._rle_compress(raw),
+                                       n) == raw
+        with pytest.raises(ValueError):
+            exr._rle_uncompress(b"\x7f", 5)   # truncated repeat
+        with pytest.raises(ValueError):
+            exr._rle_uncompress(bytes([250, 1, 2]), 16)  # short literal
+
     def test_piz_huffman_native_matches_python(self):
         """The C++ PIZ Huffman decoder (nbf_huf_decode) and the pure
         Python decoder must agree bit-for-bit on the same stream —
