@@ -109,17 +109,28 @@ def activation_threshold_u64(p_activation: float) -> int:
     if p_activation <= 0.0:
         return 0
     denom = 2 ** 64 - 1
-    if not (denom / denom < p_activation):  # h = max passes? then all pass
-        lo, hi = 0, denom  # smallest h with h/denom >= p_activation in [0, denom]
-    else:
+    if denom / denom < p_activation:
         return 2 ** 64  # every hash activates
-    while lo < hi:
-        mid = (lo + hi) // 2
-        if mid / denom < p_activation:
-            lo = mid + 1
-        else:
-            hi = mid
-    return lo
+    # T is the smallest h with fl(h/denom) >= p.  Under round-to-nearest
+    # that is (up to the tie rule) the smallest h with h/denom >= m,
+    # where m is the midpoint between p and its predecessor float — an
+    # exact dyadic rational, so ceil(m*denom) lands within one step of
+    # the answer and the verification walk below runs 0-1 iterations.
+    # This replaces a 64-iteration binary search (64 big-int float
+    # divisions) that sat on the encoder's per-frame path; the walk
+    # uses the same authoritative float64 test, so the result is
+    # bit-identical by construction.
+    prev = math.nextafter(p_activation, 0.0)
+    pn, pd = prev.as_integer_ratio()
+    qn, qd = p_activation.as_integer_ratio()
+    mn = pn * qd + qn * pd               # m = mn / md, exact
+    md = 2 * pd * qd
+    h = -((-mn * denom) // md)           # ceil(m * denom)
+    while h > 0 and (h - 1) / denom >= p_activation:
+        h -= 1
+    while h <= denom and h / denom < p_activation:
+        h += 1
+    return h
 
 
 class RationalBloomFilter:
