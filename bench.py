@@ -149,6 +149,7 @@ def _device_codec_fps(frames):
         production pipeline does between phase A and the codec
         dispatch."""
         frame_counts = counts.sum(axis=1)
+        row_max = counts.max(axis=1)
         m_arr = np.ones(f, np.int32)
         fk_arr = np.zeros(f, np.int32)
         thi = np.zeros(f, np.uint32)
@@ -159,7 +160,7 @@ def _device_codec_fps(frames):
             p = cnt / n
             if cnt == 0 or p > bp.KEY_DENSITY:
                 raise RuntimeError("bench clip produced a non-inter frame")
-            max_block = max(max_block, int(counts[j].max()))
+            max_block = max(max_block, int(row_max[j]))
             k, l = optimal_compression_params(n, p)
             m = int(round(l / nb)) if l else 0
             if p >= P_STAR or l == 0 or l >= n or m < bp.MIN_M:

@@ -1127,6 +1127,7 @@ class BlockedEncoder:
             return packed_cache[j]
 
         frame_counts = counts.sum(axis=1)
+        row_max = counts.max(axis=1)
         kinds: List[str] = []
         ks = np.zeros(f, np.float64)
         m_arr = np.ones(f, np.int32)
@@ -1143,7 +1144,7 @@ class BlockedEncoder:
             if p > KEY_DENSITY:
                 kinds.append("key")
                 continue
-            max_block = max(max_block, int(counts[j].max()))
+            max_block = max(max_block, int(row_max[j]))
             k, l = optimal_compression_params(n, p)
             ks[j] = k
             m = int(round(l / nb)) if l else 0
