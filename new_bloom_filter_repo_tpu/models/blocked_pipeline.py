@@ -645,6 +645,23 @@ def _tile_hp_refine(prev: np.ndarray, curr: np.ndarray,
     return (tsh.astype(np.int32) * 2 + off).astype(np.int8)
 
 
+def _rot_fit(tsh: np.ndarray, tlog: int, h: int, w: int) -> float:
+    """Least-squares CURL fit of an accepted integer tile-shift map:
+    a rotation's motion field is (dy, dx) = theta * (x - cx, -(y - cy)),
+    so theta ~ [sum(dy * rx) - sum(dx * ry)] / sum(r^2).  Returns theta
+    in radians — the seed for the type-20 parametric rotation search
+    (sign convention probes both ways regardless)."""
+    t = 1 << tlog
+    ty, tx = tsh.shape[:2]
+    ry = (np.arange(ty) + 0.5) * t - h / 2.0
+    rx = (np.arange(tx) + 0.5) * t - w / 2.0
+    sy = tsh[..., 0].astype(np.float64)
+    sx = tsh[..., 1].astype(np.float64)
+    num = (sy * rx[None, :]).sum() - (sx * ry[:, None]).sum()
+    den = float((ry * ry).sum() * tx + (rx * rx).sum() * ty)
+    return num / den if den else 0.0
+
+
 def _zoom_fit(tsh: np.ndarray, tlog: int, h: int, w: int) -> float:
     """Least-squares radial fit of an accepted integer tile-shift map:
     shift ≈ z * (tile centre - frame centre) per axis.  Returns z
@@ -990,6 +1007,10 @@ class BlockedEncoder:
         self._zoom_state: dict = {}
         self._zoom_entry: dict = {}
         self._zoom_gframe = 0
+        # Same tracking for the type-20 parametric rotation (anchor
+        # frame's absolute latent angle + per-frame rate estimate).
+        self._rot_state: dict = {}
+        self._rot_entry: dict = {}
 
     def begin_stream(self) -> None:
         """Reset cross-chunk motion-tracking state at a stream boundary
@@ -1001,6 +1022,8 @@ class BlockedEncoder:
         self._zoom_state = {}
         self._zoom_entry = {}
         self._zoom_gframe = 0
+        self._rot_state = {}
+        self._rot_entry = {}
 
     @staticmethod
     def stack_chunk(base: np.ndarray, frames: List[np.ndarray]):
@@ -1218,6 +1241,11 @@ class BlockedEncoder:
                 zstate = dict(self._zoom_state)
                 self._zoom_entry[g0] = zstate
             zstate = dict(zstate)
+            rstate = self._rot_entry.get(g0)
+            if rstate is None:
+                rstate = dict(self._rot_state)
+                self._rot_entry[g0] = rstate
+            rstate = dict(rstate)
             zl = self.zlib_level
             # Value streams and DPCM residuals DEFLATE at level 1 when the
             # level is defaulted: level 6 buys <1% over level 1 on changed-
@@ -1314,6 +1342,12 @@ class BlockedEncoder:
                                      np.uint8)
                     return (np.asarray(frames[j], np.uint8)
                             - fc.zoom_predict(ref, *meta[1:])).tobytes()
+                if tag == "rotg":
+                    rb = meta[0]
+                    ref = np.asarray(frames[j - rb] if j >= rb else base,
+                                     np.uint8)
+                    return (np.asarray(frames[j], np.uint8)
+                            - fc.rot_predict(ref, *meta[1:])).tobytes()
                 prev_arr = np.asarray(frames[j - 1] if j > 0 else base,
                                       np.uint8)
                 if tag == "hp":
@@ -1574,9 +1608,16 @@ class BlockedEncoder:
                     for zrate in (500, 1000, 2000, 4000, 8000, 16000):
                         for sgn in (1, -1):
                             zp = zr0 + sgn * zrate * rb0
-                            if abs(zp) <= 500_000 and zp not in seeds:
+                            if zp not in seeds:
                                 seeds.append(zp)
-                    probes.append((rb0, zr0, seeds))
+                    # the format bounds |z| <= 5e5 ppm; the tracked-rate
+                    # and fit seeds extrapolated by the anchor distance
+                    # can overshoot it (the refine clamps its steps, but
+                    # a start outside the range would survive to the
+                    # wrap and raise)
+                    seeds = [z for z in seeds if abs(z) <= 500_000]
+                    if seeds:
+                        probes.append((rb0, zr0, seeds))
                 else:
                     # cold single-scale probe vs prev: the previous
                     # frame is assumed to BE the latent grid (true at a
@@ -1671,6 +1712,161 @@ class BlockedEncoder:
                             else:
                                 zstate["gidx"] = gj - 1
                                 zstate["abs"] = zr0
+                # parametric rotation probe (type 20): a rotation's
+                # shift field varies with radius AND direction — the
+                # tile map quantizes it into mixed-rounding seams.
+                # Same anchored two-parameter tracking as the zoom
+                # probe above: the anchor frame's absolute latent angle
+                # stays PINNED (composing two nearest-neighbour
+                # resamplings through a single relative angle
+                # mispredicts many pixels mid-rotation), warm seeds
+                # come from the tracked rate plus an aquant-scaled grid
+                # by anchor distance, and a cold start anchors the
+                # previous frame at latent angle 0 (exact at a
+                # rotation's onset).  Candidates compete by final
+                # record size; SAD acceptance gates the trial.
+                rfit = _rot_fit(tsh, tlog, h, w) if tsh is not None \
+                    else 0.0
+                max_rad = max(h, w) / 2.0
+                aquant = max(16, int(round(1e6 / max_rad)))
+                zoom_added = any(t == "zoomg" for t, _ in cands)
+                rwarm = ("gidx" in rstate
+                         and 1 <= gj - rstate["gidx"] <= 15
+                         and j - (gj - rstate["gidx"]) >= -1)
+                rprobes = []   # (rb, a_ref, [a_cur seeds])
+                if rwarm:
+                    rb0 = gj - rstate["gidx"]
+                    ar0 = rstate["abs"]
+                    seeds = [int(round(ar0 + rstate.get("rel", 0.0)
+                                       * rb0))]
+                    if abs(rfit) * max_rad > 2.0:
+                        for sgn in (1, -1):
+                            seeds.append(int(round(
+                                ar0 + sgn * rfit * 1e6 * rb0)))
+                    for m_ in (1, 2, 4, 8, 16):
+                        for sgn in (1, -1):
+                            ap = ar0 + sgn * m_ * aquant * rb0
+                            if ap not in seeds:
+                                seeds.append(ap)
+                    # the format bounds |angle| <= 1e6 urad; a tracked
+                    # rate extrapolated by the anchor distance can
+                    # overshoot it
+                    seeds = [a for a in seeds if abs(a) <= 1_000_000]
+                    if seeds:
+                        rprobes.append((rb0, ar0, seeds))
+                else:
+                    if abs(rfit) * max_rad > 2.0:
+                        seeds = [int(round(sgn * rfit * 1e6 * m_))
+                                 for m_ in (0.7, 0.85, 1.0, 1.15, 1.3)
+                                 for sgn in (1, -1)]
+                        seeds = [a for a in seeds
+                                 if 0 < abs(a) <= 1_000_000]
+                    elif kind in ("key", "pass") and not zoom_added:
+                        seeds = [sgn * m_ * aquant
+                                 for m_ in (1, 2, 4, 8, 16)
+                                 for sgn in (1, -1)
+                                 if m_ * aquant <= 1_000_000]
+                    else:
+                        seeds = []
+                    if seeds:
+                        rprobes.append((1, 0, seeds))
+                if rprobes:
+                    cy0, cx0 = h / 2.0, w / 2.0
+                    yf = ys.astype(np.float64) - cy0
+                    xf = xs.astype(np.float64) - cx0
+
+                    def _rot_sad(ref, a_cur, a_ref, dyc, dxc):
+                        """Stride-grid (SAD, changed-count) of the
+                        type-20 two-angle prediction — same index math
+                        as fc.rot_predict, gathered at the grid."""
+                        th2 = a_cur * 1e-6
+                        co, si = math.cos(th2), math.sin(th2)
+                        my = np.floor(cy0 + yf[:, None] * co
+                                      - xf[None, :] * si)
+                        mx = np.floor(cx0 + yf[:, None] * si
+                                      + xf[None, :] * co)
+                        if a_ref:
+                            tr = -a_ref * 1e-6
+                            c1, s1 = math.cos(tr), math.sin(tr)
+                            uy = my + 0.5 - cy0
+                            ux = mx + 0.5 - cx0
+                            my = np.floor(cy0 + uy * c1 - ux * s1)
+                            mx = np.floor(cx0 + uy * s1 + ux * c1)
+                        ry = my.astype(np.int64) - dyc
+                        rx = mx.astype(np.int64) - dxc
+                        np.clip(ry, 0, h - 1, out=ry)
+                        np.clip(rx, 0, w - 1, out=rx)
+                        pred = ref[ry, rx].astype(np.int16)
+                        d = (curr_sub - pred) & 0xFF
+                        return (int(np.minimum(d, 256 - d).sum()),
+                                int(np.count_nonzero(d)))
+
+                    p0r = _rot_sad(prev_arr, 0, 0, 0, 0)
+                    dyxs_r = [(by, bx)]
+                    if (by, bx) != (0, 0):
+                        dyxs_r.append((0, 0))
+                    start = None   # (score, probe-idx, seed, dyx)
+                    rrefs = []
+                    for rb0, ar0, seeds in rprobes:
+                        ref0 = np.asarray(
+                            frames[j - rb0] if j >= rb0 else base,
+                            np.uint8)
+                        rrefs.append(ref0)
+                        for dyx in dyxs_r:
+                            for a in seeds:
+                                cst = _zoom_score(
+                                    _rot_sad(ref0, a, ar0, *dyx))
+                                if start is None or cst < start[0]:
+                                    start = (cst, len(rrefs) - 1, a,
+                                             dyx)
+                    rbest = None  # ((sad, cnt), rb, a_cur, a_ref, dy, dx)
+                    if start is not None:
+                        _, pi, a_best, dyx = start
+                        rb0, ar0, _ = rprobes[pi]
+                        ref0 = rrefs[pi]
+                        best_p = _rot_sad(ref0, a_best, ar0, *dyx)
+                        best_c = _zoom_score(best_p)
+                        step = 4 * aquant
+                        evals = 0
+                        while (step >= max(8, aquant // 4)
+                               and evals < 96):
+                            moved = True
+                            while moved and evals < 96:
+                                moved = False
+                                for cand in (a_best - step,
+                                             a_best + step):
+                                    if abs(cand) > 1_000_000:
+                                        continue
+                                    pp = _rot_sad(ref0, cand, ar0,
+                                                  *dyx)
+                                    evals += 1
+                                    cc = _zoom_score(pp)
+                                    if cc < best_c:
+                                        best_c, a_best, best_p = (
+                                            cc, cand, pp)
+                                        moved = True
+                            step >>= 1
+                        rbest = (best_p, rb0, a_best, ar0, *dyx)
+                    if rbest is not None and (a_best - ar0) and (
+                            _zoom_score(rbest[0])
+                            < 0.995 * _zoom_score(p0r)
+                            or rbest[0][1] < 0.7 * p0r[1]):
+                        _, rb0, ac1, ar0, dyc, dxc = rbest
+                        cands.append(("rotg",
+                                      (rb0, ac1, ar0, dyc, dxc)))
+                        rstate["rel"] = (ac1 - ar0) / rb0
+                        if rwarm:
+                            if j == f - 1 or rb0 >= 12:
+                                rstate["gidx"] = gj
+                                rstate["abs"] = ac1
+                        else:
+                            if j == f - 1:
+                                rstate["gidx"] = gj
+                                rstate["abs"] = ac1
+                            else:
+                                rstate["gidx"] = gj - 1
+                                rstate["abs"] = ar0
+
                 if by == 0 and bx == 0 and kinds[j] != "key":
                     # non-dense frame with zero global argmin: the tile
                     # map (if any) was the only sub-pel story; the global
@@ -2074,6 +2270,10 @@ class BlockedEncoder:
                         rec = fc.wrap_motion_zoom(m[1], m[3], m[4], rec,
                                                   ref_back=m[0],
                                                   z_ref=m[2])
+                    elif tag == "rotg":
+                        rec = fc.wrap_motion_rot(m[1], m[3], m[4], rec,
+                                                 ref_back=m[0],
+                                                 a_ref=m[2])
                     elif m != (0, 0):
                         rec = fc.wrap_motion(m[0], m[1], rec)
                     if best is None or len(rec) < len(best):
@@ -2180,6 +2380,7 @@ class BlockedEncoder:
             # this is a plain in-order handoff; repeat runs of the same
             # chunk republish the same exit state).
             self._zoom_state = dict(zstate)
+            self._rot_state = dict(rstate)
             return payload_sink, keyframes
 
         return finish
@@ -2365,7 +2566,8 @@ class BlockedDecoder:
                 rec = fc.parse_blocked_s(payload, off + 1)
             elif (rtype in fc.RESIDUAL_TYPES
                   or rtype in (fc.MOTION_HP, fc.TILES, fc.REF_HP,
-                               fc.TILES_HP, fc.ZOOM_G, fc.AVG2)):
+                               fc.TILES_HP, fc.ZOOM_G, fc.AVG2,
+                               fc.ROT_G)):
                 # DPCM residuals (and their half-pel/tile/multi-ref
                 # wrappers) reconstruct on host against the running
                 # frame (models/video.py splits device runs around

@@ -24,6 +24,7 @@ dead-code notes); this module is the working wiring.
 from __future__ import annotations
 
 import io
+import math
 import struct
 import zlib
 from typing import Optional
@@ -149,6 +150,7 @@ REF_HP = 16
 TILES_HP = 17
 ZOOM_G = 18
 AVG2 = 19
+ROT_G = 20
 
 _HDR_III = struct.Struct("<III")
 _U32 = struct.Struct("<I")
@@ -1305,6 +1307,85 @@ def zoom_predict(prev: np.ndarray, z_cur: int, z_ref: int = 0,
     ys = np.clip(axis(h, cy) - dy, 0, h - 1)
     xs = np.clip(axis(w, cx) - dx, 0, w - 1)
     return prev[np.ix_(ys, xs)]
+
+
+def wrap_motion_rot(a_cur: int, dy: int, dx: int, inner: bytes,
+                    ref_back: int = 1, a_ref: int = 0) -> bytes:
+    """Wrap a residual record with a parametric ROTATION global-motion
+    header (type 20): TWO cumulative rotation angles in microradians
+    about the frame centre that place the current frame (``a_cur``)
+    and the reference ``ref_back`` frames back (``a_ref``) on a common
+    latent pixel grid, plus an integer translation — the rotation
+    component of MPEG-4 GMC / AV1 ROTZOOM the per-tile map can only
+    quantize (a rotation's shift field varies continuously with radius
+    AND direction, leaving mixed-rounding seams inside every tile).
+    The two-angle form mirrors the type-18 zoom: a single relative
+    angle composes two nearest-neighbour resamplings and mispredicts
+    many pixels mid-rotation; mapping both frames onto the latent grid
+    keeps the prediction near-exact whenever the anchor's absolute
+    angle is tracked.  ``a_ref=0`` degrades to the direct single-stage
+    map.  Layout: <B 20, <B ref_back, <i a_cur, <i a_ref, <hh dy dx,
+    inner."""
+    if not 1 <= ref_back <= 15:
+        raise ValueError(f"rotation ref_back {ref_back} outside [1, 15]")
+    for a in (a_cur, a_ref):
+        if not -1_000_000 <= a <= 1_000_000:
+            raise ValueError(f"rotation angle {a} urad outside +-1e6")
+    return (_U8.pack(ROT_G) + _U8.pack(ref_back)
+            + struct.pack("<ii", int(a_cur), int(a_ref))
+            + struct.pack("<hh", dy, dx) + inner)
+
+
+def parse_motion_rot(data: bytes, offset: int = 0):
+    """Returns (ref_back, a_cur, a_ref, dy, dx, inner_offset) of a
+    type-20 record."""
+    if len(data) < offset + 14:
+        raise ValueError("truncated rotation-motion record")
+    ref_back = data[offset + 1]
+    if not 1 <= ref_back <= 15:
+        raise ValueError(f"rotation ref_back {ref_back} outside [1, 15]")
+    a_cur, a_ref = struct.unpack_from("<ii", data, offset + 2)
+    for a in (a_cur, a_ref):
+        if not -1_000_000 <= a <= 1_000_000:
+            raise ValueError(f"rotation angle {a} urad outside +-1e6")
+    dy, dx = struct.unpack_from("<hh", data, offset + 10)
+    return ref_back, a_cur, a_ref, dy, dx, offset + 14
+
+
+def rot_predict(prev: np.ndarray, a_cur: int, a_ref: int = 0,
+                dy: int = 0, dx: int = 0) -> np.ndarray:
+    """Parametric rotation prediction (type 20): two-stage latent-grid
+    map with edge-clamped nearest-neighbour gathers and float64 index
+    math (bit-deterministic across hosts).
+
+    Stage 1 maps each current pixel p to its latent source
+    m = floor(c + R(a_cur)(p - c)); stage 2 samples the reference at
+    the pixel whose own latent source is m — approximated by the
+    cell-centre preimage q = floor(c + R(-a_ref)(m + 0.5 - c)).  With
+    ``a_ref == 0`` stage 2 is the identity (q = m), the direct
+    single-stage map.  Integer translation (dy, dx) applies to q.
+    Whole-pixel gather, never byte-mixing, so any dtype and channel
+    count works."""
+    h, w = prev.shape[:2]
+    cy, cx = h / 2.0, w / 2.0
+    th = a_cur * 1e-6
+    c0, s0 = math.cos(th), math.sin(th)
+    yy = np.arange(h, dtype=np.float64)[:, None] - cy
+    xx = np.arange(w, dtype=np.float64)[None, :] - cx
+    my = np.floor(cy + yy * c0 - xx * s0)
+    mx = np.floor(cx + yy * s0 + xx * c0)
+    if a_ref:
+        tr = a_ref * 1e-6
+        c1, s1 = math.cos(-tr), math.sin(-tr)
+        uy = my + 0.5 - cy
+        ux = mx + 0.5 - cx
+        my = np.floor(cy + uy * c1 - ux * s1)
+        mx = np.floor(cx + uy * s1 + ux * c1)
+    ry = my.astype(np.int64) - dy
+    rx = mx.astype(np.int64) - dx
+    np.clip(ry, 0, h - 1, out=ry)
+    np.clip(rx, 0, w - 1, out=rx)
+    return prev[ry, rx]
 
 
 def tile_predict_hp(prev: np.ndarray, tshifts: np.ndarray,

@@ -785,6 +785,10 @@ class ImprovedVideoCompressor:
                 if len(payload) <= 3:
                     raise ValueError("truncated avg2 record")
                 return payload[3]
+            if t == fc.ROT_G:
+                if len(payload) <= 14:
+                    raise ValueError("truncated rotation-motion record")
+                return payload[14]
             return t
 
         def _is_device_inter(payload: bytes) -> bool:
@@ -880,12 +884,13 @@ class ImprovedVideoCompressor:
                              fc.SPARSE, fc.BLOCKED_Z, fc.BLOCKED_S,
                              fc.MOTION, fc.RESIDUAL, fc.RESIDUAL_S,
                              fc.RESIDUAL_F, fc.MOTION_HP, fc.TILES,
-                             fc.REF_HP, fc.TILES_HP, fc.ZOOM_G, fc.AVG2):
+                             fc.REF_HP, fc.TILES_HP, fc.ZOOM_G, fc.AVG2,
+                             fc.ROT_G):
                 raise ValueError(f"Unknown frame type: {rtype}")
             if prev is None:
                 raise ValueError("inter-frame record before any keyframe")
             if rtype in (fc.MOTION_HP, fc.TILES, fc.REF_HP,
-                         fc.TILES_HP, fc.ZOOM_G, fc.AVG2) and \
+                         fc.TILES_HP, fc.ZOOM_G, fc.AVG2, fc.ROT_G) and \
                     _inner_type(payloads[i]) not in fc.RESIDUAL_TYPES:
                 raise ValueError(
                     "half-pel/tile/multi-ref wrapper on non-residual "
@@ -930,6 +935,28 @@ class ImprovedVideoCompressor:
                                                      prev.shape)
                     pred = fc.zoom_predict(hist[-rb], z_cur, z_ref,
                                            dy, dx)
+                    frame = fc.apply_residual(pred, residual)
+                    _advance(frame)
+                    i += 1
+                    continue
+                if rtype == fc.ROT_G:
+                    # parametric rotation prediction (type 20, uint8
+                    # channel content only): inverse-rotated gather
+                    # about the frame centre from a reference up to 15
+                    # frames back (see fc.rot_predict)
+                    if byte_domain:
+                        raise ValueError(
+                            "rotation wrapper on byte-domain stream")
+                    rb, a_cur, a_ref, dy, dx, off = (
+                        fc.parse_motion_rot(payload))
+                    if rb > len(hist):
+                        raise ValueError(
+                            f"rotation record needs {rb} frames of "
+                            f"history, have {len(hist)}")
+                    residual = fc.parse_residual_any(payload, off,
+                                                     prev.shape)
+                    pred = fc.rot_predict(hist[-rb], a_cur, a_ref,
+                                          dy, dx)
                     frame = fc.apply_residual(pred, residual)
                     _advance(frame)
                     i += 1

@@ -38,6 +38,7 @@ RECORD_NAMES = {
     fc.TILES_HP: "motion-tiles-halfpel",
     fc.ZOOM_G: "motion-zoom",
     fc.AVG2: "motion-avg2",
+    fc.ROT_G: "motion-rotation",
 }
 
 CODING_NAMES = {0: "raw", 1: "deflate", 2: "binary-rans",
@@ -45,7 +46,7 @@ CODING_NAMES = {0: "raw", 1: "deflate", 2: "binary-rans",
                 7: "bitpacked-rans"}
 
 _WRAPPERS = (fc.MOTION, fc.MOTION_HP, fc.TILES, fc.REF_HP,
-             fc.TILES_HP, fc.ZOOM_G, fc.AVG2)
+             fc.TILES_HP, fc.ZOOM_G, fc.AVG2, fc.ROT_G)
 
 
 def _skip_section(data: bytes, off: int, out: Dict[str, List[int]]):
@@ -86,6 +87,8 @@ def _inner_offset(payload: bytes) -> int:
         return 14
     if t == fc.AVG2:
         return 3
+    if t == fc.ROT_G:
+        return 14
     return 0
 
 

@@ -1317,3 +1317,99 @@ class TestAvg2:
         assert "residual" in info.get("wrapped_inner_types", {}) or \
             "residual-sectioned" in info.get("wrapped_inner_types", {}) \
             or "residual-filtered" in info.get("wrapped_inner_types", {})
+
+
+class TestParametricRotation:
+    """Type-20 two-angle parametric rotation (GMC): wrap/parse, the
+    latent-grid predictor, anchored tracking on rotating clips, range
+    guards (frame_codec.wrap_motion_rot/rot_predict)."""
+
+    def test_wrap_parse_roundtrip_and_ranges(self):
+        rec = fc.wrap_motion_rot(25000, -3, 7, b"INNER", ref_back=4,
+                                 a_ref=12000)
+        rb, ac, ar, dy, dx, off = fc.parse_motion_rot(rec)
+        assert (rb, ac, ar, dy, dx, rec[off:]) == (
+            4, 25000, 12000, -3, 7, b"INNER")
+        with pytest.raises(ValueError):
+            fc.wrap_motion_rot(2_000_000, 0, 0, b"X")   # angle range
+        with pytest.raises(ValueError):
+            fc.wrap_motion_rot(0, 0, 0, b"X", ref_back=0)
+        with pytest.raises(ValueError):
+            fc.parse_motion_rot(bytes([fc.ROT_G, 99]) + b"\0" * 12)
+        bad = bytearray(fc.wrap_motion_rot(1000, 0, 0, b"X"))
+        bad[2:6] = (2_000_000).to_bytes(4, "little", signed=True)
+        with pytest.raises(ValueError):
+            fc.parse_motion_rot(bytes(bad))
+
+    def test_predict_single_stage_exact_on_generated_rotation(self):
+        """With a_ref=0 the predictor IS the generation map: predicting
+        a rotated frame from its latent base must be exact."""
+        rng = np.random.default_rng(5)
+        base = rng.integers(0, 256, (64, 96), np.uint8)
+        pred = fc.rot_predict(base, 50000)
+        # reference implementation of the same map
+        import math as m
+        th = 50000 * 1e-6
+        c, s = m.cos(th), m.sin(th)
+        cy, cx = 32.0, 48.0
+        yy = np.arange(64, dtype=np.float64)[:, None] - cy
+        xx = np.arange(96, dtype=np.float64)[None, :] - cx
+        ry = np.clip(np.floor(cy + yy * c - xx * s).astype(np.int64),
+                     0, 63)
+        rx = np.clip(np.floor(cx + yy * s + xx * c).astype(np.int64),
+                     0, 95)
+        assert np.array_equal(pred, base[ry, rx])
+
+    def _rot_clip(self, n=10, h=288, w=352, rate=8000, seed=2):
+        from new_bloom_filter_repo_tpu.utils.synthetic import (
+            _smooth_texture)
+        import math as m
+        rng = np.random.default_rng(seed)
+        base = _smooth_texture(rng, h, w, False)
+        cy, cx = h / 2.0, w / 2.0
+        yy = np.arange(h, dtype=np.float64)[:, None] - cy
+        xx = np.arange(w, dtype=np.float64)[None, :] - cx
+
+        def rot(urad):
+            th = urad * 1e-6
+            c, s = m.cos(th), m.sin(th)
+            ry = np.clip(np.floor(cy + yy * c - xx * s).astype(
+                np.int64), 0, h - 1)
+            rx = np.clip(np.floor(cx + yy * s + xx * c).astype(
+                np.int64), 0, w - 1)
+            return base[ry, rx]
+
+        return [rot(rate * i) for i in range(n)]
+
+    def test_rotating_clip_emits_type20_and_shrinks(self, tmp_path):
+        frames = self._rot_clip()
+        sizes = {}
+        for motion in (False, True):
+            comp = ImprovedVideoCompressor(verbose=False, motion=motion,
+                                           keyframe_interval=len(frames))
+            p = str(tmp_path / f"r_{motion}.bfvc")
+            comp.compress_video(frames, p)
+            _, payloads = container.read_bfvc(p)
+            dec = comp.decompress_video(p)
+            assert verify_lossless(frames, dec)["lossless"]
+            sizes[motion] = sum(len(x) for x in payloads)
+            if motion:
+                types = Counter(x[0] for x in payloads)
+                assert types[fc.ROT_G] >= 5, dict(types)
+        # the anchored parametric prediction must collapse the rotation
+        assert sizes[True] < 0.5 * sizes[False], sizes
+
+    def test_rotation_depth_beyond_history_raises(self, tmp_path):
+        frames = self._rot_clip()
+        comp = ImprovedVideoCompressor(verbose=False,
+                                       keyframe_interval=len(frames))
+        p = str(tmp_path / "r.bfvc")
+        comp.compress_video(frames, p)
+        _, payloads = container.read_bfvc(p)
+        idx = next(i for i, x in enumerate(payloads)
+                   if x[0] == fc.ROT_G and x[1] >= 2)
+        moved = [payloads[0], payloads[idx]]
+        p2 = str(tmp_path / "early.bfvc")
+        container.write_bfvc(p2, moved, container.MAGIC_BLOOM)
+        with pytest.raises(ValueError, match="history"):
+            comp.decompress_video(p2)
