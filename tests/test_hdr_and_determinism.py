@@ -255,13 +255,16 @@ class TestEXR:
 
 
 class TestHDRPipeline:
-    def test_hdr_clip_lossless(self, tmp_path):
+    @pytest.mark.parametrize("compression", ["none", "piz"])
+    def test_hdr_clip_lossless(self, tmp_path, compression):
         frames = hdr_frames(4)
-        # write an EXR sequence and ingest through the public API
+        # write an EXR sequence (incl. PIZ, the production default) and
+        # ingest through the public API
         d = tmp_path / "seq"
         d.mkdir()
         for i, f in enumerate(frames):
-            exr.write_exr(str(d / f"frame{i:03d}.exr"), f)
+            exr.write_exr(str(d / f"frame{i:03d}.exr"), f,
+                          compression=compression)
         comp = ImprovedVideoCompressor(verbose=False, keyframe_interval=2)
         loaded = comp.extract_frames_from_video(str(d))
         assert len(loaded) == 4
